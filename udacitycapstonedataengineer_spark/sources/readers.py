@@ -1,0 +1,130 @@
+"""Schema'd scans (SURVEY.md §2.1 S1-S4, S8).
+
+The reference reads everything with ``inferSchema=True`` (etl.py:61,76,92)
+— an extra full pass over the CSV and nondeterministic types. Here every
+reader takes an explicit ``StructType``; inference is opt-in for
+exploration only. The SAS7BDAT source (etl.py:42) has no Spark-3 reader;
+its capability is covered by a one-time convert-to-parquet step — see
+``convert_sas_like`` note below — and all engine inputs are columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.types import StructType
+
+# The driver's TPC-H-ish catalog (TESTDATA.md). Stand-ins for the
+# reference tables per FIXTURES.md: lineitem/orders = immigration fact,
+# nation/region = country_codes lookup, customer/supplier/part = dim
+# sources, events/documents/embeddings = extension surfaces.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4: columnar scan — pushdown + pruning come free from Catalyst."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """S2/S3: CSV scan with explicit schema (custom delimiter supported,
+    matching the ;-separated demographics source at etl.py:61)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:  # exploration fallback — never the production path
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def _arrow_field_to_spark(t: pa.DataType) -> tuple[T.DataType, bool]:
+    """Map an Arrow type to a Spark type. Returns (type, needs_ns_fix):
+    nanosecond timestamps are illegal for Spark's parquet reader
+    (PARQUET_TYPE_ILLEGAL), so we read them as raw int64 nanos and
+    convert to a microsecond TimestampType natively after the scan."""
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return T.LongType(), True
+        return T.TimestampType(), False
+    if pa.types.is_int64(t):
+        return T.LongType(), False
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return T.IntegerType(), False
+    if pa.types.is_float64(t):
+        return T.DoubleType(), False
+    if pa.types.is_float32(t):
+        return T.FloatType(), False
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType(), False
+    if pa.types.is_boolean(t):
+        return T.BooleanType(), False
+    if pa.types.is_date(t):
+        return T.DateType(), False
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType(), False
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner, fix = _arrow_field_to_spark(t.value_type)
+        if fix:
+            raise ValueError("nested nanosecond timestamps unsupported")
+        return T.ArrayType(inner), False
+    raise ValueError(f"unmapped arrow type: {t}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Explicit-schema parquet scan (SURVEY.md §7.3: no inferSchema).
+
+    The schema comes from the parquet footer (driver-side pyarrow read,
+    no Spark job), so this works under ANY SparkSession — including the
+    driver's — and tolerates TIMESTAMP(NANOS) columns, which Spark's own
+    inference rejects. Nanos columns are read as int64 and converted to
+    microsecond timestamps with `timestamp_micros(c div 1000)` — a
+    codegen-friendly expression, truncating sub-microsecond digits (the
+    DuckDB oracle compensates with epoch_us)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    footer = pq.read_schema(path)
+    fields, ns_cols = [], []
+    for f in footer:
+        dt, needs_fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if needs_fix:
+            ns_cols.append(f.name)
+    df = spark.read.schema(T.StructType(fields)).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the catalog and register temp views so every query is
+    expressible through both the DataFrame and SQL surfaces
+    (SURVEY.md §2.9 / §3.3)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
