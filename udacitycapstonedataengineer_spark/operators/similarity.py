@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+- brute-force cosine top-k: the exactness baseline. The (small) query
+  set is broadcast against the candidate scan, so scoring is map-side
+  and partition-parallel; only the scored pairs shuffle for per-query
+  ranking.
+- LSH-bucketed ANN: random-hyperplane signatures assign each vector a
+  bucket; search touches only same-bucket candidates. The planes are
+  deterministic literals (seeded numpy, rounded), so the DuckDB oracle
+  can reproduce the bucketing exactly.
+
+All math is double-precision sequential folds — bit-identical between
+Spark's ``aggregate`` and DuckDB's ``list_inner_product`` (verified),
+so even cosine scores hash-match without rounding.
+
+At 100 TB: brute-force is O(Q·N) — fine for small Q (dedup probes,
+eval queries). For large Q use the LSH path: bucketing is a narrow
+map, candidate pairing shuffles on (bucket) only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COSINE_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    "          0D, (acc, v) -> acc + v))"
+    "    * sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),"
+    "            0D, (acc, v) -> acc + v)))"
+)
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return F.expr(COSINE_EXPR.format(a=a, b=b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin (same double-precision sequential accumulation)."""
+    return (
+        f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f"    * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded to 6 decimals so the
+    literal round-trips identically through Spark and DuckDB parsers."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def _plane_dot_expr(col: str, plane: list[float]) -> str:
+    arr = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, p) -> cast(x as double) * p),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    arr = "[" + ", ".join(str(x) for x in plane) + "]"
+    return f"list_inner_product(CAST({col} AS DOUBLE[]), {arr}::DOUBLE[])"
+
+
+def lsh_bucket(col: str, planes: list[list[float]]) -> F.Column:
+    """Signature = sign bits of the plane projections, packed to int."""
+    bits = [
+        f"(CASE WHEN {_plane_dot_expr(col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def lsh_bucket_sql(col: str, planes: list[list[float]]) -> str:
+    bits = [
+        f"(CASE WHEN {_plane_dot_sql(col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+def brute_force_topk(
+    emb: DataFrame, query_pred: F.Column, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query side, score map-side,
+    rank per query. Ties broken by candidate id (deterministic)."""
+    from pyspark.sql import Window
+
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    planes: list[list[float]],
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket — the scale path:
+    candidate generation is an equi-join on bucket, not a cross join."""
+    from pyspark.sql import Window
+
+    with_b = emb.withColumn("bucket", lsh_bucket("embedding", planes))
+    q = with_b.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, planes: list[list[float]], threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucket-restricted (recall bound
+    by the LSH bucketing, like all production embedding dedup)."""
+    with_b = emb.withColumn("bucket", lsh_bucket("embedding", planes))
+    a = with_b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    b = with_b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine("e_a", "e_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -16,40 +16,19 @@ parquet. The driver hash-compares values order-insensitively, so:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import sas_date_decode
 from ..functions.exact import money_avg, money_sum
 from ..operators.cleaning import dedup_by_key, drop_nulls, null_profile
 from ..operators.dims import build_calendar_dim, build_dimension
-from ..session import pin_oracle_semantics
-from ..sources.readers import load_tables
+from .registry import ORACLE, QUERIES, query
 from .star import (
     build_country_dim,
     build_fact,
     build_priority_dim,
     flagship_revenue_by_region_year,
 )
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            pin_oracle_semantics(spark)
-            return fn(spark, load_tables(spark, sf_dir))
-
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return wrapped
-
-    return deco
 
 
 # ---------------------------------------------------------------------------
@@ -480,5 +459,11 @@ def _initcap_labels(spark, t):
         "n_nationkey", F.initcap(F.lower("n_name")).alias("nation_title")
     )
 
+
+# Register the extension query groups (import side effect).
+from . import queries_dedup  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401
+from . import queries_sim  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

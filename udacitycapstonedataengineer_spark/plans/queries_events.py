@@ -1,0 +1,105 @@
+"""Event-analytics queries (windowed aggregation, sessionization,
+top-k per group) — the batch twins of the streaming module, all
+oracle-checked. DuckDB ``time_bucket`` ↔ Spark ``window``."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..streaming.events import sessionize, tumbling_window_agg
+from .registry import query
+
+
+@query(
+    "events_window_agg",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def _events_window_agg(spark, t):
+    # tumbling-window aggregation (streaming twin: streaming_window_counts)
+    return tumbling_window_agg(t["events"], minutes=5)
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def _events_sessionize(spark, t):
+    # gap-based sessionization: lag + cumulative-sum session ids
+    return sessionize(t["events"], gap_minutes=30)
+
+
+@query(
+    "events_topk_per_group",
+    """
+    SELECT event_type, event_id, user_id, value, rank FROM (
+        SELECT event_type, event_id, user_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank
+        FROM events
+    ) WHERE rank <= 3
+    """,
+)
+def _events_topk_per_group(spark, t):
+    # top-k per group — the canonical window-function OLAP pattern
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t["events"]
+        .select("event_type", "event_id", "user_id", "value")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "events_pivot_by_type",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def _events_pivot_by_type(spark, t):
+    # pivot — conditional aggregation form (map-side combinable, unlike
+    # a generic pivot with collected distinct values)
+    aggs = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"n_{et}")
+        for et in ("click", "view", "purchase", "signup", "error")
+    ]
+    return t["events"].groupBy("user_id").agg(*aggs)

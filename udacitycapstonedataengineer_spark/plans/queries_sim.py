@@ -1,0 +1,92 @@
+"""Similarity-search queries over ``embeddings`` — all oracle-checked,
+including the LSH path (the hyperplanes are deterministic literals
+reproduced inside the oracle SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_sql,
+    embedding_near_dups,
+    hyperplanes,
+    lsh_bucket_sql,
+    lsh_topk,
+)
+from .registry import query
+
+_PLANES = hyperplanes(n_bits=4, dim=64)
+
+
+def _q_pred():
+    return F.col("vec_id") < 8
+
+
+def _topk_oracle(candidate_join: str) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb{_BUCKET_Q} FROM embeddings
+               WHERE vec_id < 8),
+         c AS (SELECT vec_id AS cand_id, embedding AS c_emb{_BUCKET_C} FROM embeddings),
+         scored AS (
+            SELECT query_id, cand_id, {cosine_sql('q_emb', 'c_emb')} AS cosine
+            FROM c {candidate_join}
+            WHERE query_id <> cand_id
+         )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+_BUCKET_Q = f", {lsh_bucket_sql('embedding', _PLANES)} AS bucket"
+_BUCKET_C = _BUCKET_Q
+
+
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 8),
+         c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+         scored AS (
+            SELECT query_id, cand_id, {cosine_sql('q_emb', 'c_emb')} AS cosine
+            FROM c CROSS JOIN q
+            WHERE query_id <> cand_id
+         )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def _ann_topk_bruteforce(spark, t):
+    # exact cosine top-k baseline: broadcast queries, map-side scoring
+    return brute_force_topk(t["embeddings"], _q_pred(), k=5)
+
+
+@query("ann_topk_lsh", _topk_oracle("JOIN q USING (bucket)"))
+def _ann_topk_lsh(spark, t):
+    # LSH-bucketed ANN: same ranking math, bucket-pruned candidates
+    return lsh_topk(t["embeddings"], _q_pred(), _PLANES, k=5)
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {lsh_bucket_sql('embedding', _PLANES)} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+           {cosine_sql('a.embedding', 'bb.embedding')} AS cosine
+    FROM b a JOIN b bb USING (bucket)
+    WHERE a.vec_id < bb.vec_id
+      AND {cosine_sql('a.embedding', 'bb.embedding')} >= 0.35
+    """,
+)
+def _embedding_neardup_pairs(spark, t):
+    # embedding-cosine near-dup: bucket-restricted pair generation
+    return embedding_near_dups(t["embeddings"], _PLANES, threshold=0.35)

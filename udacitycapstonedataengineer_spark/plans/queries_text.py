@@ -1,0 +1,127 @@
+"""Text-analysis queries over the ``documents`` table (training-data
+pipeline surface: language-ID, quality scoring, token counting,
+fingerprinting). All per-row native expressions — no shuffle beyond
+the scan, fully codegen'd."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from .registry import query
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           {X.n_tokens_sql()} AS n_tokens,
+           {X.n_bpe_tokens_sql()} AS n_bpe_tokens,
+           {X.punct_count_sql()} AS n_punct
+    FROM documents
+    """,
+)
+def _text_token_stats(spark, t):
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        X.n_tokens().alias("n_tokens"),
+        X.n_bpe_tokens().alias("n_bpe_tokens"),
+        X.punct_count().alias("n_punct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(n_punct AS DOUBLE) / length(text) END AS punct_ratio,
+           (n_tokens >= 10 AND stop_hits > 0) AS quality_ok
+    FROM (
+        SELECT doc_id, text,
+               {X.n_tokens_sql()} AS n_tokens,
+               {X.stop_hits_sql('en')} AS stop_hits,
+               {X.punct_count_sql()} AS n_punct
+        FROM documents
+    )
+    """,
+)
+def _text_quality_score(spark, t):
+    # length/punct/stopword heuristics — the standard pre-training
+    # quality gates, as one codegen'd projection
+    d = t["documents"].select(
+        "doc_id",
+        "text",
+        X.n_tokens().alias("n_tokens"),
+        X.stop_hits("en").alias("stop_hits"),
+        X.punct_count().alias("n_punct"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("stop_hits").cast("double") / F.col("n_tokens"))
+        .alias("stopword_ratio"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(F.col("n_punct").cast("double") / F.length("text"))
+        .alias("punct_ratio"),
+        ((F.col("n_tokens") >= 10) & (F.col("stop_hits") > 0)).alias("quality_ok"),
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS lang_labeled, {X.lang_id_sql()} AS lang_predicted
+    FROM documents
+    """,
+)
+def _text_lang_id(spark, t):
+    # n-gram/stopword language-ID heuristic (argmax of per-language
+    # stopword hits, deterministic tie-break)
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        X.lang_id().alias("lang_predicted"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {X.fingerprint_sql()} AS fingerprint,
+           length({X.NORMALIZE_SQL.format(c='text')}) AS n_chars_normalized
+    FROM documents
+    """,
+)
+def _text_fingerprint(spark, t):
+    # md5 document fingerprint over normalized text — the exact-dedup key
+    return t["documents"].select(
+        "doc_id",
+        X.fingerprint().alias("fingerprint"),
+        F.length(F.expr(X.NORMALIZE_EXPR.format(c="text"))).alias(
+            "n_chars_normalized"
+        ),
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def _json_extract_props(spark, t):
+    # semi-structured extraction: Spark get_json_object ↔ DuckDB json_extract
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )

@@ -1,0 +1,124 @@
+"""Event-stream processing over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.7), so this module is an
+extension surface: the same logical operations (tumbling-window
+aggregation, sessionization) expressed both as batch DataFrame plans
+(oracle-checkable) and as Structured Streaming queries (readStream →
+watermark → window → memory sink; exercised in tests).
+
+Timestamps cross the oracle boundary as epoch MICROseconds: the
+testdata stores nanos, Spark truncates to micros on load
+(sources/readers.py) and DuckDB ``epoch_us`` truncates identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import money_sum
+
+
+def tumbling_window_agg(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Per-(window, event_type) counts and exact value sums. Batch twin
+    of the streaming groupBy(window(...)) below — identical results on
+    the same finite input."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Classic lag + cumulative
+    sum over a per-user window — one shuffle on user_id.
+
+    All arithmetic on integer epoch-micros for engine parity."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    per_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .withColumn("prev_us", F.lag("ts_us").over(per_user))
+        .withColumn(
+            "new_session",
+            (F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us))
+            .cast("int"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(per_user))
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .withColumn(
+            "duration_us", F.col("session_end_us") - F.col("session_start_us")
+        )
+    )
+
+
+def streaming_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    query_name: str = "event_window_counts",
+) -> DataFrame:
+    """True Structured Streaming path: file source → watermark →
+    tumbling window → complete-mode memory sink, driven to completion
+    synchronously. On a cluster the source/sink swap for Kafka/Delta;
+    the transformation is identical."""
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import _arrow_field_to_spark
+    import os
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    footer = pq.read_schema(path)
+    fields, ns_cols = [], []
+    for f in footer:
+        dt, fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if fix:
+            ns_cols.append(f.name)
+    stream = spark.readStream.schema(T.StructType(fields)).parquet(path)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
