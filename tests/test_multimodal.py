@@ -1,0 +1,88 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic fake
+decode vs numpy, 1:N frame sampling, and the decode stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from udacitycapstonedataengineer_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    FRAME_BYTES,
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    fake_decode,
+    sample_frames,
+    synthesize_media,
+)
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    m = synthesize_media(docs).cache()
+    yield m
+    m.unpersist()
+
+
+def _types(schema):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_media_schema_and_metadata(media):
+    assert _types(media.schema) == _types(MEDIA_SCHEMA)
+    rows = media.collect()
+    assert rows, "documents table empty?"
+    for r in rows:
+        assert r.media_type in {"image", "audio", "video"}
+        assert r.meta.n_bytes == len(r.payload)
+        if r.media_type == "image":
+            assert r.meta.width and r.meta.height and r.meta.sample_rate_hz is None
+        elif r.media_type == "audio":
+            assert r.meta.sample_rate_hz == 16_000 and r.meta.width is None
+        else:
+            assert r.meta.width is None and r.meta.sample_rate_hz is None
+
+
+def test_feature_extraction_matches_numpy(media):
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for r in feats.collect():
+        raw = payloads[r.doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.content_md5 == hashlib.md5(raw).hexdigest()
+        expect = float(np.frombuffer(raw, np.uint8).mean()) if raw else 0.0
+        assert r.mean_byte == pytest.approx(expect)
+
+
+def test_frame_sampling_one_to_n(media):
+    frames = sample_frames(media, frame_bytes=FRAME_BYTES, every=4)
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r.doc_id, []).append(r)
+        assert r.byte_offset == r.frame_no * FRAME_BYTES
+        assert r.frame_bytes == FRAME_BYTES
+        assert r.byte_offset + FRAME_BYTES <= len(payloads[r.doc_id])
+    for doc_id, raw in payloads.items():
+        n_expected = len(range(0, len(raw) // FRAME_BYTES, 4))
+        assert len(got.get(doc_id, [])) == n_expected
+
+
+def test_mapinpandas_is_narrow(media):
+    # mapInPandas must not introduce a shuffle: no Exchange in the plan
+    plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "video")
+    assert fake_decode(b"\x00\xff").tolist() == [0, 255]

@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the scale contract, not just results.
+
+At 100 TB the difference between BroadcastHashJoin and SortMergeJoin on
+a dim join, or between a pruned and unpruned scan, is the job. These
+tests pin the plan shapes the engine promises (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+from udacitycapstonedataengineer_spark.plans.star import (
+    build_fact,
+    build_priority_dim,
+    flagship_revenue_by_region_year,
+)
+from udacitycapstonedataengineer_spark.sources.readers import load_table, load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(flagship_revenue_by_region_year(load_tables(spark, sf_dir)))
+    # nation and region must come in via broadcast, never a fact shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    # partial aggregation must be map-side (HashAggregate before shuffle)
+    assert "HashAggregate" in plan
+
+
+def test_fact_join_is_broadcast(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(build_fact(orders, build_priority_dim(orders)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plan = _plan(df)
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """Every §2 (reference-surface) query stays JVM-side: no
+    BatchEvalPython / ArrowEvalPython stages. The multimodal group is
+    pandas-UDF by design and is exempt."""
+    relational = [
+        n for n in QUERIES if not n.startswith("multimodal_")
+    ]
+    for name in relational:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column processing.
+
+Extension surface beyond the reference (SURVEY.md §2 lists none — the
+reference is tabular-only), modeled the way a 100 TB training-data
+pipeline actually stores media: one opaque ``binary`` payload column
+plus a typed metadata struct, processed by Arrow-batched pandas UDFs
+over ``mapInPandas``.
+
+Design rules at scale:
+- The payload NEVER crosses the driver: synthesis, decode, feature
+  extraction, and frame sampling are all executor-side, Arrow-batched.
+- ``mapInPandas`` is a narrow transformation — partitioning of the
+  input is preserved; no shuffle is introduced by any operator here.
+- Batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (plus payload size); operators iterate batches, never materialize the
+  whole partition.
+- Real codec work (PIL/libsndfile/ffmpeg) is NOT available in this
+  container, so ``decode_media`` is a clearly-marked stub: a
+  deterministic fake decoder stands in behind the same signature, and
+  the library-backed path raises ``NotImplementedError`` — the Spark
+  plumbing (schemas, UDF signatures, batch shapes) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRAME_BYTES = 64  # fake-video frame size used by sample_frames
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate_hz", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Documents → media table: UTF-8 payload bytes + typed metadata.
+
+    Stands in for media ingest (S3 object fetch / tar shard explode on a
+    real pipeline). media_type cycles deterministically by doc_id so all
+    three modalities exercise the same code paths; metadata fields that
+    don't apply to a modality are null, exactly as a real mixed-media
+    table would carry them.
+    """
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode("text", "UTF-8")
+    n_bytes = F.octet_length("text").cast("long")
+    width = F.when(mt == "image", (32 + (F.col("doc_id") % 8) * 16).cast("int"))
+    height = F.when(mt == "image", (32 + (F.col("doc_id") % 4) * 16).cast("int"))
+    rate = F.when(mt == "audio", F.lit(16_000).cast("int"))
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            n_bytes.alias("n_bytes"),
+            width.alias("width"),
+            height.alias("height"),
+            rate.alias("sample_rate_hz"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode one payload to a sample array.
+
+    STUB: the real decoders (PIL for image, soundfile for audio, ffmpeg
+    for video) are not installed in this container; when they are, each
+    branch below swaps for the library call with the same contract
+    (uint8 ndarray out). Until then the library path raises, and
+    ``fake_decode`` is the deterministic stand-in used by the pipeline.
+    """
+    if media_type == "image":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "image decode requires Pillow (not installed); "
+                "use fake_decode for the deterministic test path"
+            )
+    elif media_type == "audio":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "audio decode requires soundfile (not installed); "
+                "use fake_decode for the deterministic test path"
+            )
+    else:
+        raise NotImplementedError(
+            "video decode requires ffmpeg (not installed); "
+            "use fake_decode for the deterministic test path"
+        )
+    raise AssertionError("unreachable: decoder libs are not in this container")
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic fake decoder: the raw bytes as uint8 samples.
+    Same output shape contract as decode_media, zero dependencies."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item features via mapInPandas (Arrow-batched, executor-side).
+
+    md5/n_bytes are byte-exact engine-independent facts; mean_byte is
+    the stand-in for a real decoded-signal statistic (it consumes the
+    fake-decoded sample array the way a real extractor would consume
+    pixels/PCM).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "mean_byte": payloads.map(
+                        lambda b: float(fake_decode(bytes(b)).mean())
+                        if len(b)
+                        else 0.0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, every: int = 4
+) -> DataFrame:
+    """Frame sampling for the fake-video payloads: emit every
+    ``every``-th frame of ``frame_bytes`` bytes as its own row —
+    the 1:N mapInPandas shape a real video frame-sampler has (decode →
+    select keyframes → one row per kept frame). Output rows carry the
+    byte extent so a downstream stage can fetch/decode just that slice.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, offsets, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for f in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    frames.append(f)
+                    offsets.append(f * frame_bytes)
+                    sizes.append(frame_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frames, dtype="int64"),
+                    "byte_offset": pd.Series(offsets, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

@@ -463,6 +463,7 @@ def _initcap_labels(spark, t):
 # Register the extension query groups (import side effect).
 from . import queries_dedup  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401
 from . import queries_sim  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 

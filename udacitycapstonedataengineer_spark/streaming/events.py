@@ -100,7 +100,14 @@ def streaming_window_counts(
         fields.append(T.StructField(f.name, dt, True))
         if fix:
             ns_cols.append(f.name)
-    stream = spark.readStream.schema(T.StructType(fields)).parquet(path)
+    # The file stream source wants a directory; testdata tables are
+    # single files, so stream the parent dir with a glob filter (on a
+    # cluster this would be the landing directory new files arrive in).
+    stream = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     agg = (
