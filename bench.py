@@ -19,6 +19,7 @@ from udacitycapstonedataengineer_spark.plans.queries import QUERIES
 from udacitycapstonedataengineer_spark.session import get_spark
 
 HEADLINE = [
+    # reference surface (star-schema ETL)
     "star_revenue_by_region_year",
     "fact_orders",
     "calendar_dim",
@@ -26,6 +27,16 @@ HEADLINE = [
     "dedup_by_key",
     "null_profile",
     "sas_date_decode",
+    # training-data pipeline extensions
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "events_window_agg",
+    "events_sessionize",
+    "text_quality_score",
+    "multimodal_features",
 ]
 
 

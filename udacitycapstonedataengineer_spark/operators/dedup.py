@@ -24,11 +24,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
 
-# 3-word shingles of the lowercased token stream, deduplicated.
+# 3-word shingles of the lowercased token stream, deduplicated. The
+# token array is bound ONCE via the single-element-array lambda (as a
+# bare subexpression it would be collapse-inlined into the per-shingle
+# lambda and the text re-split size(tokens) times per row).
 SHINGLES_EXPR = (
-    "array_distinct(transform("
-    "  sequence(1, greatest(size({t}) - 2, 1)),"
-    "  i -> concat_ws(' ', slice({t}, i, 3))))"
+    "transform(array({t}), tok -> array_distinct(transform("
+    "  sequence(1, greatest(size(tok) - 2, 1)),"
+    "  i -> concat_ws(' ', slice(tok, i, 3)))))[0]"
 )
 TOKENS = r"split(lower(trim(text)), '\\s+')"
 
@@ -61,15 +64,24 @@ def exact_dedup_keep_canonical(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sig_expr(num_hashes: int) -> str:
+    # Hash every shingle to a long ONCE, then derive the K seeded
+    # minhashes from (long, seed) pairs — integer-domain xxhash64, no
+    # per-(shingle, seed) string building. The single-element-array
+    # lambda binding (transform(array(x), hs -> ...)[0]) forces one
+    # evaluation of the shingle-hash array per row; as a plain column it
+    # would be projection-collapsed into all K lambdas and recomputed.
+    hs = "transform(shingles, s -> xxhash64(s))"
+    return (
+        f"transform(array({hs}), hs -> transform(sequence(0, {num_hashes - 1}),"
+        " h -> array_min(transform(hs, s -> xxhash64(s, h)))))[0]"
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
     """K minhashes per doc as one native expression — K seeded xxhash64
     passes over the shingle array, min-reduced. No shuffle."""
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}),"
-        " h -> array_min(transform(shingles,"
-        "      s -> xxhash64(concat(s, '|', cast(h as string))))))"
-    )
-    return with_shingles(docs).withColumn("minhash", F.expr(sig))
+    return with_shingles(docs).withColumn("minhash", F.expr(_sig_expr(num_hashes)))
 
 
 def minhash_candidates(
@@ -77,17 +89,29 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
-    candidate pair. Returns (doc_a, doc_b) with doc_a < doc_b."""
+    candidate pair. Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    Materialization strategy (the thing that makes this survive 100 TB):
+    the corpus-side expressions (shingle → K hashes) run EXACTLY ONCE —
+    the signature table (doc_id + K longs, ~1e-4 of corpus bytes) is
+    persisted before banding. Without the persist, Catalyst's projection
+    collapse inlines the shingle pipeline into every band lambda and
+    every reuse of the exploded plan (count + both self-join sides),
+    multiplying the corpus scan work ~bands × 3 × num_hashes.
+    """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes)
+    sh = shingled if shingled is not None else with_shingles(docs).select("doc_id", "shingles").persist()
+    sigs = sh.select("doc_id", F.expr(_sig_expr(num_hashes)).alias("minhash"))
     band_expr = (
         f"transform(sequence(0, {bands - 1}),"
         f" b -> xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))))"
     )
     exploded = (
         sigs.select("doc_id", F.posexplode(F.expr(band_expr)).alias("band", "bucket"))
+        .persist()
     )
     # skew control: drop degenerate buckets before the self-join
     sized = exploded.join(
@@ -111,11 +135,20 @@ def minhash_candidates(
 
 
 def jaccard_verify(
-    docs: DataFrame, pairs: DataFrame, threshold: float = 0.5
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 3-gram Jaccard on candidate pairs. int/int division —
-    deterministic on any engine."""
-    sh = with_shingles(docs).select("doc_id", "shingles")
+    deterministic on any engine. The shingle table joins in twice
+    (doc_a, doc_b side); pass a persisted ``shingled`` to shingle the
+    corpus once across candidate generation and verification."""
+    sh = (
+        shingled
+        if shingled is not None
+        else with_shingles(docs).select("doc_id", "shingles").persist()
+    )
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("shingles", "sh_a")
@@ -138,10 +171,11 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
-    return jaccard_verify(
-        docs, minhash_candidates(docs, num_hashes, bands), threshold
-    )
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+    One persisted shingle table feeds both stages."""
+    sh = with_shingles(docs).select("doc_id", "shingles").persist()
+    cand = minhash_candidates(docs, num_hashes, bands, shingled=sh)
+    return jaccard_verify(docs, cand, threshold, shingled=sh)
 
 
 # ---- SimHash ---------------------------------------------------------------
@@ -165,17 +199,33 @@ def simhash(docs: DataFrame, out: str = "simhash") -> DataFrame:
     return docs.withColumn(out, F.expr(_SIMHASH_EXPR))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 8, max_bucket: int = 64
+) -> DataFrame:
     """Candidate pairs sharing any 16-bit band of the signature, then
     hamming-distance verify — detects near-dups that survive small
     edits. Pigeonhole: hamming ≤ 3 guarantees a shared band; larger
-    distances are best-effort (documented recall/cost trade)."""
-    sh = simhash(docs).select("doc_id", "simhash")
+    distances are best-effort (documented recall/cost trade).
+
+    ``max_bucket`` is the same skew control as MinHash banding: a
+    boilerplate-heavy corpus puts thousands of docs in one band bucket
+    and the self-join goes quadratic on a single reducer — capped
+    buckets bound every bucket's pair count at max_bucket²/2."""
+    # persist the signature table (doc_id + one long): the 64-counter
+    # bit-vote aggregate runs once per doc, not once per band per side
+    sh = simhash(docs).select("doc_id", "simhash").persist()
     bands = F.expr(
         "transform(sequence(0, 3), b -> (shiftright(simhash, b * 16) & 65535))"
     )
     exploded = sh.select(
         "doc_id", "simhash", F.posexplode(bands).alias("band", "bucket")
+    ).persist()
+    exploded = exploded.join(
+        exploded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band", "bucket"),
+        ["band", "bucket"],
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
