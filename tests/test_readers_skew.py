@@ -1,0 +1,63 @@
+"""CSV readers (S2/S3), partitioned-writer reuse, and the salted join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacitycapstonedataengineer_spark.operators.skew import salted_join
+from udacitycapstonedataengineer_spark.sources.readers import load_table, read_csv
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("median_age", T.DoubleType()),
+        T.StructField("population", T.IntegerType()),
+    ]
+)
+
+
+def test_read_csv_custom_delimiter(spark, tmp_path):
+    # the reference's ;-separated demographics source (etl.py:61)
+    p = tmp_path / "demo.csv"
+    p.write_text(
+        "city;state;median_age;population\n"
+        "Springfield;IL;34.5;110000\n"
+        "Portland;OR;36.1;650000\n"
+    )
+    df = read_csv(spark, str(p), schema=CSV_SCHEMA, sep=";")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "double", "int",
+    ]
+    rows = {r.city: r for r in df.collect()}
+    assert rows["Portland"].population == 650000
+    assert rows["Springfield"].median_age == 34.5
+
+
+def test_read_csv_infer_fallback(spark, tmp_path):
+    p = tmp_path / "plain.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert df.count() == 2
+    assert df.schema["a"].dataType.simpleString() == "int"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    medium = part.withColumnRenamed("p_partkey", "l_partkey")
+
+    plain = li.join(medium, "l_partkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name"
+    )
+    salted = salted_join(
+        li, medium, on="l_partkey", spread_col="l_orderkey", n_salts=4
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "p_name")
+
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join key must carry the salt into the shuffle
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
