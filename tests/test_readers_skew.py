@@ -7,6 +7,7 @@ from pyspark.sql import types as T
 
 from udacitycapstonedataengineer_spark.operators.skew import salted_join
 from udacitycapstonedataengineer_spark.sources.readers import load_table, read_csv
+from udacitycapstonedataengineer_spark.sources.writers import write_bucketed
 
 CSV_SCHEMA = T.StructType(
     [
@@ -61,3 +62,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     # the join key must carry the salt into the shuffle
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with no
+    Exchange — the co-located-join contract of write_bucketed."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    # at test SF both sides fit the broadcast threshold and the planner
+    # rightly skips bucketing; disable auto-broadcast to exercise the
+    # big-big co-located path this feature exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders, "b_orders", ["o_orderkey"], 4,
+            str(tmp_path / "b_orders"), sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            li, "b_lineitem", ["o_orderkey"], 4,
+            str(tmp_path / "b_lineitem"), sort_cols=["o_orderkey"],
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

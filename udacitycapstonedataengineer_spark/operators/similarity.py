@@ -34,9 +34,32 @@ COSINE_EXPR = (
     "            0D, (acc, v) -> acc + v)))"
 )
 
+_NORM_EXPR = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
+_DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
 
 def cosine(a: str, b: str) -> F.Column:
     return F.expr(COSINE_EXPR.format(a=a, b=b))
+
+
+def norm(a: str) -> F.Column:
+    """L2 norm as the same sequential fold the inline cosine uses, so
+    precomputed-norm cosine is bit-identical to the inline form."""
+    return F.expr(_NORM_EXPR.format(a=a))
+
+
+def cosine_prenorm(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    """Cosine with both norms precomputed per vector instead of per
+    pair — at k candidates per query this removes 2k of the 3k folds.
+    Same double ops in the same order as COSINE_EXPR → same bits."""
+    return F.expr(_DOT_EXPR.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -96,13 +119,23 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = emb.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        norm("embedding").alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cosine"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_prenorm("q_emb", "c_emb", "q_norm", "c_norm").alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -126,17 +159,23 @@ def lsh_topk(
     q = with_b.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
         "bucket",
     )
     c = with_b.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        norm("embedding").alias("c_norm"),
         "bucket",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cosine"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_prenorm("q_emb", "c_emb", "q_norm", "c_norm").alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -153,14 +192,22 @@ def embedding_near_dups(
     by the LSH bucketing, like all production embedding dedup)."""
     with_b = emb.withColumn("bucket", lsh_bucket("embedding", planes))
     a = with_b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        norm("embedding").alias("n_a"),
+        "bucket",
     )
     b = with_b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        norm("embedding").alias("n_b"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine("e_a", "e_b").alias("cosine"))
+        .select(
+            "vec_a", "vec_b", cosine_prenorm("e_a", "e_b", "n_a", "n_b").alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -75,6 +75,107 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table (schema from the
+    parquet footer, nanos→micros fix applied post-scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from ..sources.readers import _arrow_field_to_spark
+
+    path = os.path.join(sf_dir, "events.parquet")
+    footer = pq.read_schema(path)
+    fields, ns_cols = [], []
+    for f in footer:
+        dt, fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if fix:
+            ns_cols.append(f.name)
+    # the file stream source wants a directory; testdata tables are
+    # single files, so stream the parent dir with a glob filter (on a
+    # cluster this would be the landing directory new files arrive in)
+    stream = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def streaming_user_stats_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "user_stats_stateful",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count and max event value, state carried
+    across micro-batches. This is the arbitrary-state path for logic
+    window/sessionize built-ins can't express (entity-level lifetime
+    aggregates, CDC-style upserts, fraud counters).
+
+    State is one row per user_id — at 100 TB the state store shards by
+    the groupBy key across executors; nothing here is driver-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update-mode memory sink appends one row per (user, trigger); the
+    # finite single-file source yields one trigger, so rows are final
+    return spark.sql(
+        f"SELECT user_id, max(n_events) AS n_events, max(max_value) AS max_value "
+        f"FROM {query_name} GROUP BY user_id"
+    )
+
+
 def streaming_window_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -86,32 +187,9 @@ def streaming_window_counts(
     tumbling window → complete-mode memory sink, driven to completion
     synchronously. On a cluster the source/sink swap for Kafka/Delta;
     the transformation is identical."""
-    import pyarrow.parquet as pq
-
-    from ..sources.readers import _arrow_field_to_spark
-    import os
-    from pyspark.sql import types as T
-
-    path = os.path.join(sf_dir, "events.parquet")
-    footer = pq.read_schema(path)
-    fields, ns_cols = [], []
-    for f in footer:
-        dt, fix = _arrow_field_to_spark(f.type)
-        fields.append(T.StructField(f.name, dt, True))
-        if fix:
-            ns_cols.append(f.name)
-    # The file stream source wants a directory; testdata tables are
-    # single files, so stream the parent dir with a glob filter (on a
-    # cluster this would be the landing directory new files arrive in).
-    stream = (
-        spark.readStream.schema(T.StructType(fields))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    for c in ns_cols:
-        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     agg = (
-        stream.withWatermark("ts", watermark)
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
