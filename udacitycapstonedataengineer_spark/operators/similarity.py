@@ -185,6 +185,82 @@ def lsh_topk(
     )
 
 
+def ivf_assign(emb: DataFrame, centroid_mod: int = 50) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (highest cosine, ties to lowest centroid id).
+
+    Centroids are a deterministic sample (vec_id % centroid_mod == 0) —
+    the skeleton of a trained IVF index with the k-means step swapped
+    for a reproducible, oracle-checkable selection. At scale: centroids
+    broadcast (K ≪ N), assignment is one map-side pass over the corpus,
+    and the output (vec_id, cell) is the partition key all probes use.
+    """
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cent_emb"),
+        norm("embedding").alias("cent_norm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell")
+    )
+    return (
+        emb.select("vec_id", "embedding", norm("embedding").alias("v_norm"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos",
+            cosine_prenorm("embedding", "cent_emb", "v_norm", "cent_norm"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "embedding", "v_norm", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    centroid_mod: int = 50,
+) -> DataFrame:
+    """ANN top-k probing only the query's IVF cell (nprobe=1).
+
+    The scale path for large query sets: after assignment, search is an
+    equi-join on cell — work proportional to cell size, not corpus
+    size. Recall is bounded by quantization (neighbors in adjacent
+    cells are missed); raise nprobe or centroid count to trade cost for
+    recall, exactly as production IVF indexes do."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, centroid_mod).persist()
+    q = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+        "cell",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_prenorm("q_emb", "c_emb", "q_norm", "c_norm").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, planes: list[list[float]], threshold: float = 0.35
 ) -> DataFrame:

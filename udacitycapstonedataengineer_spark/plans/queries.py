@@ -464,6 +464,7 @@ def _initcap_labels(spark, t):
 from . import queries_dedup  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
+from . import queries_olap  # noqa: E402,F401
 from . import queries_sim  # noqa: E402,F401
 from . import queries_sql  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401

@@ -1,0 +1,125 @@
+"""OLAP surface beyond the reference's grammar: rollup subtotals, set
+operations, and running-window aggregates — all oracle-checked.
+
+Engine-parity notes:
+- rollup subtotal rows carry NULL grouping keys in both engines;
+  COALESCE to a sentinel so the string compare is unambiguous.
+- running sums accumulate in integer minor units: Spark computes window
+  sums sequentially, DuckDB uses a segment tree, so double accumulation
+  order (and hence bits) would differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+@query(
+    "olap_rollup_counts",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(yr AS VARCHAR), '(all)') AS yr,
+           count(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM (SELECT event_type, year(ts) AS yr, value FROM events)
+    GROUP BY ROLLUP (event_type, yr)
+    """,
+)
+def _olap_rollup_counts(spark, t):
+    # hierarchical subtotals: (type, year) → (type) → grand total
+    from ..functions.exact import money_sum
+
+    base = t["events"].select("event_type", F.year("ts").alias("yr"), "value")
+    return (
+        base.rollup("event_type", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias("yr"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nation_key FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def _set_union_distinct(spark, t):
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+        .union(t["supplier"].select("s_nationkey"))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def _set_intersect(spark, t):
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("cust_key"))
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey AS cust_key FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def _set_except(spark, t):
+    # customers who never ordered — EXCEPT == distinct anti-semantics
+    return (
+        t["customer"].select(F.col("c_custkey").alias("cust_key"))
+        .exceptAll(t["orders"].select("o_custkey"))
+        .distinct()
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+               AS running_total
+    FROM orders
+    """,
+)
+def _window_running_sum(spark, t):
+    # per-customer running order total (exact minor-unit accumulation)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / 100.0).alias("running_total"),
+    )

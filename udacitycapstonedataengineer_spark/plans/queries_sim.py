@@ -11,6 +11,7 @@ from ..operators.similarity import (
     cosine_sql,
     embedding_near_dups,
     hyperplanes,
+    ivf_topk,
     lsh_bucket_sql,
     lsh_topk,
 )
@@ -72,6 +73,44 @@ def _ann_topk_bruteforce(spark, t):
 def _ann_topk_lsh(spark, t):
     # LSH-bucketed ANN: same ranking math, bucket-pruned candidates
     return lsh_topk(t["embeddings"], _q_pred(), _PLANES, k=5)
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cent_emb FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, cents.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cosine_sql('e.embedding', 'cent_emb')} DESC, cell
+                   ) AS __rk
+            FROM embeddings e CROSS JOIN cents
+        ) WHERE __rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned
+          WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, embedding AS c_emb, cell FROM assigned),
+    scored AS (
+        SELECT query_id, cand_id, {cosine_sql('q_emb', 'c_emb')} AS cosine
+        FROM c JOIN q USING (cell)
+        WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def _ann_topk_ivf(spark, t):
+    # IVF ANN: deterministic coarse centroids, nprobe=1 cell probe —
+    # search cost scales with cell size, not corpus size
+    return ivf_topk(t["embeddings"], _q_pred(), k=5, centroid_mod=50)
 
 
 @query(
