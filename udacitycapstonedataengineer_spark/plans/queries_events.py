@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join_backward
 from ..streaming.events import sessionize, tumbling_window_agg
 from .registry import query
 
@@ -79,6 +80,50 @@ def _events_topk_per_group(spark, t):
         .select("event_type", "event_id", "user_id", "value")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           p.purchase_value AS last_purchase_value,
+           p.ts_us AS last_purchase_ts_us
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def _events_asof_last_purchase(spark, t):
+    # as-of join: each click sees the user's latest purchase at or
+    # before it (union + carry-forward window; DuckDB's native ASOF
+    # JOIN is the oracle)
+    ev = t["events"].withColumn("ts_us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("last_purchase_value"))
+        .withColumn("last_purchase_ts_us", F.col("ts_us"))
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts_us",
+        payload_cols=["last_purchase_value", "last_purchase_ts_us"],
     )
 
 

@@ -98,6 +98,37 @@ def _set_except(spark, t):
     )
 
 
+@query("approx_distinct_users")
+def _approx_distinct_users(spark, t):
+    # HyperLogLog++ distinct estimate per event_type — the constant-
+    # memory path for 100 TB cardinality profiling. Rows-only check:
+    # Spark's HLL++ and DuckDB's sketch give different estimates by
+    # construction; tests/test_olap_ops.py bounds the error vs exact.
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail_price', p_retailprice FROM part
+    )
+    """,
+)
+def _unpivot_part_metrics(spark, t):
+    # wide → long unpivot via stack (one scan, no shuffle)
+    return t["part"].selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE),"
+        " 'retail_price', p_retailprice) AS (metric, value)",
+    )
+
+
 @query(
     "window_running_sum",
     """
