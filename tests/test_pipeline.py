@@ -51,6 +51,20 @@ def test_star_pipeline_roundtrip(spark, sf_dir, tmp_path):
     assert fact_back.count() == star["fact"].count()
 
 
+def test_row_accounting(spark, sf_dir):
+    from udacitycapstonedataengineer_spark.operators.cleaning import (
+        drop_nulls,
+        row_accounting,
+    )
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    cleaned = drop_nulls(ev, subset=["user_id", "event_type"])
+    m = row_accounting(ev, cleaned)
+    assert m["rows_before"] == ev.count()
+    assert m["rows_before"] - m["rows_dropped"] == m["rows_after"]
+    assert m["rows_after"] == cleaned.count()
+
+
 def test_quality_gates_raise(spark):
     empty = spark.range(0).select(F.col("id").alias("k"))
     full = spark.range(5).select(F.col("id").alias("k"))
