@@ -1,0 +1,87 @@
+"""Property-based checks (hypothesis) for the semantics the oracle
+relies on: SAS date decode vs Python datetime, exact money aggregation
+vs Decimal, dedup determinism under input shuffling."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacitycapstonedataengineer_spark.functions.dates import sas_date_decode
+from udacitycapstonedataengineer_spark.functions.exact import money_avg, money_sum
+from udacitycapstonedataengineer_spark.operators.cleaning import dedup_by_key
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-7000, max_value=40000).map(float),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_sas_date_decode_matches_python(spark, days_list):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days_list)],
+        T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("days", T.DoubleType()),
+            ]
+        ),
+    )
+    got = {
+        r.i: r.d for r in df.select("i", sas_date_decode("days").alias("d")).collect()
+    }
+    epoch = dt.date(1960, 1, 1)
+    for i, d in enumerate(days_list):
+        # the reference's `if x`: both null and 0 decode to null
+        want = None if (d is None or d == 0) else epoch + dt.timedelta(days=int(d))
+        assert got[i] == want, (d, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=-10**7, max_value=10**7).map(
+            lambda c: Decimal(c) / 100
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_money_sum_avg_exact(spark, amounts):
+    df = spark.createDataFrame(
+        [(float(a),) for a in amounts],
+        T.StructType([T.StructField("v", T.DoubleType())]),
+    )
+    row = df.agg(
+        money_sum("v").alias("s"), money_avg("v").alias("a")
+    ).collect()[0]
+    want_sum = sum(amounts)
+    assert Decimal(str(row.s)).quantize(Decimal("0.01")) == want_sum.quantize(
+        Decimal("0.01")
+    )
+    assert abs(row.a - float(want_sum) / len(amounts)) < 1e-9
+
+
+def test_dedup_by_key_partition_invariant(spark):
+    rows = [(k, o, random.random()) for k in range(20) for o in range(5)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    outs = []
+    for n_parts in (1, 3, 16):
+        out = dedup_by_key(df.repartition(n_parts), keys=["k"], order_by=["o", "v"])
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 20 and all(o == 0 for _, o, _ in outs[0])
