@@ -27,6 +27,39 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
 
 
+def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
+    from udacitycapstonedataengineer_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("c_start"),
+        (F.col("ts_us") + 600_000_000).alias("c_end"),
+    )
+    bucketed = range_join_bucketed(
+        errors, clicks, "user_id", "ts_us", "c_start", "c_end",
+        bucket_width=600_000_000,
+    )
+    naive = errors.join(
+        clicks,
+        (errors.user_id == clicks.user_id)
+        & (clicks.c_start <= errors.ts_us)
+        & (errors.ts_us < clicks.c_end),
+    ).select(errors.user_id, "event_id", "ts_us", "c_start", "c_end")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],

@@ -44,6 +44,21 @@ def test_read_csv_infer_fallback(spark, tmp_path):
     assert df.schema["a"].dataType.simpleString() == "int"
 
 
+def test_json_and_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Source-format breadth beyond the reference: JSON and ORC write →
+    schema'd read preserves rows and types."""
+    src = load_table(spark, sf_dir, "nation")
+    jp, op = str(tmp_path / "j"), str(tmp_path / "o")
+    src.write.mode("overwrite").json(jp)
+    src.write.mode("overwrite").orc(op)
+    back_j = spark.read.schema(src.schema).json(jp)
+    back_o = spark.read.orc(op)
+    want = sorted(map(tuple, src.collect()))
+    assert sorted(map(tuple, back_j.collect())) == want
+    assert sorted(map(tuple, back_o.collect())) == want
+    assert back_o.schema == src.schema
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"

@@ -8,6 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
+from ..operators.rangejoin import range_join_bucketed
 from ..streaming.events import sessionize, tumbling_window_agg
 from .registry import query
 
@@ -124,6 +125,69 @@ def _events_asof_last_purchase(spark, t):
         key="user_id",
         ts="ts_us",
         payload_cols=["last_purchase_value", "last_purchase_ts_us"],
+    )
+
+
+@query(
+    "events_range_join_click_error",
+    """
+    WITH errors AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, epoch_us(ts) AS c_start,
+               epoch_us(ts) + 600000000 AS c_end
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id, count(*) AS n_click_windows
+    FROM errors e JOIN clicks c
+      ON e.user_id = c.user_id
+     AND c.c_start <= e.ts_us AND e.ts_us < c.c_end
+    GROUP BY 1
+    """,
+)
+def _events_range_join_click_error(spark, t):
+    # range join: errors landing inside the 10-minute window after any
+    # click by the same user (bucketized equi-join, not a nested loop)
+    ev = t["events"].withColumn("ts_us", F.unix_micros("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("c_start"),
+        (F.col("ts_us") + 600_000_000).alias("c_end"),
+    )
+    joined = range_join_bucketed(
+        errors,
+        clicks,
+        key="user_id",
+        left_point="ts_us",
+        right_start="c_start",
+        right_end="c_end",
+        bucket_width=600_000_000,
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_click_windows"))
+
+
+@query(
+    "topk_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def _topk_orders_global(spark, t):
+    # global exact top-k: TakeOrderedAndProject (per-partition heaps +
+    # driver merge of k rows — never a full sort at scale)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
     )
 
 
