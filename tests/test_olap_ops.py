@@ -27,6 +27,23 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
 
 
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    approx = {
+        r.o_orderstatus: r.median_price
+        for r in QUERIES["approx_percentile_price"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.m
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, m in exact.items():
+        assert abs(approx[k] - m) <= 0.02 * abs(m), (k, approx[k], m)
+
+
 def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_dir):
     from udacitycapstonedataengineer_spark.operators.rangejoin import (
         range_join_bucketed,

@@ -129,6 +129,48 @@ def _events_asof_last_purchase(spark, t):
 
 
 @query(
+    "events_session_window_native",
+    """
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us
+                                              ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def _events_session_window_native(spark, t):
+    # Spark's built-in session_window (batch form): same gap-merge
+    # semantics as the lag+cumsum sessionize, window.end = last event +
+    # gap — the oracle derives both from the lag formulation
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "events_range_join_click_error",
     """
     WITH errors AS (

@@ -98,6 +98,60 @@ def _set_except(spark, t):
     )
 
 
+@query(
+    "percentile_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY 1
+    """,
+)
+def _percentile_by_status(spark, t):
+    # exact interpolated percentile: Spark `percentile` and DuckDB
+    # quantile_cont share the linear-interpolation definition, so the
+    # doubles match bitwise. At 100 TB prefer percentile_approx below —
+    # exact percentile materializes each group for the sort.
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
+
+
+@query(
+    "olap_cube_counts",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(yr AS VARCHAR), '(all)') AS yr,
+           count(*) AS n_events
+    FROM (SELECT event_type, year(ts) AS yr FROM events)
+    GROUP BY CUBE (event_type, yr)
+    """,
+)
+def _olap_cube_counts(spark, t):
+    # full cross-dimensional subtotals (rollup's superset)
+    base = t["events"].select("event_type", F.year("ts").alias("yr"))
+    return (
+        base.cube("event_type", "yr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias("yr"),
+            "n_events",
+        )
+    )
+
+
+@query("approx_percentile_price")
+def _approx_percentile_price(spark, t):
+    # sketch-based percentile (constant memory, mergeable — the 100 TB
+    # path). Rows-only: the GK sketch differs from DuckDB's; bounded vs
+    # exact in tests/test_olap_ops.py.
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("median_price"),
+    )
+
+
 @query("approx_distinct_users")
 def _approx_distinct_users(spark, t):
     # HyperLogLog++ distinct estimate per event_type — the constant-
