@@ -80,6 +80,43 @@ def test_mapinpandas_is_narrow(media):
     assert "Exchange" not in plan
 
 
+def test_resize_images_fixed_grid(media):
+    from udacitycapstonedataengineer_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    resized = resize_images(media, width=16, height=16)
+    assert _types(resized.schema) == _types(RESIZED_SCHEMA)
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media.filter(media.media_type == "image").collect()
+    }
+    rows = resized.collect()
+    assert {r.doc_id for r in rows} == set(payloads)
+    for r in rows:
+        assert (r.width, r.height) == (16, 16)
+        assert len(r.pixels) == 256
+        raw = np.frombuffer(payloads[r.doc_id], np.uint8)
+        idx = (np.arange(256) * raw.size) // 256
+        assert bytes(r.pixels) == raw[idx].tobytes()
+    # narrow: no shuffle introduced
+    plan = resized._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_run_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    import os
+
+    from udacitycapstonedataengineer_spark.plans.pipeline import run_pipeline
+
+    metrics = run_pipeline(spark, sf_dir, str(tmp_path / "out"))
+    assert metrics["unresolved_fks"] == 0
+    assert metrics["rows_after"] == metrics["rows_before"]  # testdata has no null keys
+    for t in ("priority_dim", "country_dim", "calendar_dim", "fact"):
+        assert spark.read.parquet(os.path.join(tmp_path, "out", t)).count() > 0
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image")

@@ -176,6 +176,54 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Resize stage for the image rows: fake-decode the payload and
+    nearest-neighbor sample it onto a fixed (height, width) grid —
+    the normalization step every vision pipeline runs before batching.
+    With a real codec, ``fake_decode`` swaps for the library decode and
+    the numpy resample for the library resize; batch shape, schema, and
+    partitioning (narrow, shuffle-free) stay identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            out_ids, out_px = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = fake_decode(bytes(payload))
+                if samples.size == 0:
+                    resized = np.zeros(n, dtype=np.uint8)
+                else:
+                    # nearest-neighbor index map onto the target grid
+                    idx = (np.arange(n) * samples.size) // n
+                    resized = samples[idx]
+                out_ids.append(doc_id)
+                out_px.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "width": pd.Series([width] * len(out_ids), dtype="int32"),
+                    "height": pd.Series([height] * len(out_ids), dtype="int32"),
+                    "pixels": out_px,
+                }
+            )
+
+    imgs = media.filter(media.media_type == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, frame_bytes: int = FRAME_BYTES, every: int = 4
 ) -> DataFrame:
