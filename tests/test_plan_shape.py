@@ -63,3 +63,24 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale contracts for the latest operator batch."""
+    # hash sampling: a per-row filter on the scan, no shuffle at all
+    plan = _plan(QUERIES["sample_hash_orders"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # chunking: narrow generate+explode, no shuffle
+    plan = _plan(QUERIES["docs_chunk_windows"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+    # top-terms: final top-k is a per-partition heap, not a global sort
+    plan = _plan(QUERIES["text_top_terms"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # grouping sets: one Expand + one aggregation exchange, not N scans
+    plan = _plan(QUERIES["olap_grouping_sets"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2
+    # incremental dedup: anti join broadcasts the fingerprint projection
+    plan = _plan(QUERIES["dedup_incremental_anti"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

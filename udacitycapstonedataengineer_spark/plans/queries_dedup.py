@@ -102,6 +102,41 @@ def _ngram_jaccard_pairs(spark, t):
     )
 
 
+@query(
+    "dedup_incremental_anti",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source, {fingerprint_sql()} AS fingerprint
+        FROM documents
+    )
+    SELECT n.doc_id, n.source, n.fingerprint
+    FROM fp n
+    WHERE n.doc_id % 2 = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM fp s
+          WHERE s.doc_id % 2 = 0 AND s.fingerprint = n.fingerprint
+      )
+    """,
+)
+def _dedup_incremental_anti(spark, t):
+    # incremental dedup: admit a NEW batch only where its fingerprint
+    # is absent from the SEEN corpus — the steady-state shape of a
+    # training-data pipeline (each crawl dedups against everything
+    # already ingested). left_anti join; at 100 TB the seen side is a
+    # fingerprint-only projection (16 bytes/doc), bucketable by
+    # fingerprint so re-runs co-locate without a fresh shuffle.
+    from ..functions.text import fingerprint
+
+    fp = t["documents"].select(
+        "doc_id", "source", fingerprint().alias("fingerprint")
+    )
+    new = fp.filter(F.col("doc_id") % 2 == 1)
+    seen = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint")
+    return new.join(seen, "fingerprint", "left_anti").select(
+        "doc_id", "source", "fingerprint"
+    )
+
+
 @query("dedup_minhash_lsh")
 def _dedup_minhash_lsh(spark, t):
     # MinHash+LSH near-dup pairs (rows-only: xxhash64 has no DuckDB

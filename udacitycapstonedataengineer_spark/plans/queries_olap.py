@@ -184,6 +184,151 @@ def _unpivot_part_metrics(spark, t):
 
 
 @query(
+    "olap_grouping_sets",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(yr AS VARCHAR), '(all)') AS yr,
+           count(*) AS n_events
+    FROM (SELECT event_type, year(ts) AS yr FROM events)
+    GROUP BY GROUPING SETS ((event_type), (yr))
+    """,
+)
+def _olap_grouping_sets(spark, t):
+    # the general form rollup/cube specialize: caller-chosen subtotal
+    # combinations, one pass (Spark Expand → single shuffle)
+    base = t["events"].select("event_type", F.year("ts").alias("yr"))
+    return (
+        base.groupingSets([["event_type"], ["yr"]], "event_type", "yr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias("yr"),
+            "n_events",
+        )
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_native_counts",
+    """
+    SELECT year(ts) AS yr,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def _pivot_native_counts(spark, t):
+    # long → wide with the built-in pivot. The value list is pinned:
+    # without it Spark runs an extra distinct job to discover columns,
+    # and the output schema would depend on the data.
+    wide = (
+        t["events"]
+        .select(F.year("ts").alias("yr"), "event_type")
+        .groupBy("yr")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    # pivot yields NULL for absent (yr, type) combos; the FILTER'd
+    # count yields 0 — normalize to 0 on the Spark side
+    return wide.select(
+        "yr",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in _PIVOT_TYPES],
+    )
+
+
+@query(
+    "stats_corr_exact",
+    """
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n_rows,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x::HUGEINT * y) AS sxy,
+               SUM(x::HUGEINT * x) AS sxx,
+               SUM(y::HUGEINT * y) AS syy
+        FROM (SELECT l_returnflag,
+                     CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY 1
+    )
+    SELECT l_returnflag, n_rows,
+           (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def _stats_corr_exact(spark, t):
+    # Pearson correlation with deterministic bits: the five moments
+    # accumulate as exact integers (decimal for the cross products —
+    # sum(y²) overflows int64 past ~sf10), then ONE identical float
+    # formula runs on both engines. Built-in F.corr would differ from
+    # DuckDB's in the last ulps (order-dependent double accumulation)
+    # and isn't even run-to-run stable on a real cluster.
+    moments = (
+        t["lineitem"]
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return moments.select(
+        "l_returnflag", "n_rows", corr.alias("corr_qty_price")
+    )
+
+
+@query(
+    "sample_hash_orders",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def _sample_hash_orders(spark, t):
+    # deterministic ~12.5% sample (2 of 16 hex buckets on a key hash).
+    # Unlike df.sample(), the selected set is a pure function of the
+    # key — reproducible across runs, engines, and cluster layouts,
+    # which is what training-data pipelines need for holdout splits.
+    # Per-row filter, no shuffle, pushes nothing to Python.
+    return (
+        t["orders"]
+        .filter(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 1
+            ).isin("0", "1")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
     "window_running_sum",
     """
     SELECT o_custkey, o_orderkey,

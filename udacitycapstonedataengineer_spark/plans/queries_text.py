@@ -112,6 +112,78 @@ def _text_fingerprint(spark, t):
 
 
 @query(
+    "docs_chunk_windows",
+    """
+    SELECT doc_id, i AS chunk_id,
+           substr(text, (i - 1) * 150 + 1, 200) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(
+                     1, CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1
+                 )) AS i
+          FROM documents)
+    """,
+)
+def _docs_chunk_windows(spark, t):
+    # context-window chunking: overlapping 200-char windows with a
+    # 150-char stride (the shard step before tokenization in a training
+    # pipeline). sequence+explode is narrow — each row expands locally,
+    # no shuffle, and output partitions scale with input splits.
+    n_chunks = (F.floor((F.length("text") - 1) / 150) + 1).cast("long")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), n_chunks)
+            ).alias("i"),
+        )
+        .selectExpr(
+            "doc_id",
+            "i AS chunk_id",
+            "substr(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk",
+        )
+    )
+
+
+@query(
+    "text_top_terms",
+    r"""
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def _text_top_terms(spark, t):
+    # corpus vocabulary head: term frequency + document frequency,
+    # integer-exact, deterministic tie-break (tf desc, term asc) so the
+    # top-20 boundary is stable. One shuffle on term; the final top-k
+    # is TakeOrderedAndProject (per-partition heap, no global sort).
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
     "json_extract_props",
     """
     SELECT event_id,
