@@ -11,6 +11,7 @@ from udacitycapstonedataengineer_spark.streaming.events import (
     streaming_user_stats_stateful,
     streaming_window_counts,
     tumbling_window_agg,
+    windowed_append_stream,
 )
 
 
@@ -28,6 +29,78 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert {key(r): r.n_events for r in stream} == {
         key(r): r.n_events for r in batch
     }
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The watermark contract, end to end: a row arriving after the
+    watermark passed its window must be dropped, and an append-mode
+    window is emitted exactly once, finalized. 5-min windows, 10-min
+    watermark, one file per trigger."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, offsets_min):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=m) for m in offsets_min],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["click"] * len(offsets_min)),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    # batch 1: two rows in window [00:00, 00:05) + one at 00:20 that
+    # advances the watermark to 00:10 (> window end → finalized)
+    write_batch("b1.parquet", [0, 3, 20])
+    agg = windowed_append_stream(
+        spark, str(src), schema, minutes=5, watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the finalized window (00:01 < watermark
+        # 00:10 → must be dropped) + a fresh row pushing time forward
+        write_batch("b2.parquet", [1, 40])
+        q.processAllAvailable()
+        # batch 3: advance once more so [00:20, 00:25) also finalizes
+        write_batch("b3.parquet", [60])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM t_late_drop").collect()
+    }
+    w0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # window A holds ONLY the two on-time rows — the late row vanished
+    assert emitted[w0] == 2
+    # and it was emitted exactly once (dict build would mask dupes)
+    rows = spark.sql(
+        f"SELECT count(*) AS n FROM t_late_drop WHERE window_start = {w0}"
+    ).collect()
+    assert rows[0].n == 1
+    # the 00:20 row's window finalized too, without the late row
+    assert emitted[w0 + 20 * 60] == 1
 
 
 def test_stateful_operator_matches_batch(spark, sf_dir):

@@ -176,6 +176,38 @@ def streaming_user_stats_stateful(
     )
 
 
+def windowed_append_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Append-mode watermarked tumbling-window aggregation over a file
+    landing directory, one file per trigger. Append mode emits a window
+    only once its end falls behind the watermark — finalized, immutable
+    output — and rows arriving later than the watermark are DROPPED,
+    never retro-applied. That drop contract is what bounds state at
+    100 TB: without it the store must keep every window forever.
+    Verified in tests/test_streaming.py::test_watermark_drops_late_data.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def streaming_window_counts(
     spark: SparkSession,
     sf_dir: str,
