@@ -287,3 +287,64 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---- int8 quantization -----------------------------------------------------
+
+# Per-vector symmetric int8 quantization: q_i = round(x_i * 127/max|x|).
+# The 100 TB storage/compute lever for ANN — 4× smaller than float32,
+# integer dot products. abs/max/one division/one multiply/round are each
+# single IEEE ops on identical doubles, so Spark and DuckDB agree bitwise
+# (both round halves away from zero).
+
+_MAXABS_EXPR = (
+    "aggregate(transform({e}, x -> abs(cast(x as double))),"
+    " 0D, (acc, v) -> greatest(acc, v))"
+)
+_MAXABS_SQL = "list_aggregate(list_transform({e}, x -> abs(x::DOUBLE)), 'max')"
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``max_abs`` (double), ``q_csv`` (the int8 codes as a csv
+    string — string-typed so the oracle compare is representation-
+    stable), and ``qnorm_sq`` (exact integer norm² of the codes).
+    Narrow per-row math: no shuffle, scales with input splits."""
+    maxabs = F.expr(_MAXABS_EXPR.format(e=vec_col))
+    step1 = emb.withColumn("max_abs", maxabs)
+    q = F.expr(
+        f"CASE WHEN max_abs = 0D THEN transform({vec_col}, x -> 0)"
+        f" ELSE transform({vec_col},"
+        f"  x -> cast(round(cast(x as double) * (127.0D / max_abs)) as int))"
+        f" END"
+    )
+    step2 = step1.withColumn("q", q)
+    return step2.select(
+        "vec_id",
+        "max_abs",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+            "q_csv"
+        ),
+        F.expr(
+            "aggregate(transform(q, x -> cast(x as bigint) * x),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qnorm_sq"),
+    )
+
+
+def quantize_int8_sql(vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantize_int8` (FROM embeddings)."""
+    maxabs = _MAXABS_SQL.format(e=vec_col)
+    return f"""
+    SELECT vec_id, max_abs,
+           array_to_string(q, ',') AS q_csv,
+           CAST(list_aggregate(list_transform(q, x -> x::BIGINT * x), 'sum')
+                AS BIGINT) AS qnorm_sq
+    FROM (
+        SELECT vec_id, max_abs,
+               CASE WHEN max_abs = 0 THEN list_transform({vec_col}, x -> 0)
+                    ELSE list_transform({vec_col},
+                         x -> CAST(round(x::DOUBLE * (127.0 / max_abs)) AS INTEGER))
+               END AS q
+        FROM (SELECT vec_id, {vec_col}, {maxabs} AS max_abs FROM embeddings)
+    )
+    """

@@ -129,3 +129,13 @@ def _ann_topk_ivf(spark, t):
 def _embedding_neardup_pairs(spark, t):
     # embedding-cosine near-dup: bucket-restricted pair generation
     return embedding_near_dups(t["embeddings"], _PLANES, threshold=0.35)
+
+
+from ..operators.similarity import quantize_int8, quantize_int8_sql  # noqa: E402
+
+
+@query("embedding_quantize_int8", quantize_int8_sql())
+def _embedding_quantize_int8(spark, t):
+    # symmetric per-vector int8 codes: 4× smaller embeddings, integer
+    # dot products downstream — the storage/compute lever for 100 TB ANN
+    return quantize_int8(t["embeddings"])
