@@ -85,3 +85,53 @@ def test_dedup_by_key_partition_invariant(spark):
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 20 and all(o == 0 for _, o, _ in outs[0])
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=600,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_windows_cover_and_align(spark, texts):
+    """Chunking invariants for any ascii text: chunk i starts at
+    (i-1)*stride+1, chunks are ≤ window chars, every character of the
+    document appears in at least one chunk, and stripping the overlap
+    reconstructs the document exactly."""
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    n_chunks = (FF.floor((FF.length("text") - 1) / 150) + 1).cast("long")
+    chunks = (
+        df.select(
+            "doc_id",
+            "text",
+            FF.explode(FF.sequence(FF.lit(1).cast("long"), n_chunks)).alias("i"),
+        )
+        .selectExpr(
+            "doc_id",
+            "i AS chunk_id",
+            "substr(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk",
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    for i, t in enumerate(texts):
+        got = by_doc[i]
+        n = (len(t) - 1) // 150 + 1
+        assert set(got) == set(range(1, n + 1))
+        for cid, c in got.items():
+            assert c == t[(cid - 1) * 150 : (cid - 1) * 150 + 200]
+        # overlap-stripped reconstruction: first chunk + tail of the rest
+        rebuilt = got[1] + "".join(got[c][50:] for c in range(2, n + 1))
+        assert rebuilt == t
