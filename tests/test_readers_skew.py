@@ -109,3 +109,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """Unstructured ingestion surface: line-oriented text files (the
+    raw-corpus entry point before parsing) and whole-file binary reads
+    (the multimodal entry point — one row per object with path
+    metadata, the pattern for image/audio blobs landing as files)."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("line three\n")
+    lines = spark.read.text(str(d))
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one",
+        "line three",
+        "line two",
+    ]
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(str(d))
+        .select("path", "length", "content")
+    )
+    got = {
+        r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content))
+        for r in blobs.collect()
+    }
+    assert got == {
+        "a.txt": (18, b"line one\nline two\n"),
+        "b.txt": (11, b"line three\n"),
+    }
