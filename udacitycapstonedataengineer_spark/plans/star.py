@@ -92,10 +92,16 @@ def flagship_revenue_by_region_year(tables: dict[str, DataFrame]) -> DataFrame:
     li, o, c = tables["lineitem"], tables["orders"], tables["customer"]
     n, r = tables["nation"], tables["region"]
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    # join order matters without CBO stats: orders⋈customer first keeps
+    # the re-shuffled intermediate at orders-cardinality; joining
+    # lineitem first would shuffle the 4×-wider li⋈o result a second
+    # time for the customer key. lineitem itself shuffles once either way.
+    enriched_orders = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_nationkey"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        li.join(enriched_orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
             F.col("r_name").alias("region_name"),
