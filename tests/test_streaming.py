@@ -123,3 +123,57 @@ def test_stateful_operator_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Broadcast stream–static enrichment must equal the same join+agg
+    run in batch."""
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, type_weight double",
+    )
+    got = {
+        (r.event_type, r.type_weight): r.n_events
+        for r in stream_static_enrich(
+            spark, sf_dir, dim, query_name="t_enrich"
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.type_weight): r.n_events
+        for r in load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type", "type_weight")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: the landed table equals the source
+    (modulo per-batch dedup), partitioned by event_type."""
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        foreach_batch_upsert,
+    )
+
+    out = str(tmp_path / "events_sink")
+    foreach_batch_upsert(spark, sf_dir, out)
+    landed = spark.read.parquet(out)
+    src = load_table(spark, sf_dir, "events")
+    assert landed.count() == src.count()
+    assert sorted(r.event_id for r in landed.select("event_id").collect()) == (
+        sorted(r.event_id for r in src.select("event_id").collect())
+    )
+    # partition pruning works on the landed layout
+    plan = (
+        landed.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan

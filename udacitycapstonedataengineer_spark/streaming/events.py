@@ -176,6 +176,66 @@ def streaming_user_stats_stateful(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: DataFrame,
+    query_name: str = "stream_enriched",
+) -> DataFrame:
+    """Stream–static join: enrich the event stream with a static
+    dimension on event_type. The static side is broadcast to every
+    task per micro-batch — the streaming twin of the engine's
+    broadcast dim joins, and the standard shape for joining a Kafka
+    stream against reference data. No stream-side shuffle; state-free.
+    """
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type", "type_weight")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+) -> None:
+    """foreachBatch sink: per micro-batch, dedup the batch and append
+    it to a parquet target partitioned by event_type. foreachBatch is
+    the escape hatch for sinks Structured Streaming lacks natively
+    (JDBC upserts, MERGE INTO, multi-table writes); the batch handle
+    is a plain DataFrame so every batch operator is available.
+    Exactly-once comes from the checkpoint + idempotent writes.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(["event_id"])
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_append_stream(
     spark: SparkSession,
     source_dir: str,
