@@ -21,6 +21,7 @@ from udacitycapstonedataengineer_spark.session import get_spark
 HEADLINE = [
     # reference surface (star-schema ETL)
     "star_revenue_by_region_year",
+    "tpch_q1_pricing_summary",
     "fact_orders",
     "calendar_dim",
     "groupby_avg",

@@ -56,8 +56,11 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
     """Every §2 (reference-surface) query stays JVM-side: no
     BatchEvalPython / ArrowEvalPython stages. The multimodal group is
     pandas-UDF by design and is exempt."""
+    pandas_by_design = {"grouped_median_dev"}  # applyInPandas surface
     relational = [
-        n for n in QUERIES if not n.startswith("multimodal_")
+        n
+        for n in QUERIES
+        if not n.startswith("multimodal_") and n not in pandas_by_design
     ]
     for name in relational:
         plan = _plan(QUERIES[name](spark, sf_dir))

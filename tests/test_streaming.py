@@ -177,3 +177,18 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_foreach_batch_checkpoint_restart_idempotent(spark, sf_dir, tmp_path):
+    """Restart semantics: re-running the same stream over the same
+    checkpoint must process nothing new — the source offset log makes
+    replays no-ops, so the sink stays exactly-once across restarts."""
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        foreach_batch_upsert,
+    )
+
+    out = str(tmp_path / "events_sink")
+    foreach_batch_upsert(spark, sf_dir, out)
+    n1 = spark.read.parquet(out).count()
+    foreach_batch_upsert(spark, sf_dir, out)  # same checkpoint dir
+    assert spark.read.parquet(out).count() == n1

@@ -353,3 +353,65 @@ def _window_running_sum(spark, t):
         "o_orderkey",
         (F.sum(cents).over(w) / 100.0).alias("running_total"),
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(x) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(p) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(p::HUGEINT * (100 - d)) AS DOUBLE) / 10000.0
+               AS sum_disc_price,
+           CAST(SUM(p::HUGEINT * (100 - d) * (100 + t)) AS DOUBLE) / 1000000.0
+               AS sum_charge,
+           CAST(SUM(x) AS DOUBLE) / (100.0 * count(*)) AS avg_qty,
+           CAST(SUM(p) AS DOUBLE) / (100.0 * count(*)) AS avg_price,
+           CAST(SUM(d) AS DOUBLE) / (100.0 * count(*)) AS avg_disc,
+           count(*) AS count_order
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+          FROM lineitem WHERE l_shipdate <= DATE '1998-09-02')
+    GROUP BY 1, 2
+    """,
+)
+def _tpch_q1_pricing_summary(spark, t):
+    # The classic scan-heavy aggregation benchmark: one pushed-down
+    # date filter, one shuffle of 4-key partial aggregates, everything
+    # in minor units so the eight money outputs are bit-stable on any
+    # partitioning (disc_price/charge products go through decimal —
+    # they overflow int64 past ~sf10).
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    pd_ = F.col("p").cast("decimal(38,0)") * (100 - F.col("d"))
+    agg = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("x").alias("sx"),
+        F.sum("p").alias("sp"),
+        F.sum(pd_).alias("spd"),
+        F.sum(pd_ * (100 + F.col("t"))).alias("spdt"),
+        F.sum("d").alias("sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sx").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("spd").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("spdt").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("sx").cast("double") / (100.0 * n)).alias("avg_qty"),
+        (F.col("sp").cast("double") / (100.0 * n)).alias("avg_price"),
+        (F.col("sd").cast("double") / (100.0 * n)).alias("avg_disc"),
+        "count_order",
+    )

@@ -197,3 +197,21 @@ def _json_extract_props(spark, t):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
+
+
+@query(
+    "grouped_median_dev",
+    """
+    SELECT doc_id, source, n_chars,
+           median(n_chars) OVER (PARTITION BY source) AS median_chars,
+           n_chars - median(n_chars) OVER (PARTITION BY source) AS dev_chars
+    FROM documents
+    """,
+)
+def _grouped_median_dev(spark, t):
+    # applyInPandas grouped-map surface (operators/grouped.py): the
+    # oracle runs the same math as a native window median — proving the
+    # pandas path bit-matches the SQL semantics
+    from ..operators.grouped import per_source_length_dev
+
+    return per_source_length_dev(t["documents"])
