@@ -95,3 +95,52 @@ def test_asof_join_semantics(spark):
     # ts=10 sees the coincident right row; ts=20 the latest earlier one;
     # ts=5 predates all; key 2's only right row is in the future
     assert got == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_scd2_invariants(spark):
+    """SCD2 structural invariants on a mixed batch: changed, unchanged,
+    and brand-new keys."""
+    from udacitycapstonedataengineer_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # k=1 will change, k=2 won't, k=3 has history already
+            (1, "a", "1990-01-01", None, True),
+            (2, "b", "1990-01-01", None, True),
+            (3, "c-old", "1990-01-01", "1995-01-01", False),
+            (3, "c", "1995-01-01", None, True),
+        ],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a2", "2000-06-01"),   # change
+            (2, "b", "2000-06-01"),    # no-op (identical attr)
+            (9, "new", "2000-06-01"),  # brand-new key
+        ],
+        "k int, attr string, change_date string",
+    ).selectExpr("k", "attr", "CAST(change_date AS DATE) change_date")
+
+    out = scd2_apply(dim, updates, ["k"], ["attr"]).collect()
+    rows = {(r.k, r.attr): r for r in out}
+    assert len(out) == 6  # 4 original + 1 closed-reopen pair nets +1 + 1 new
+    # changed key: old row closed at change date, new current row opened
+    assert rows[(1, "a")].is_current is False
+    assert str(rows[(1, "a")].valid_to) == "2000-06-01"
+    assert rows[(1, "a2")].is_current is True
+    assert rows[(1, "a2")].valid_to is None
+    # identical update is a no-op
+    assert rows[(2, "b")].is_current is True and rows[(2, "b")].valid_to is None
+    # history untouched, current for k=3 untouched
+    assert rows[(3, "c-old")].is_current is False
+    assert rows[(3, "c")].is_current is True
+    # brand-new key inserted as current
+    assert rows[(9, "new")].is_current is True
+    # invariant: exactly one current row per live key
+    from collections import Counter
+
+    cur_keys = Counter(r.k for r in out if r.is_current)
+    assert all(v == 1 for v in cur_keys.values())

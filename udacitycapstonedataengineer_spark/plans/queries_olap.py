@@ -415,3 +415,118 @@ def _tpch_q1_pricing_summary(spark, t):
         (F.col("sd").cast("double") / (100.0 * n)).alias("avg_disc"),
         "count_order",
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(p::HUGEINT * (100 - d)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS orderdate
+    FROM (SELECT l.l_orderkey,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l.l_discount * 100) AS BIGINT) AS d,
+                 o.o_orderdate
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderdate < DATE '1995-03-15'
+            AND l.l_shipdate > DATE '1995-03-15')
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def _tpch_q3_shipping_priority(spark, t):
+    # join-then-aggregate-then-top-k: both date filters push to the
+    # scans, orders⋈customer runs before the lineitem join (smaller
+    # re-shuffled intermediate — same rationale as the flagship), and
+    # the final top-10 is TakeOrderedAndProject, not a global sort.
+    # Revenue in 1e-4 minor units via decimal so the sum is exact.
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    oc = o.join(t["customer"], o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(oc, li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "o_orderdate",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_units"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum("rev_units").cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "scd2_nation_update",
+    """
+    WITH cur AS (
+        SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region,
+               DATE '1990-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM nation
+    ),
+    upd AS (
+        SELECT n_nationkey AS k, n_name AS name,
+               (n_regionkey + 1) % 5 AS region,
+               DATE '2000-01-01' AS chg
+        FROM nation WHERE n_nationkey % 3 = 0
+    )
+    SELECT k, name, region,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
+           is_current
+    FROM (
+        SELECT c.k, c.name, c.region, c.valid_from,
+               CASE WHEN u.k IS NOT NULL THEN u.chg END AS valid_to,
+               u.k IS NULL AS is_current
+        FROM cur c LEFT JOIN upd u ON c.k = u.k
+        UNION ALL
+        SELECT u.k, u.name, u.region, u.chg, CAST(NULL AS DATE), TRUE
+        FROM upd u
+    )
+    """,
+)
+def _scd2_nation_update(spark, t):
+    # SCD2 dimension maintenance (operators/scd.py): every update in
+    # this scenario changes the region (+1 mod 5 ≠ identity), so the
+    # oracle's "all updates close + reopen" shortcut equals the
+    # operator's generic null-safe change detection.
+    from ..operators.scd import scd2_apply
+
+    nation = t["nation"]
+    dim = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        ((F.col("n_regionkey") + 1) % 5).alias("region"),
+        F.lit("2000-01-01").cast("date").alias("change_date"),
+    )
+    out = scd2_apply(dim, updates, ["k"], ["name", "region"])
+    return out.select(
+        "k",
+        "name",
+        "region",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
