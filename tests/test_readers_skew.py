@@ -140,3 +140,47 @@ def test_text_and_binaryfile_sources(spark, tmp_path):
         "a.txt": (18, b"line one\nline two\n"),
         "b.txt": (11, b"line three\n"),
     }
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from udacitycapstonedataengineer_spark.sources.writers import compact_parquet
+
+    scattered = str(tmp_path / "scattered")
+    src = load_table(spark, sf_dir, "events")
+    src.repartition(24).write.parquet(scattered)
+    n_before = len(list((tmp_path / "scattered").glob("*.parquet")))
+    assert n_before >= 24
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, scattered, out)
+    n_after = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert n_after < n_before
+    assert spark.read.parquet(out).count() == src.count()
+
+
+def test_range_clustered_files_have_disjoint_stats(spark, sf_dir, tmp_path):
+    """Each output file's (min, max) on the cluster column must be
+    disjoint — the property parquet skipping needs."""
+    import pyarrow.parquet as pq
+
+    from udacitycapstonedataengineer_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    out = tmp_path / "clustered"
+    write_range_clustered(
+        load_table(spark, sf_dir, "orders"), str(out), ["o_orderdate"], 4
+    )
+    ranges = []
+    for f in out.glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary value may touch)

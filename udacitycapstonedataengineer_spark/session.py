@@ -25,6 +25,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 128 MB scan splits — keeps partition count sane at large SF.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Never write INT96 timestamps: they carry NO min/max statistics,
+    # which silently disables parquet file/row-group skipping on every
+    # time predicate — at 100 TB that's full scans of time-series data.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

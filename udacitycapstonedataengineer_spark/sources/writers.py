@@ -50,3 +50,52 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of ~``target_file_mb``. Streaming sinks and over-parallel writes
+    leave thousands of tiny files; at 100 TB that breaks scan planning
+    (one task per file, listing dominates). Sizing comes from the
+    actual on-disk bytes, not a guess; returns the output file count.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: narrowing to n files needs no shuffle
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster rows across files on ``cluster_cols`` so each
+    file's min/max footer stats cover a DISJOINT value range — parquet
+    row-group/file skipping then prunes most files for any selective
+    range predicate (the poor-man's Z-order for one dimension; at
+    100 TB this is the difference between scanning a day and a year).
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
