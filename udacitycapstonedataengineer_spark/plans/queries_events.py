@@ -254,3 +254,42 @@ def _events_pivot_by_type(spark, t):
         for et in ("click", "view", "purchase", "signup", "error")
     ]
     return t["events"].groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "events_lag_lead_ntile",
+    """
+    SELECT event_id, user_id,
+           ts_us - lag(ts_us) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+               AS value_quartile
+    FROM (SELECT event_id, user_id, event_type, value,
+                 epoch_us(ts) AS ts_us
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def _events_lag_lead_ntile(spark, t):
+    # per-entity sequence analytics: lag/lead on the event timeline and
+    # ntile bucketing — one shuffle on user_id shared by both windows.
+    # Integer epoch-micros so gaps are exact.
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.ntile(4).over(wv).alias("value_quartile"),
+        )
+    )

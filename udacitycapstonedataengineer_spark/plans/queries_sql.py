@@ -45,3 +45,56 @@ def _sql_fact_dim_join(spark, t):
 def _sql_qualified_star(spark, t):
     # qualified refs + * expansion — the reference's SQL grammar surface
     return spark.sql(_QUALIFIED_STAR_SQL)
+
+
+# TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates it into a
+# left-semi join on l_orderkey (no per-row subquery execution), so the
+# fact scans once and the semi side carries only the join key.
+_EXISTS_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1994-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+# NOT IN with a non-nullable subquery column → left-anti join.
+_NOT_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+"""
+
+# scalar subquery: compare each order against the global average (the
+# subquery evaluates ONCE and broadcasts — not per row).
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*))
+        FROM orders
+    )
+"""
+
+
+@query("sql_exists_semijoin", _EXISTS_SQL)
+def _sql_exists_semijoin(spark, t):
+    return spark.sql(_EXISTS_SQL)
+
+
+@query("sql_not_exists_antijoin", _NOT_EXISTS_SQL)
+def _sql_not_exists_antijoin(spark, t):
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+@query("sql_scalar_subquery", _SCALAR_SUBQ_SQL)
+def _sql_scalar_subquery(spark, t):
+    return spark.sql(_SCALAR_SUBQ_SQL)
