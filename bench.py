@@ -22,6 +22,7 @@ HEADLINE = [
     # reference surface (star-schema ETL)
     "star_revenue_by_region_year",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "fact_orders",
     "calendar_dim",
     "groupby_avg",

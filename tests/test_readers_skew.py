@@ -184,3 +184,56 @@ def test_range_clustered_files_have_disjoint_stats(spark, sf_dir, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary value may touch)
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """Bad rows quarantine with original text; clean rows parse; and
+    FAILFAST (the strict alternative) raises instead."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import PythonException
+
+    from udacitycapstonedataengineer_spark.sources.readers import (
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,x\nnot_an_int,y\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv_quarantine(spark, str(p), schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted((r.a, r.b) for r in clean.collect()) == [(1, "x"), (3, "z")]
+    assert [r._corrupt_record for r in bad.collect()] == ["not_an_int,y"]
+    df.unpersist()
+    with pytest.raises(Exception):
+        (
+            spark.read.option("header", True)
+            .option("mode", "FAILFAST")
+            .schema(schema)
+            .csv(str(p))
+            .collect()
+        )
+
+
+def test_sql_udf_registration(spark):
+    """§2.8 extension: a vectorized pandas_udf registered into the SQL
+    catalog and called from spark.sql — the sanctioned way to expose
+    Python logic to SQL users (Arrow batches, not per-row pickling)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: postponed annotation evaluation (future import in
+    # this module) stringifies them, which pandas_udf can't infer from
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def sas_days_to_epoch_secs(days):
+        # SAS epoch (1960-01-01) → unix epoch seconds, vectorized
+        return (days - 3653) * 86400.0
+
+    spark.udf.register("sas_days_to_epoch_secs", sas_days_to_epoch_secs)
+    out = spark.sql(
+        "SELECT sas_days_to_epoch_secs(CAST(d AS DOUBLE)) AS secs "
+        "FROM VALUES (3653.0), (3654.0) AS t(d)"
+    ).collect()
+    assert [r.secs for r in out] == [0.0, 86400.0]

@@ -59,6 +59,34 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with corrupt-record quarantine: rows that don't parse
+    under the declared schema land intact in ``_corrupt_record``
+    instead of aborting the job (FAILFAST) or silently nulling fields.
+    The ETL pattern at scale: split the result on
+    ``_corrupt_record IS NULL`` — clean rows flow on, bad rows go to a
+    quarantine sink with the original text preserved for replay.
+    """
+    from pyspark.sql import types as T
+
+    quarantined = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(quarantined)
+        .csv(path)
+    )
+
+
 def _arrow_field_to_spark(t: pa.DataType) -> tuple[T.DataType, bool]:
     """Map an Arrow type to a Spark type. Returns (type, needs_ns_fix):
     nanosecond timestamps are illegal for Spark's parquet reader
