@@ -293,3 +293,128 @@ def _events_lag_lead_ntile(spark, t):
             F.ntile(4).over(wv).alias("value_quartile"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.t_signup,
+               min(CASE WHEN e.event_type = 'click'
+                        AND epoch_us(e.ts) > s1.t_signup
+                        THEN epoch_us(e.ts) END) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        GROUP BY e.user_id, s1.t_signup
+    ),
+    s3 AS (
+        SELECT e.user_id, s2.t_signup, s2.t_click,
+               min(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) > s2.t_click
+                        THEN epoch_us(e.ts) END) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        GROUP BY e.user_id, s2.t_signup, s2.t_click
+    )
+    SELECT count(t_signup) AS n_signup,
+           count(t_click) AS n_click_after_signup,
+           count(t_purchase) AS n_purchase_after_click
+    FROM s3
+    """,
+)
+def _events_funnel_conversion(spark, t):
+    # ordered funnel: signup → first click AFTER signup → first purchase
+    # AFTER that click, counted over users. Each stage is a conditional
+    # min over the user's timeline — three passes expressed as
+    # re-aggregations of the same user_id shuffle (Catalyst reuses the
+    # partitioning; no per-user Python, no window materialization).
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias(
+            "t_signup"
+        )
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("t_signup")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t_click")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click_after_signup"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(floor(min(epoch_us(ts)) / 604800000000) AS BIGINT)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT)
+                   - f.cohort_week AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def _events_cohort_retention(spark, t):
+    # cohort retention: users bucketed by first-seen week, activity
+    # counted per (cohort, week offset). Weeks are epoch-micros / 7d —
+    # integer arithmetic, immune to ISO-week cross-engine drift. Two
+    # shuffles (user_id, then cohort grid); the distinct collapses
+    # per-user-week activity before the final count.
+    wk = 604_800_000_000  # 7 days in microseconds
+    ev = t["events"].select("user_id", F.unix_micros("ts").alias("ts_us"))
+    firsts = ev.groupBy("user_id").agg(
+        F.floor(F.min("ts_us") / wk).cast("long").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.floor(F.col("ts_us") / wk).cast("long") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
