@@ -75,3 +75,27 @@ def test_quality_gates_raise(spark):
     with pytest.raises(QualityError):
         fk_coverage(fact, full, "k", "k")
     assert fk_coverage(full, full, "k", "k") == {"unresolved_fks": 0}
+
+
+def test_prepare_corpus_chain(spark, sf_dir):
+    """The composed corpus pipeline: monotone row accounting, chunk
+    counts consistent with kept docs, and run-to-run determinism."""
+    from udacitycapstonedataengineer_spark.plans.corpus import prepare_corpus
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, m = prepare_corpus(docs)
+    assert (
+        m["raw"] >= m["after_quality"] >= m["after_lang"]
+        >= m["after_exact_dedup"] >= m["after_near_dedup"]
+    )
+    assert m["after_near_dedup"] > 0
+    assert m["chunks"] >= m["after_near_dedup"]  # ≥1 chunk per kept doc
+    # kept docs are unique
+    assert chunks.select("doc_id").distinct().count() == m["after_near_dedup"]
+    # deterministic end to end
+    chunks2, m2 = prepare_corpus(docs)
+    assert m2 == m
+    assert sorted(map(tuple, chunks.collect())) == sorted(
+        map(tuple, chunks2.collect())
+    )

@@ -237,3 +237,35 @@ def test_sql_udf_registration(spark):
         "FROM VALUES (3653.0), (3654.0) AS t(d)"
     ).collect()
     assert [r.secs for r in out] == [0.0, 86400.0]
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """Rewriting one partition must leave the others byte-identical —
+    and the rewritten partition fully replaced, not appended."""
+    from udacitycapstonedataengineer_spark.sources.writers import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_parquet(ev, out, partition_by=["event_type"])
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # reprocess ONLY the 'click' slice: halve it
+    clicks_half = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+    )
+    overwrite_partitions(clicks_half, out, ["event_type"])
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert after["click"] == clicks_half.count()  # replaced, not appended
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k]  # untouched partitions intact

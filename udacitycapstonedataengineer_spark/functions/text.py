@@ -85,6 +85,12 @@ def stop_hits_sql(lang: str, col: str = "text") -> str:
     return f"len(list_filter({toks}, t -> t in ({_inlist(STOPWORDS[lang])})))"
 
 
+def stop_hits_any(col: str = "text") -> Column:
+    """Max per-language stopword hits — "contains function words in
+    SOME supported language", the minimal quality-gate signal."""
+    return F.greatest(*[stop_hits(lang, col) for lang in STOPWORDS])
+
+
 def lang_id(col: str = "text") -> Column:
     """Predicted language = argmax stopword hits, ties broken by
     lexicographically smallest code ('und' when zero hits everywhere)."""

@@ -1,0 +1,82 @@
+"""Composed training-corpus preparation pipeline.
+
+The individual operators (quality gates, language ID, exact dedup,
+MinHash near-dup, chunking) each have oracle-checked queries; this
+module chains them the way a pre-training data pipeline actually runs:
+
+    raw docs → quality gate → language filter → exact dedup
+             → near-dup removal → context-window chunks
+
+Scale shape: the quality/language stages are per-row codegen'd
+projections (no shuffle); exact dedup is one shuffle on the 16-byte
+fingerprint; the near-dup stage shuffles MinHash band keys with capped
+bucket sizes; chunking is a narrow explode. The doc set is cached once
+between the dedup stages — the only materialization in the chain.
+Every stage is deterministic, so retried/reprocessed batches converge
+to identical corpora (the property incremental ingestion needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators.dedup import exact_dedup_keep_canonical, minhash_near_dups
+
+CHUNK_WIDTH = 200
+CHUNK_STRIDE = 150
+
+
+def prepare_corpus(
+    documents: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr", "zh"),
+    min_tokens: int = 10,
+    neardup_threshold: float = 0.3,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full chain; returns (chunks, per-stage row metrics)."""
+    metrics: dict[str, int] = {"raw": documents.count()}
+
+    gated = documents.filter(
+        (X.n_tokens() >= min_tokens) & (X.stop_hits_any() > 0)
+    )
+    metrics["after_quality"] = gated.count()
+
+    kept_lang = gated.filter(X.lang_id().isin(*langs))
+    metrics["after_lang"] = kept_lang.count()
+
+    exact = exact_dedup_keep_canonical(kept_lang).select(documents.columns)
+    exact = exact.cache()
+    metrics["after_exact_dedup"] = exact.count()
+
+    # near-dup pairs keep the lower doc_id; drop every higher partner
+    pairs = minhash_near_dups(
+        exact, num_hashes=16, bands=4, threshold=neardup_threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = exact.join(losers, "doc_id", "left_anti")
+    metrics["after_near_dedup"] = deduped.count()
+
+    n_chunks = (
+        F.floor((F.length("text") - 1) / CHUNK_STRIDE) + 1
+    ).cast("long")
+    chunks = (
+        deduped.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.explode(F.sequence(F.lit(1).cast("long"), n_chunks)).alias("i"),
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            "i AS chunk_id",
+            f"substr(text, CAST((i - 1) * {CHUNK_STRIDE} + 1 AS INT),"
+            f" {CHUNK_WIDTH}) AS chunk",
+        )
+    )
+    metrics["chunks"] = chunks.count()
+    exact.unpersist()
+    return chunks, metrics

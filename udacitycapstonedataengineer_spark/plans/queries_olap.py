@@ -530,3 +530,37 @@ def _scd2_nation_update(spark, t):
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(p::HUGEINT * d) AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1994-01-01'
+            AND l_shipdate < DATE '1995-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24)
+    """,
+)
+def _tpch_q6_forecast_revenue(spark, t):
+    # the pure scan benchmark: every predicate pushes to the parquet
+    # reader, zero joins, one partial-agg shuffle of a single long —
+    # at 100 TB this query is I/O-bound and measures scan efficiency.
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+        * F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return li.agg(
+        (F.sum(units).cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

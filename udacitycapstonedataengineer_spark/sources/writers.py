@@ -99,3 +99,23 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched. The incremental
+    batch pattern at 100 TB — reprocess one day/source and land it over
+    a petabyte table without rewriting (or even listing) the rest.
+    Static overwrite (the default) would truncate the whole table.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
