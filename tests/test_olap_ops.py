@@ -144,3 +144,59 @@ def test_scd2_invariants(spark):
 
     cur_keys = Counter(r.k for r in out if r.is_current)
     assert all(v == 1 for v in cur_keys.values())
+
+
+def test_connected_components_chain_and_islands(spark):
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_transitive_closure(spark, sf_dir):
+    """Transitive dedup: one survivor per cluster, and NO surviving
+    near-dup edge — the invariant pairwise loser-dropping can violate
+    on chains (A≈B, B≈C with A,C not paired)."""
+    from udacitycapstonedataengineer_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        dedup_transitive,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.3)
+    kept = dedup_transitive(docs, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept.count() == len(kept_ids)  # unique
+    # closure property: no near-dup pair survives intact
+    for r in pairs.collect():
+        assert not (r.doc_a in kept_ids and r.doc_b in kept_ids)
+    # every cluster kept exactly one member (its min id)
+    import collections
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = collections.defaultdict(set)
+    for r in pairs.collect():
+        for n in (r.doc_a, r.doc_b):
+            clusters[find(n)].add(n)
+    for root, members in clusters.items():
+        assert kept_ids & members == {min(members)}

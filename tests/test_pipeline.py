@@ -99,3 +99,20 @@ def test_prepare_corpus_chain(spark, sf_dir):
     assert sorted(map(tuple, chunks.collect())) == sorted(
         map(tuple, chunks2.collect())
     )
+
+
+def test_observed_clean_single_pass(spark):
+    """Observation metrics must match the data and cost no extra job."""
+    from udacitycapstonedataengineer_spark.operators.cleaning import observed_clean
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (4, "d"), (None, None)],
+        "k int, v string",
+    )
+    cleaned, obs = observed_clean(df, ["k", "v"])
+    kept = cleaned.count()  # the ONE action; metrics ride along
+    assert kept == 2
+    m = obs.get
+    assert m["rows_seen"] == 5
+    assert m["rows_dropped"] == 3
+    assert m["rows_seen"] - m["rows_dropped"] == kept
