@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..operators.dedup import exact_dedup_keep_canonical, minhash_near_dups
+from ..operators.graph import dedup_transitive
 
 CHUNK_WIDTH = 200
 CHUNK_STRIDE = 150
@@ -49,12 +50,13 @@ def prepare_corpus(
     exact = exact.cache()
     metrics["after_exact_dedup"] = exact.count()
 
-    # near-dup pairs keep the lower doc_id; drop every higher partner
+    # near-dup CLUSTERS keep one canonical doc: connected components
+    # over the pair graph (pairwise loser-dropping can keep two docs of
+    # an A≈B≈C chain; the closure can't)
     pairs = minhash_near_dups(
         exact, num_hashes=16, bands=4, threshold=neardup_threshold
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    deduped = exact.join(losers, "doc_id", "left_anti")
+    deduped = dedup_transitive(exact, pairs)
     metrics["after_near_dedup"] = deduped.count()
 
     n_chunks = (

@@ -540,8 +540,8 @@ def _scd2_nation_update(spark, t):
     FROM (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
                  CAST(ROUND(l_discount * 100) AS BIGINT) AS d
           FROM lineitem
-          WHERE l_shipdate >= DATE '1994-01-01'
-            AND l_shipdate < DATE '1995-01-01'
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1997-01-01'
             AND l_discount BETWEEN 0.05 AND 0.07
             AND l_quantity < 24)
     """,
@@ -551,8 +551,8 @@ def _tpch_q6_forecast_revenue(spark, t):
     # reader, zero joins, one partial-agg shuffle of a single long —
     # at 100 TB this query is I/O-bound and measures scan efficiency.
     li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     )
@@ -563,4 +563,70 @@ def _tpch_q6_forecast_revenue(spark, t):
     return li.agg(
         (F.sum(units).cast("double") / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(p::HUGEINT * (100 - d)) AS DOUBLE) / 10000.0 AS revenue
+    FROM (SELECT n.n_name,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l.l_discount * 100) AS BIGINT) AS d
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+            AND o.o_orderdate >= DATE '1996-01-01'
+            AND o.o_orderdate < DATE '1997-01-01')
+    GROUP BY n_name
+    """,
+)
+def _tpch_q5_local_supplier_volume(spark, t):
+    # the multi-way-join benchmark: six tables, and the extra
+    # c_nationkey = s_nationkey equality makes it a cyclic join graph.
+    # Build order mirrors the flagship's small-side-first rule:
+    # orders filters by date at the scan, joins customer (carrying only
+    # nationkey), then lineitem, then the supplier join carries BOTH
+    # equality conditions; nation/region prune to 'ASIA' and broadcast.
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    n_asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    oc = o.join(t["customer"], o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    joined = (
+        li.join(oc, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        (F.sum(F.col("p") * (100 - F.col("d"))).cast("double") / 10000.0).alias(
+            "revenue"
+        )
     )

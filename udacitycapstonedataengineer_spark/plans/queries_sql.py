@@ -53,8 +53,8 @@ def _sql_qualified_star(spark, t):
 _EXISTS_SQL = """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
-    WHERE o_orderdate >= DATE '1994-01-01'
-      AND o_orderdate < DATE '1994-04-01'
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
       AND EXISTS (
           SELECT 1 FROM lineitem l
           WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
