@@ -68,7 +68,7 @@ def _dedup_exact_keep_canonical(spark, t):
     f"""
     WITH sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles
-        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 60)
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 250)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -82,7 +82,7 @@ def _ngram_jaccard_pairs(spark, t):
     # exact n-gram Jaccard on a bounded subset (the all-pairs oracle is
     # O(n²); the scalable path is minhash_near_dups below, which uses
     # this same verification math after LSH candidate pruning)
-    sh = with_shingles(t["documents"].filter(F.col("doc_id") < 60)).select(
+    sh = with_shingles(t["documents"].filter(F.col("doc_id") < 250)).select(
         "doc_id", "shingles"
     )
     a, b = sh.alias("a"), sh.alias("b")

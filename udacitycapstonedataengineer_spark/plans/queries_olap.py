@@ -84,17 +84,24 @@ def _set_intersect(spark, t):
 @query(
     "set_except",
     """
-    SELECT c_custkey AS cust_key FROM customer
+    SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def _set_except(spark, t):
-    # customers who never ordered — EXCEPT == distinct anti-semantics
+    # custkeys with open orders but no finished ones. SQL EXCEPT is SET
+    # semantics — subtract() is Spark's exact equivalent. exceptAll()
+    # would be wrong here: it subtracts MULTIPLICITIES, so a key with 5
+    # 'O' orders and 2 'F' orders would survive. (The previous
+    # "customers who never ordered" form was degenerate on this
+    # testdata — every customer ordered — which masked exactly that
+    # bag-vs-set bug.)
+    o = t["orders"]
     return (
-        t["customer"].select(F.col("c_custkey").alias("cust_key"))
-        .exceptAll(t["orders"].select("o_custkey"))
-        .distinct()
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("cust_key"))
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
     )
 
 
@@ -214,7 +221,7 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 @query(
     "pivot_native_counts",
     """
-    SELECT year(ts) AS yr,
+    SELECT day(ts) AS d,
            count(*) FILTER (event_type = 'click') AS click,
            count(*) FILTER (event_type = 'error') AS error,
            count(*) FILTER (event_type = 'purchase') AS purchase,
@@ -224,20 +231,22 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
     """,
 )
 def _pivot_native_counts(spark, t):
-    # long → wide with the built-in pivot. The value list is pinned:
-    # without it Spark runs an extra distinct job to discover columns,
-    # and the output schema would depend on the data.
+    # long → wide with the built-in pivot, keyed by day of month (the
+    # events table spans one month, so a year key would be a single
+    # row). The value list is pinned: without it Spark runs an extra
+    # distinct job to discover columns, and the output schema would
+    # depend on the data.
     wide = (
         t["events"]
-        .select(F.year("ts").alias("yr"), "event_type")
-        .groupBy("yr")
+        .select(F.dayofmonth("ts").alias("d"), "event_type")
+        .groupBy("d")
         .pivot("event_type", list(_PIVOT_TYPES))
         .count()
     )
-    # pivot yields NULL for absent (yr, type) combos; the FILTER'd
+    # pivot yields NULL for absent (day, type) combos; the FILTER'd
     # count yields 0 — normalize to 0 on the Spark side
     return wide.select(
-        "yr",
+        "d",
         *[F.coalesce(c, F.lit(0)).alias(c) for c in _PIVOT_TYPES],
     )
 

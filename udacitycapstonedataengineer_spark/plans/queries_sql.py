@@ -77,7 +77,7 @@ _NOT_EXISTS_SQL = """
 _SCALAR_SUBQ_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
         SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                / (100.0 * count(*))
         FROM orders
