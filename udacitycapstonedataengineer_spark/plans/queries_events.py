@@ -418,3 +418,43 @@ def _events_cohort_retention(spark, t):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@query(
+    "events_trailing_hour_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(v) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_hour_cents
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v
+          FROM events)
+    """,
+)
+def _events_trailing_hour_sum(spark, t):
+    # RANGE frame (value-based, not row-count): everything within the
+    # trailing hour of event time — the sliding-window aggregate rows
+    # frames can't express when events are irregularly spaced. Frame
+    # bounds are integer epoch-micros; sums are integer cents, so the
+    # result is exact regardless of either engine's accumulation order.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("v").over(w).cast("long").alias("trailing_hour_cents"),
+        )
+    )

@@ -639,3 +639,59 @@ def _tpch_q5_local_supplier_volume(spark, t):
             "revenue"
         )
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(p::HUGEINT * (100 - d)) AS DOUBLE) / 10000.0 AS revenue
+    FROM (SELECT c.c_custkey, c.c_name, n.n_name,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(ROUND(l.l_discount * 100) AS BIGINT) AS d
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderdate >= DATE '1996-01-01'
+            AND o.o_orderdate < DATE '1996-04-01'
+            AND l.l_returnflag = 'R')
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def _tpch_q10_returned_items(spark, t):
+    # "who returned the most": quarter of orders, returned lines only,
+    # revenue per customer, top 20. Both filters reach the scans; the
+    # nation label broadcasts; top-k is a heap, not a sort.
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    oc = o.join(t["customer"], o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_custkey", "c_name", "c_nationkey"
+    )
+    joined = (
+        li.join(oc, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_units"),
+        )
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum("rev_units").cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
