@@ -23,6 +23,7 @@ HEADLINE = [
     "star_revenue_by_region_year",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "fact_orders",
     "calendar_dim",
     "groupby_avg",

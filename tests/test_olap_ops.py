@@ -200,3 +200,54 @@ def test_dedup_transitive_closure(spark, sf_dir):
             clusters[find(n)].add(n)
     for root, members in clusters.items():
         assert kept_ids & members == {min(members)}
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """sampleBy must hit each stratum's fraction within tolerance and
+    be reproducible under the same seed."""
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    totals = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sampled = QUERIES["sample_stratified_by_status"](spark, sf_dir)
+    got = {
+        r.o_orderstatus: r.n
+        for r in sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for status, frac in (("O", 0.1), ("F", 0.5), ("P", 1.0)):
+        if status not in totals:
+            continue
+        expect = totals[status] * frac
+        if frac == 1.0:
+            assert got[status] == totals[status]
+        else:
+            assert abs(got[status] - expect) < 4 * (expect**0.5) + 10
+    # deterministic under fixed seed
+    again = {
+        r.o_orderkey
+        for r in QUERIES["sample_stratified_by_status"](spark, sf_dir).collect()
+    }
+    assert again == {r.o_orderkey for r in sampled.collect()}
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """The session contract: AQE must be live, shrinking the 32
+    configured shuffle partitions to match the (tiny) data."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE final plan materializes after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan

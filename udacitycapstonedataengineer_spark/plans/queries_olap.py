@@ -695,3 +695,17 @@ def _tpch_q10_returned_items(spark, t):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query("sample_stratified_by_status")
+def _sample_stratified_by_status(spark, t):
+    # stratified sampling: per-stratum fractions via sampleBy (seeded
+    # Bernoulli per row — the rebalancing step when one source/class
+    # dominates a training corpus). Rows-only check: the sampled SET is
+    # seed- and engine-specific by construction; the per-stratum rate
+    # bound lives in tests/test_olap_ops.py. For reproducible HOLDOUT
+    # splits use sample_hash_orders — hash membership survives engine
+    # and layout changes; sampleBy is for rate control, not identity.
+    return t["orders"].sampleBy(
+        "o_orderstatus", {"O": 0.1, "F": 0.5, "P": 1.0}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
