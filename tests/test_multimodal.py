@@ -123,3 +123,40 @@ def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "video")
     assert fake_decode(b"\x00\xff").tolist() == [0, 255]
+
+
+def test_audio_corpus_is_ascii_for_varchar_oracle(spark, sf_dir):
+    """The audio-window oracle slices VARCHAR; that is byte-exact ONLY
+    while the corpus is pure ASCII. Pin that precondition."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_mismatch = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_mismatch == 0
+
+
+def test_window_signal_numpy_twin(media):
+    """Window arithmetic + digests against a direct python recompute."""
+    import hashlib
+
+    from udacitycapstonedataengineer_spark.operators.multimodal import (
+        window_signal,
+    )
+
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media.filter(media.media_type == "audio").collect()
+    }
+    rows = window_signal(media, window_bytes=128, hop_bytes=64).collect()
+    got = {(r.doc_id, r.window_no): (r.byte_offset, r.window_md5) for r in rows}
+    want = {}
+    for doc_id, raw in payloads.items():
+        n = (len(raw) - 128) // 64 + 1 if len(raw) >= 128 else 0
+        for w in range(n):
+            want[(doc_id, w)] = (
+                w * 64,
+                hashlib.md5(raw[w * 64 : w * 64 + 128]).hexdigest(),
+            )
+    assert got == want

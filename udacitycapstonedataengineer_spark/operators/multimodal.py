@@ -256,3 +256,59 @@ def sample_frames(
     return media.select("doc_id", "payload").mapInPandas(
         batches, schema=FRAME_SCHEMA
     )
+
+
+WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_no", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("window_md5", T.StringType()),
+    ]
+)
+
+
+def window_signal(
+    media: DataFrame, window_bytes: int = 128, hop_bytes: int = 64
+) -> DataFrame:
+    """Overlapped fixed-size windows over the raw payload — the audio
+    pipeline's framing stage (spectrogram hops, VAD chunks): window w
+    covers payload[w*hop : w*hop + window], full windows only. Emits a
+    byte-exact md5 per window so the slicing arithmetic is
+    oracle-checkable end to end. 1:N narrow mapInPandas; with a real
+    codec the md5 swaps for the DSP feature and nothing else moves.
+    """
+    import hashlib
+
+    audio = media.filter(media.media_type == "audio").select(
+        "doc_id", "payload"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, offs, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = (
+                    (len(raw) - window_bytes) // hop_bytes + 1
+                    if len(raw) >= window_bytes
+                    else 0
+                )
+                for w in range(n):
+                    off = w * hop_bytes
+                    ids.append(doc_id)
+                    wins.append(w)
+                    offs.append(off)
+                    digests.append(
+                        hashlib.md5(raw[off : off + window_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_no": pd.Series(wins, dtype="int64"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "window_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return audio.mapInPandas(batches, schema=WINDOW_SCHEMA)

@@ -78,3 +78,30 @@ def _multimodal_meta_stats(spark, t):
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.width").alias("max_width"),
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS window_no,
+           CAST(w * 64 AS BIGINT) AS byte_offset,
+           md5(substring(text, w * 64 + 1, 128)) AS window_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CASE WHEN length(text) >= 128
+                                    THEN (length(text) - 128) // 64 + 1
+                                    ELSE 0 END)) AS w
+        FROM documents
+        WHERE CAST(doc_id % 3 AS INT) = 1
+    )
+    """,
+)
+def _multimodal_audio_windows(spark, t):
+    # overlapped byte-window framing over the audio payloads. The
+    # oracle slices the source VARCHAR — byte-exact here because the
+    # synthetic corpus is pure ASCII (asserted in tests); a non-ASCII
+    # corpus would need a BLOB-substring oracle, which DuckDB lacks.
+    from ..operators.multimodal import window_signal
+
+    return window_signal(synthesize_media(t["documents"]))
