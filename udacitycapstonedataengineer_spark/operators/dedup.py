@@ -7,22 +7,61 @@ hash/shingle/band expression is native Spark SQL, codegen'd):
 - MinHash:   shingle → K minhashes → B bands → bucket equi-join.
              The classic distributed LSH: candidate generation is a
              shuffle on (band, bucket) instead of an O(n²) cross join.
-- SimHash:   64-bit signature via per-token hash bit-voting; candidate
-             pairs via 16-bit band equi-join + hamming verify.
+- SimHash:   60-bit signature via per-token hash bit-voting; candidate
+             pairs via 15-bit band equi-join + hamming verify.
 - Jaccard:   exact n-gram Jaccard verification for candidate pairs.
+
+Hashing is ENGINE-PORTABLE so the whole pipeline is oracle-checkable
+against DuckDB: the base hash is the top 60 bits of md5 parsed as an
+integer (Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT``), and the K minhash
+permutations are an LCG family ``(a_k·x + b_k) mod P`` with P = 2³¹−1
+— pure modular arithmetic that evaluates bit-identically in any
+engine, and cheaper than K seeded digests (one md5 per shingle, K
+integer ops). Coefficients are deterministic (md5-derived literals).
 
 Scale notes: bucket sizes are capped (``max_bucket``) so a degenerate
 bucket (boilerplate-heavy corpora) can't quadratically explode one
 reducer — the standard LSH skew control. All joins shuffle on
-uniformly-distributed hash keys.
+uniformly-distributed fixed-width hash keys.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+
+# ---- engine-portable hashing ----------------------------------------------
+
+#: prime modulus for the LCG minhash permutation family (2^31 - 1).
+#: (a·x + b) mod P with a, b, x < P keeps every product < 2^62 — no
+#: 64-bit overflow in either engine (Spark wraps, DuckDB raises; we hit
+#: neither).
+P_MOD = 2_147_483_647
+
+# 60-bit integer from the first 15 hex chars of md5 — the portable base
+# hash. Spark side (conv parses hex → decimal string → bigint):
+H60 = "CAST(conv(substr(md5({x}),1,15),16,10) AS BIGINT)"
+# DuckDB twin (used by the oracle SQL in plans/queries_dedup.py):
+H60_SQL = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def lcg_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_k, b_k) pairs for the minhash permutation
+    family — md5-derived so they are stable across sessions, Python
+    versions, and engines (they are embedded as literals in both the
+    Spark expression and the DuckDB oracle SQL)."""
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [h15(f"minhash-a-{k}") % (P_MOD - 1) + 1 for k in range(num_hashes)]
+    b = [h15(f"minhash-b-{k}") % P_MOD for k in range(num_hashes)]
+    return a, b
 
 # 3-word shingles of the lowercased token stream, deduplicated. The
 # token array is bound ONCE via the single-element-array lambda (as a
@@ -65,22 +104,25 @@ def exact_dedup_keep_canonical(docs: DataFrame) -> DataFrame:
 
 
 def _sig_expr(num_hashes: int) -> str:
-    # Hash every shingle to a long ONCE, then derive the K seeded
-    # minhashes from (long, seed) pairs — integer-domain xxhash64, no
-    # per-(shingle, seed) string building. The single-element-array
-    # lambda binding (transform(array(x), hs -> ...)[0]) forces one
-    # evaluation of the shingle-hash array per row; as a plain column it
-    # would be projection-collapsed into all K lambdas and recomputed.
-    hs = "transform(shingles, s -> xxhash64(s))"
+    # Hash every shingle to an int ONCE (one md5), then derive the K
+    # minhashes with the LCG permutation family — no per-(shingle, k)
+    # digest. The single-element-array lambda binding
+    # (transform(array(x), hs -> ...)[0]) forces one evaluation of the
+    # shingle-hash array per row; as a plain column it would be
+    # projection-collapsed into all K lambdas and recomputed.
+    a, b = lcg_coeffs(num_hashes)
+    arr_a = "array(" + ",".join(f"{v}L" for v in a) + ")"
+    arr_b = "array(" + ",".join(f"{v}L" for v in b) + ")"
+    hs = f"transform(shingles, s -> {H60.format(x='s')} % {P_MOD})"
     return (
         f"transform(array({hs}), hs -> transform(sequence(0, {num_hashes - 1}),"
-        " h -> array_min(transform(hs, s -> xxhash64(s, h)))))[0]"
+        f" k -> array_min(transform(hs, x -> ({arr_a}[k] * x + {arr_b}[k]) % {P_MOD}))))[0]"
     )
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """K minhashes per doc as one native expression — K seeded xxhash64
-    passes over the shingle array, min-reduced. No shuffle."""
+    """K minhashes per doc as one native expression — one md5 per
+    shingle, then K LCG permutations, min-reduced. No shuffle."""
     return with_shingles(docs).withColumn("minhash", F.expr(_sig_expr(num_hashes)))
 
 
@@ -102,12 +144,22 @@ def minhash_candidates(
     every reuse of the exploded plan (count + both self-join sides),
     multiplying the corpus scan work ~bands × 3 × num_hashes.
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        # trailing minhashes would be silently ignored (quietly changing
+        # LSH recall), and bands > num_hashes gives rows=0 → every doc
+        # collides in every band
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     sh = shingled if shingled is not None else with_shingles(docs).select("doc_id", "shingles").persist()
     sigs = sh.select("doc_id", F.expr(_sig_expr(num_hashes)).alias("minhash"))
+    # bucket key = portable 60-bit hash of the band's signature slice —
+    # fixed 8-byte shuffle keys (vs variable-length strings) at scale
+    band_slice = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
     band_expr = (
         f"transform(sequence(0, {bands - 1}),"
-        f" b -> xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))))"
+        f" b -> {H60.format(x=band_slice)})"
     )
     exploded = (
         sigs.select("doc_id", F.posexplode(F.expr(band_expr)).alias("band", "bucket"))
@@ -180,29 +232,36 @@ def minhash_near_dups(
 
 # ---- SimHash ---------------------------------------------------------------
 
+#: signature width — 60 bits (the portable md5-derived hash yields 60
+#: bits), split into 4 bands of 15 bits for candidate generation
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_BAND_MASK = (1 << _BAND_BITS) - 1  # 32767
+
 _SIMHASH_EXPR = (
-    # per-token 64-bit hashes
-    f"aggregate(transform(array_distinct({TOKENS}), t -> xxhash64(t)),"
-    # accumulator: 64 bit-vote counters
-    " transform(sequence(0, 63), j -> 0L),"
-    " (acc, h) -> transform(sequence(0, 63),"
+    # per-token portable 60-bit hashes
+    f"aggregate(transform(array_distinct({TOKENS}), t -> {H60.format(x='t')}),"
+    # accumulator: 60 bit-vote counters
+    f" transform(sequence(0, {SIMHASH_BITS - 1}), j -> 0L),"
+    f" (acc, h) -> transform(sequence(0, {SIMHASH_BITS - 1}),"
     "   j -> acc[j] + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),"
     # finish: fold positive votes into bits (bitwise OR — no overflow).
     # NB Spark SQL array indexing is 0-based.
-    " acc -> aggregate(sequence(0, 63), 0L,"
+    f" acc -> aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L,"
     "   (s, j) -> CASE WHEN acc[j] > 0 THEN s | shiftleft(1L, j) ELSE s END))"
 )
 
 
 def simhash(docs: DataFrame, out: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document, entirely in native expressions."""
+    """60-bit SimHash per document, entirely in native expressions."""
     return docs.withColumn(out, F.expr(_SIMHASH_EXPR))
 
 
 def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 8, max_bucket: int = 64
 ) -> DataFrame:
-    """Candidate pairs sharing any 16-bit band of the signature, then
+    """Candidate pairs sharing any 15-bit band of the signature, then
     hamming-distance verify — detects near-dups that survive small
     edits. Pigeonhole: hamming ≤ 3 guarantees a shared band; larger
     distances are best-effort (documented recall/cost trade).
@@ -211,11 +270,12 @@ def simhash_near_dups(
     boilerplate-heavy corpus puts thousands of docs in one band bucket
     and the self-join goes quadratic on a single reducer — capped
     buckets bound every bucket's pair count at max_bucket²/2."""
-    # persist the signature table (doc_id + one long): the 64-counter
+    # persist the signature table (doc_id + one long): the 60-counter
     # bit-vote aggregate runs once per doc, not once per band per side
     sh = simhash(docs).select("doc_id", "simhash").persist()
     bands = F.expr(
-        "transform(sequence(0, 3), b -> (shiftright(simhash, b * 16) & 65535))"
+        f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
+        f" b -> (shiftright(simhash, b * {_BAND_BITS}) & {_BAND_MASK}))"
     )
     exploded = sh.select(
         "doc_id", "simhash", F.posexplode(bands).alias("band", "bucket")

@@ -1,9 +1,11 @@
 """Deduplication queries over ``documents``.
 
-Exact dedup and the n-gram Jaccard verify are oracle-checked (pure
-SQL semantics). MinHash/SimHash rely on xxhash64, which DuckDB lacks,
-so those register rows-only — the Jaccard oracle still cross-checks
-their verification math.
+ALL tiers are oracle-checked, including the full MinHash-LSH and
+SimHash band pipelines: the operators hash with an engine-portable
+scheme (md5-derived 60-bit base hash + LCG permutation family — see
+``operators/dedup.py``), so the DuckDB twin below reproduces the
+banding, skew-capped buckets, candidate join, and verify stage
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,10 +14,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_sql
 from ..operators.dedup import (
+    H60_SQL,
+    P_MOD,
     SHINGLES_EXPR,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
     TOKENS,
     exact_dedup_groups,
     exact_dedup_keep_canonical,
+    lcg_coeffs,
     minhash_near_dups,
     simhash_near_dups,
     with_shingles,
@@ -137,14 +144,85 @@ def _dedup_incremental_anti(spark, t):
     )
 
 
-@query("dedup_minhash_lsh")
+def _minhash_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3, max_bucket: int = 64
+) -> str:
+    """DuckDB twin of the FULL minhash_near_dups pipeline: shingle →
+    base-hash → K LCG minhashes → band bucket hash → skew-capped bucket
+    self-join → exact Jaccard verify. Coefficients come from the same
+    ``lcg_coeffs`` the Spark expression embeds."""
+    a, b = lcg_coeffs(num_hashes)
+    rows = num_hashes // bands
+    coef_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    hx = H60_SQL.format(x="s")
+    bucket_hash = H60_SQL.format(
+        x=f"array_to_string(minhash[band*{rows}+1 : band*{rows}+{rows}], ',')"
+    )
+    return f"""
+    WITH coef(k, a, b) AS (VALUES {coef_rows}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+    hx AS (SELECT doc_id, {hx} % {P_MOD} AS x
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    mh AS (SELECT doc_id, k, min((a * x + b) % {P_MOD}) AS m
+           FROM hx CROSS JOIN coef GROUP BY doc_id, k),
+    sig AS (SELECT doc_id, list(m ORDER BY k) AS minhash FROM mh GROUP BY doc_id),
+    bk AS (SELECT doc_id, band, {bucket_hash} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+    sized AS (SELECT doc_id, band, bucket FROM bk
+              QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM sized x JOIN sized y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 16, max_bucket: int = 64) -> str:
+    """DuckDB twin of simhash_near_dups: per-token portable hash →
+    60-bit bit-vote signature → 15-bit band buckets (skew-capped) →
+    pair join → hamming verify."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_mask = (1 << band_bits) - 1
+    th = H60_SQL.format(x="t")
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS t FROM documents),
+    th AS (SELECT doc_id, {th} AS h FROM tok),
+    votes AS (SELECT doc_id, j,
+                     sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+              GROUP BY doc_id, j),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+            FROM votes GROUP BY doc_id),
+    bk AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * {band_bits})) & {band_mask} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band)),
+    sized AS (SELECT * FROM bk
+              QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket})
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM sized x JOIN sized y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())
 def _dedup_minhash_lsh(spark, t):
-    # MinHash+LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
-    # twin; the Jaccard verify stage is oracled via ngram_jaccard_pairs)
+    # MinHash+LSH near-dup pairs — the full band pipeline is oracled
+    # (engine-portable hashing; see _minhash_oracle_sql)
     return minhash_near_dups(t["documents"], num_hashes=16, bands=4, threshold=0.3)
 
 
-@query("dedup_simhash")
+@query("dedup_simhash", _simhash_oracle_sql())
 def _dedup_simhash(spark, t):
-    # SimHash near-dup pairs (rows-only, same xxhash64 caveat)
+    # SimHash near-dup pairs — oracled end-to-end (portable hashing)
     return simhash_near_dups(t["documents"], max_hamming=16)
