@@ -3,9 +3,11 @@
 The reference reads everything with ``inferSchema=True`` (etl.py:61,76,92)
 — an extra full pass over the CSV and nondeterministic types. Here every
 reader takes an explicit ``StructType``; inference is opt-in for
-exploration only. The SAS7BDAT source (etl.py:42) has no Spark-3 reader;
-its capability is covered by a one-time convert-to-parquet step — see
-``convert_sas_like`` note below — and all engine inputs are columnar.
+exploration only. The SAS7BDAT source (etl.py:42) has no Spark-4 reader;
+its capability is covered by a one-time convert-to-parquet step —
+``sas.convert_sas_like`` (single file, streaming) and
+``sas.convert_sas_batch`` (cluster-parallel, one task per file) — and
+all engine inputs are columnar.
 """
 
 from __future__ import annotations
