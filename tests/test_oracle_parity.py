@@ -15,8 +15,20 @@ def test_oracle_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
 
 
+# queries allowed to return zero rows at sf0.001 (tiny-scale artifacts
+# of genuinely selective predicates — each verified non-degenerate at
+# sf0.01 by the driver gate). Keep this list EXPLICIT: an un-oracled
+# query silently regressing to empty output is the degenerate-result
+# trap (empty results trivially hash-match).
+EMPTY_OK_AT_SF0001: set[str] = set()
+
+
 def test_every_query_runs(spark, sf_dir):
-    """Queries without an oracle still must execute and return rows."""
+    """Every query must execute AND return rows — count() >= 0 can
+    never fail, so the non-empty assertion is the real check."""
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+        n = df.count()
+        if name in EMPTY_OK_AT_SF0001:
+            continue
+        assert n > 0, f"{name} returned 0 rows (degenerate result?)"

@@ -90,7 +90,7 @@ def test_dedup_by_key_partition_invariant(spark):
     st.lists(
         st.text(
             alphabet=st.characters(min_codepoint=32, max_codepoint=126),
-            min_size=1,
+            min_size=0,
             max_size=600,
         ),
         min_size=1,
@@ -99,34 +99,28 @@ def test_dedup_by_key_partition_invariant(spark):
 )
 @settings(max_examples=15, deadline=None)
 def test_chunk_windows_cover_and_align(spark, texts):
-    """Chunking invariants for any ascii text: chunk i starts at
-    (i-1)*stride+1, chunks are ≤ window chars, every character of the
-    document appears in at least one chunk, and stripping the overlap
-    reconstructs the document exactly."""
-    from pyspark.sql import functions as FF
+    """Chunking invariants for any ascii text (INCLUDING the empty
+    string, which must yield zero chunks — not Spark's descending
+    sequence(1,0) artifact): chunk i starts at (i-1)*stride+1, chunks
+    are ≤ window chars, every character of the document appears in at
+    least one chunk, and stripping the overlap reconstructs the
+    document exactly."""
+    from udacitycapstonedataengineer_spark.plans.queries_text import (
+        chunk_windows,
+    )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
 
-    n_chunks = (FF.floor((FF.length("text") - 1) / 150) + 1).cast("long")
-    chunks = (
-        df.select(
-            "doc_id",
-            "text",
-            FF.explode(FF.sequence(FF.lit(1).cast("long"), n_chunks)).alias("i"),
-        )
-        .selectExpr(
-            "doc_id",
-            "i AS chunk_id",
-            "substr(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk",
-        )
-        .collect()
-    )
+    chunks = chunk_windows(df, stride=150, width=200).collect()
     by_doc = {}
     for r in chunks:
         by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
     for i, t in enumerate(texts):
+        if t == "":
+            assert i not in by_doc  # empty doc → zero chunks
+            continue
         got = by_doc[i]
         n = (len(t) - 1) // 150 + 1
         assert set(got) == set(range(1, n + 1))

@@ -59,26 +59,12 @@ def prepare_corpus(
     deduped = dedup_transitive(exact, pairs)
     metrics["after_near_dedup"] = deduped.count()
 
-    n_chunks = (
-        F.floor((F.length("text") - 1) / CHUNK_STRIDE) + 1
-    ).cast("long")
-    chunks = (
-        deduped.select(
-            "doc_id",
-            "lang",
-            "source",
-            "text",
-            F.explode(F.sequence(F.lit(1).cast("long"), n_chunks)).alias("i"),
-        )
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "source",
-            "i AS chunk_id",
-            f"substr(text, CAST((i - 1) * {CHUNK_STRIDE} + 1 AS INT),"
-            f" {CHUNK_WIDTH}) AS chunk",
-        )
-    )
+    from .queries_text import chunk_windows
+
+    chunks = chunk_windows(
+        deduped, stride=CHUNK_STRIDE, width=CHUNK_WIDTH,
+        extra_cols=("lang", "source"),
+    ).select("doc_id", "lang", "source", "chunk_id", "chunk")
     metrics["chunks"] = chunks.count()
     exact.unpersist()
     return chunks, metrics

@@ -132,15 +132,18 @@ def _events_asof_last_purchase(spark, t):
     "events_session_window_native",
     """
     WITH marked AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), numbered AS (
+        -- event_id tie-break matches the marked window's total order:
+        -- without it, tied timestamps at a session boundary could
+        -- cumsum in a different order than the boundary was marked in
         SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
-                                              ORDER BY ts_us
+                                              ORDER BY ts_us, event_id
                                               ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS session_seq
         FROM marked

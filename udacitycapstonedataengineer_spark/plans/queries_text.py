@@ -111,6 +111,33 @@ def _text_fingerprint(spark, t):
     )
 
 
+def chunk_windows(df, stride: int = 150, width: int = 200, extra_cols=()):
+    """Overlapping context-window chunking: ``width``-char windows at a
+    ``stride``-char step. sequence+explode is narrow — each row expands
+    locally, no shuffle, and output partitions scale with input splits.
+
+    Empty documents are filtered out BEFORE the explode: for
+    length(text)=0 the chunk count is 0 and Spark's ``sequence(1, 0)``
+    yields a DESCENDING [1, 0] (two bogus chunk rows), while SQL
+    engines' generate_series(1, 0) yields none — the guard pins the
+    zero-chunks semantics on both."""
+    n_chunks = (F.floor((F.length("text") - 1) / stride) + 1).cast("long")
+    cols = [*extra_cols, "doc_id"]
+    return (
+        df.filter(F.length("text") > 0)
+        .select(
+            *cols,
+            "text",
+            F.explode(F.sequence(F.lit(1).cast("long"), n_chunks)).alias("i"),
+        )
+        .selectExpr(
+            *cols,
+            "i AS chunk_id",
+            f"substr(text, CAST((i - 1) * {stride} + 1 AS INT), {width}) AS chunk",
+        )
+    )
+
+
 @query(
     "docs_chunk_windows",
     """
@@ -120,30 +147,14 @@ def _text_fingerprint(spark, t):
                  unnest(generate_series(
                      1, CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1
                  )) AS i
-          FROM documents)
+          FROM documents
+          WHERE length(text) > 0)
     """,
 )
 def _docs_chunk_windows(spark, t):
-    # context-window chunking: overlapping 200-char windows with a
-    # 150-char stride (the shard step before tokenization in a training
-    # pipeline). sequence+explode is narrow — each row expands locally,
-    # no shuffle, and output partitions scale with input splits.
-    n_chunks = (F.floor((F.length("text") - 1) / 150) + 1).cast("long")
-    return (
-        t["documents"]
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1).cast("long"), n_chunks)
-            ).alias("i"),
-        )
-        .selectExpr(
-            "doc_id",
-            "i AS chunk_id",
-            "substr(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk",
-        )
-    )
+    # context-window chunking — the shard step before tokenization in a
+    # training pipeline (see chunk_windows for the empty-doc guard)
+    return chunk_windows(t["documents"])
 
 
 @query(
