@@ -213,16 +213,50 @@ def _json_extract_props(spark, t):
 @query(
     "grouped_median_dev",
     """
-    SELECT doc_id, source, n_chars,
-           median(n_chars) OVER (PARTITION BY source) AS median_chars,
-           n_chars - median(n_chars) OVER (PARTITION BY source) AS dev_chars
-    FROM documents
+    WITH ev AS (
+        SELECT event_id, user_id, trunc(value * 100)::BIGINT AS value_cents
+        FROM events
+    )
+    SELECT event_id, user_id, value_cents,
+           median(value_cents) OVER (PARTITION BY user_id) AS median_val,
+           value_cents - median(value_cents) OVER (PARTITION BY user_id)
+               AS dev_val
+    FROM ev
     """,
 )
 def _grouped_median_dev(spark, t):
-    # applyInPandas grouped-map surface (operators/grouped.py): the
-    # oracle runs the same math as a native window median — proving the
-    # pandas path bit-matches the SQL semantics
-    from ..operators.grouped import per_source_length_dev
+    # applyInPandas grouped-map surface (operators/grouped.py) on a
+    # MID-cardinality key — per-user median event value in exact minor
+    # units. user count scales with the data, so group sizes stay
+    # bounded at 100 TB (the low-cardinality form is
+    # grouped_median_dev_native below). The oracle runs the same math
+    # as a window median — proving the pandas path bit-matches SQL.
+    from ..operators.grouped import median_dev_grouped
 
-    return per_source_length_dev(t["documents"])
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return median_dev_grouped(ev, key="user_id", id_col="event_id",
+                              val_col="value_cents")
+
+
+@query(
+    "grouped_median_dev_native",
+    """
+    SELECT doc_id, source, n_chars,
+           median(n_chars) OVER (PARTITION BY source) AS median_val,
+           n_chars - median(n_chars) OVER (PARTITION BY source) AS dev_val
+    FROM documents
+    """,
+)
+def _grouped_median_dev_native(spark, t):
+    # the LOW-cardinality-safe twin: exact median via middle-rank
+    # extraction (spill-backed window sort + broadcast join back) —
+    # no unbounded pandas group materialization
+    from ..operators.grouped import median_dev_native
+
+    return median_dev_native(
+        t["documents"], key="source", id_col="doc_id", val_col="n_chars"
+    )
