@@ -61,6 +61,75 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def s3a_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    role_arn: str | None = None,
+) -> dict[str, str]:
+    """Worked S3A object-store configuration (SURVEY §2.1 S7; reference
+    etl.py:84-85 writes to s3a:// with credentials from config.cfg —
+    which the reference committed in plaintext; here credentials come
+    from the environment/instance profile, never from files).
+
+    Returns ``spark.hadoop.fs.s3a.*`` keys for ``get_spark(extra_conf=
+    s3a_conf(...))`` or spark-submit ``--conf``. The sandbox has no
+    object store or hadoop-aws jars, so this stays a pure conf builder;
+    on a real cluster add hadoop-aws + aws bundle to the classpath.
+    """
+    conf = {
+        # committers: the "magic" committer avoids the O(data) rename
+        # commit that cripples s3a output at scale
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # connection pool sized for wide scans
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        # read policy for columnar formats: random beats sequential
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+    }
+    if access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    elif role_arn:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+        )
+        conf["spark.hadoop.fs.s3a.assumed.role.arn"] = role_arn
+    else:
+        # instance profile / env chain — the default and preferred path
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        )
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return conf
+
+
+def configure_s3a(spark: SparkSession, **kwargs) -> SparkSession:
+    """Apply ``s3a_conf``'s hadoop keys to a LIVE session:
+    ``spark.hadoop.*`` is start-time-only through the builder, but
+    writing into the context's hadoopConfiguration affects every
+    FileSystem created afterwards — the way to point an already-running
+    session at an object store. The committer-protocol SQL confs are
+    NOT applied here: their classes live in the spark-hadoop-cloud
+    module and must be on the classpath at submit time (use
+    ``get_spark(extra_conf=s3a_conf(...))`` on a cloud-equipped
+    cluster)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in s3a_conf(**kwargs).items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop.") :], v)
+    return spark
+
+
 def pin_oracle_semantics(spark: SparkSession) -> SparkSession:
     """Runtime-settable confs every oracle-compared query depends on.
 
