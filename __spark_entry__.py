@@ -21,9 +21,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["star_revenue_by_region_year"](spark, SF_SMOKE)
 
 
+# The correctness driver checks a fixed-size prefix of this dict, so
+# ordering is part of the contract: the core §2 reference surface and
+# TPC-H suite lead, then every remaining ORACLED query (registration
+# order), and the handful of rows-only queries (approximate/seeded —
+# each pinned by an error-bound test instead) come last.
+_PRIORITY = [
+    "star_revenue_by_region_year",
+    "priority_dim", "calendar_dim", "country_dim", "fact_orders",
+    "project_select", "drop_columns", "rename_columns", "derive_column",
+    "cast_types", "dropna_rows", "filter_predicate", "null_profile",
+    "distinct_rows", "dedup_by_key",
+    "join_left_broadcast", "join_string_keys", "join_dedup",
+    "groupby_avg", "global_counts", "sas_date_decode", "initcap_labels",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "dedup_exact_groups", "dedup_exact_keep_canonical",
+    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_pairs",
+    "dedup_incremental_anti",
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "text_quality_score", "docs_chunk_windows",
+    "grouped_median_dev", "grouped_median_dev_native",
+    "sas_labels_decode",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    oracled-first (see _PRIORITY note)."""
+    ordered = [n for n in _PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in ordered and n in ORACLE]
+    ordered += [n for n in QUERIES if n not in ordered]
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
