@@ -1,0 +1,115 @@
+"""One-off ~sf1 scale probe (VERDICT r1 #8).
+
+The driver ships sf{0.001,0.01,0.1}; to validate the AQE/shuffle
+settings beyond sf0.1 this synthesizes a ×N replica of sf0.1 (fact
+tables replicated with shifted keys so join integrity and key
+cardinality growth are preserved; dims kept as-is, mirroring TPC-H's
+sublinear dim scaling) and times the most expensive headline queries.
+
+Usage:  python scripts/scale_probe.py [factor] [out_dir]
+Prints one JSON line with per-query seconds at the scaled SF.
+
+This is a PERF probe only — correctness stays pinned to the driver's
+own testdata at sf0.01/sf0.001.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from udacitycapstonedataengineer_spark.session import get_spark  # noqa: E402
+from udacitycapstonedataengineer_spark.sources.readers import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+PROBE_QUERIES = [
+    "star_revenue_by_region_year",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q10_returned_items",
+    "dedup_minhash_lsh",
+    "dedup_by_key",
+    "events_sessionize",
+]
+
+# per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
+# shift cols so replicated facts stay join-consistent and unique
+_SHIFTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, src_dir, name)
+        shift_cols = _SHIFTS.get(name)
+        if not shift_cols:
+            df.write.mode("overwrite").parquet(dst)  # dims: keep as-is
+            continue
+        spans = {
+            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols
+        }
+        parts = []
+        for i in range(factor):
+            part = df
+            for c, span in spans.items():
+                part = part.withColumn(c, F.col(c) + F.lit(i * span))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{factor}"
+    src = "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale-probe", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, src, out_dir, factor)
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    # warmup
+    QUERIES[PROBE_QUERIES[0]](spark, out_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "scale_probe_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf_equivalent": 0.1 * factor,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

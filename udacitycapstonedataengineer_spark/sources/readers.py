@@ -133,7 +133,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     codegen-friendly expression, truncating sub-microsecond digits (the
     DuckDB oracle compensates with epoch_us)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    footer = pq.read_schema(path)
+    if os.path.isdir(path):
+        # directory datasets (Spark-written): footer from any part file
+        import glob
+
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        footer = pq.read_schema(parts[0])
+    else:
+        footer = pq.read_schema(path)
     fields, ns_cols = [], []
     for f in footer:
         dt, needs_fix = _arrow_field_to_spark(f.type)
