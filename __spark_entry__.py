@@ -35,8 +35,12 @@ _PRIORITY = [
     "join_left_broadcast", "join_string_keys", "join_dedup",
     "groupby_avg", "global_counts", "sas_date_decode", "initcap_labels",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
+    "tpch_q4_priority_check", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q18_large_volume", "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
     "dedup_exact_groups", "dedup_exact_keep_canonical",
     "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_pairs",
     "dedup_incremental_anti",

@@ -31,7 +31,9 @@ HEADLINE = [
     "null_profile",
     "sas_date_decode",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     # training-data pipeline extensions
     "dedup_exact_groups",
     "dedup_minhash_lsh",
