@@ -1,0 +1,80 @@
+"""Spark-4 engine surfaces: VariantType is oracled via
+``variant_extract_props``; here the Python UDTF surface and runtime
+Bloom-filter join pruning are pinned.
+
+The UDTF stays OUT of the relational query registry on purpose —
+sentence splitting is demonstrated through the lateral-join surface,
+but anything expressible natively ships natively
+(test_plan_shape.py enforces that registry queries stay Python-free).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="sent_id: int, sentence: string")
+class SplitSentences:
+    """Sentence-splitting table function: one output row per sentence,
+    order-stable ids — the lateral-expansion shape (text → rows) that
+    has no single-expression native form when the splitter gets
+    stateful (abbreviation handling, quoted speech, etc.)."""
+
+    def eval(self, text: str):
+        for i, s in enumerate(re.split(r"(?<=[.!?])\s+", (text or "").strip())):
+            if s:
+                yield i, s
+
+
+def test_udtf_lateral_join(spark):
+    spark.udtf.register("split_sentences", SplitSentences)
+    rows = spark.sql(
+        """
+        SELECT t.doc_id, s.sent_id, s.sentence
+        FROM VALUES (1, 'Hello world. How are you? Fine!'),
+                    (2, 'One sentence only'),
+                    (3, NULL) AS t(doc_id, text),
+        LATERAL split_sentences(t.text) s
+        ORDER BY doc_id, sent_id
+        """
+    ).collect()
+    got = [(r.doc_id, r.sent_id, r.sentence) for r in rows]
+    assert got == [
+        (1, 0, "Hello world."),
+        (1, 1, "How are you?"),
+        (1, 2, "Fine!"),
+        (2, 0, "One sentence only"),
+    ]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """A selective filter on the small side of a shuffle join must
+    inject a Bloom filter that semi-prunes the big side (the
+    non-broadcastable fact⋈filtered-dim pattern at 100 TB)."""
+    from udacitycapstonedataengineer_spark.session import enable_runtime_bloom
+
+    spark.range(0, 500_000).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "big"))
+    spark.range(0, 100_000).withColumnRenamed("id", "k2").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "small"))
+
+    enable_runtime_bloom(spark, application_side_scan_threshold="0")
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.read.parquet(str(tmp_path / "big"))
+        small = spark.read.parquet(str(tmp_path / "small")).filter("k2 % 97 = 0")
+        j = big.join(small, big.k == small.k2)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+        assert j.count() == 100_000 // 97 + 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )

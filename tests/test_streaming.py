@@ -192,3 +192,78 @@ def test_foreach_batch_checkpoint_restart_idempotent(spark, sf_dir, tmp_path):
     n1 = spark.read.parquet(out).count()
     foreach_batch_upsert(spark, sf_dir, out)  # same checkpoint dir
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: same-batch and within-watermark
+    duplicates are admitted once; a duplicate arriving AFTER the
+    fingerprint's state was evicted (event clock passed first-seen +
+    watermark) re-emits — the documented bounded-state trade."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "docs_landing"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):  # rows: (doc_id, minutes, text)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # batch 1: "alpha" twice in-batch (one admitted), "beta" once
+    write_batch("b1.parquet", [(1, 0, "alpha"), (2, 1, "Alpha  "), (3, 2, "beta")])
+    dedup = streaming_dedup_within_watermark(
+        spark, str(src), schema, watermark="30 minutes"
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 (clock at ~00:10): "alpha" again within watermark →
+        # suppressed; "gamma" new → admitted
+        write_batch("b2.parquet", [(4, 10, "alpha"), (5, 11, "gamma")])
+        q.processAllAvailable()
+        # batch 3: a fresh doc at 02:00 advances the event clock; at
+        # batch end the watermark (02:00 - 30min) evicts alpha's state
+        # (first seen 00:00)
+        write_batch("b3.parquet", [(6, 120, "delta")])
+        q.processAllAvailable()
+        # batch 4: "alpha" after eviction → re-emits (bounded state)
+        write_batch("b4.parquet", [(7, 125, "alpha")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT doc_id, text FROM t_stream_dedup").collect()
+    admitted = sorted(r.doc_id for r in out)
+    # normalization: doc 2 ("Alpha  ") deduped against doc 1 ("alpha")
+    assert 2 not in admitted and 4 not in admitted
+    assert 1 in admitted and 3 in admitted and 5 in admitted and 6 in admitted
+    # bounded state: the post-eviction duplicate re-emitted
+    assert 7 in admitted

@@ -461,3 +461,34 @@ def _events_trailing_hour_sum(spark, t):
             F.sum("v").over(w).cast("long").alias("trailing_hour_cents"),
         )
     )
+
+
+@query(
+    "variant_extract_props",
+    """
+    SELECT event_id, prop_k,
+           CASE WHEN prop_k >= 50 THEN 'high' ELSE 'low' END AS k_band
+    FROM (SELECT event_id, json_extract(props, '$.k')::BIGINT AS prop_k
+          FROM events)
+    WHERE prop_k IS NOT NULL
+    """,
+)
+def _variant_extract_props(spark, t):
+    # Spark 4 VariantType: parse the semi-structured props ONCE into
+    # the binary variant encoding, then typed-path extraction with
+    # variant_get — at scale this beats per-path get_json_object
+    # re-parses (one parse, many paths) and keeps extraction
+    # codegen'd. DuckDB's JSON extraction is the oracle.
+    return (
+        t["events"]
+        .withColumn("v", F.parse_json("props"))
+        .select(
+            "event_id",
+            F.expr("variant_get(v, '$.k', 'long')").alias("prop_k"),
+        )
+        .filter(F.col("prop_k").isNotNull())
+        .withColumn(
+            "k_band",
+            F.when(F.col("prop_k") >= 50, F.lit("high")).otherwise(F.lit("low")),
+        )
+    )

@@ -130,6 +130,24 @@ def configure_s3a(spark: SparkSession, **kwargs) -> SparkSession:
     return spark
 
 
+def enable_runtime_bloom(
+    spark: SparkSession, application_side_scan_threshold: str = "10GB"
+) -> SparkSession:
+    """Runtime Bloom-filter join pruning: when a shuffle join's small
+    side carries a selective filter, Spark builds a Bloom filter from
+    it and semi-prunes the BIG side's shuffle — often the single
+    biggest win on selective fact⋈filtered-dim joins that are too big
+    to broadcast. Defaults are conservative (application side must
+    scan >10GB); lower the threshold on clusters where shuffle is the
+    bottleneck. Pinned by tests/test_spark4_surfaces.py."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )
+    return spark
+
+
 def pin_oracle_semantics(spark: SparkSession) -> SparkSession:
     """Runtime-settable confs every oracle-compared query depends on.
 

@@ -299,3 +299,37 @@ def streaming_window_counts(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    dedup_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental-ingest twin of
+    ``operators.dedup.exact_dedup_keep_canonical``: each arriving
+    document is admitted once per content fingerprint.
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``:
+    plain streaming dropDuplicates keeps every key it has ever seen in
+    the state store, which grows without bound on a 100 TB firehose.
+    The watermarked variant evicts fingerprint state once the event
+    clock passes first-seen + watermark — bounded state, with the
+    documented contract that a duplicate arriving later than the
+    watermark horizon can re-emit (downstream batch dedup
+    ``dedup_incremental_anti`` is the backstop; this stage exists to
+    kill the near-time duplicate storm cheaply at the edge).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        stream.withColumn("fingerprint", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(dedup_cols or ["fingerprint"])
+    )
