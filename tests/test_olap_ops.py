@@ -251,3 +251,18 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     df.collect()  # AQE final plan materializes after execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_kmeans_reproducible_across_layouts(spark, sf_dir):
+    """The point of fixed-point centroid accumulation: identical
+    assignments regardless of partitioning (double-sum averaging would
+    drift with partition merge order)."""
+    from udacitycapstonedataengineer_spark.operators.clustering import kmeans
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r.vec_id: r.cluster for r in kmeans(emb.repartition(17), k=8, iters=2).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans(emb.repartition(3), k=8, iters=2).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # actually clustered, not collapsed
+    assert set(a) == {r.vec_id for r in emb.select("vec_id").collect()}

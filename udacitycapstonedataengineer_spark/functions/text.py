@@ -138,3 +138,34 @@ def fingerprint(col: str = "text") -> Column:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5({NORMALIZE_SQL.format(c=col)})"
+
+
+# ---- PII redaction ---------------------------------------------------------
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround. Applied in a
+# fixed order (email → card → ssn → phone → ip) on both engines so
+# overlapping matches resolve identically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}", "<CARD>"),
+    (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    (r"(\(\d{3}\)\s?|\d{3}[-.])\d{3}[-.]\d{4}", "<PHONE>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+)
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Chained native regexp_replace — per-row, zero shuffle, runs at
+    scan speed; the pre-training scrub pass every corpus needs."""
+    out = F.col(col)
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin (RE2 'g' flag = Spark's replace-all default)."""
+    out = expr
+    for pat, tag in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out

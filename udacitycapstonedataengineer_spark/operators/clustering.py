@@ -1,0 +1,150 @@
+"""Distributed k-means (Lloyd's) — bit-reproducible and oracle-checkable.
+
+The interesting problem at cluster scale isn't the algorithm, it's
+DETERMINISM: naive double-precision centroid averaging makes results
+depend on partition/merge order, so two runs of the "same" clustering
+disagree. This implementation removes every order-dependence:
+
+- init: centroids = the first K vectors by id (no RNG);
+- assignment: squared-L2 as the same sequential double fold the ANN
+  cosine operators use (bit-identical in DuckDB's list_inner_product),
+  argmin with an explicit (dist, cluster_id) tie-break;
+- update: FIXED-POINT accumulation — each coordinate is floor-quantized
+  to an integer (x → ⌊x·2²⁰⌋, exact: inputs are float32 scaled by a
+  power of two), summed as BIGINT (exact, commutative — immune to
+  partition order), and divided back once. floor (not round) because
+  floor has identical semantics in every engine while round's
+  half-boundary rule differs.
+
+Scale shape per iteration: one broadcast of K·dim centroid literals,
+one narrow crossJoin (K small), one shuffle for the argmin window on
+vec_id, one shuffle for the centroid re-aggregation. No driver-side
+data movement beyond the K×dim centroid table itself — the same
+collect-and-broadcast loop any distributed Lloyd's performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1 << 20  # fixed-point quantum for centroid accumulation
+
+_DIST2 = (
+    "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, w) -> acc + w)"
+)
+
+
+def _as_double_vec(emb: DataFrame, vec_col: str) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+
+
+def _quantize_vec(col: str) -> str:
+    # exact for float32 inputs: x·2^20 is a power-of-two scaling
+    return f"transform({col}, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE})"
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster): nearest centroid by squared-L2 with a
+    deterministic (dist, cid) tie-break."""
+    joined = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_DIST2.format(v="v", c="c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+
+
+def kmeans(
+    emb: DataFrame, k: int = 8, iters: int = 2, vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's for ``iters`` iterations; returns final (vec_id,
+    cluster). Deterministic on any cluster layout (see module doc)."""
+    vectors = _as_double_vec(emb, vec_col)
+    if dim is None:
+        dim = len(vectors.select("v").first()[0])
+    centroids = vectors.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.expr(_quantize_vec("v")).alias("c")
+    )
+    for _ in range(iters - 1):
+        assigned = kmeans_assign(vectors, centroids)
+        # fixed-point per-dimension sums: exact BIGINTs, order-free
+        sums = (
+            vectors.join(assigned, "vec_id")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.floor(F.element_at("v", i) * SCALE).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(1, dim + 1)
+                ],
+            )
+        )
+        centroids = sums.select(
+            F.col("cluster").alias("cid"),
+            F.array(
+                *[
+                    (F.col(f"s{i}").cast("double") / F.col("n")) / SCALE
+                    for i in range(1, dim + 1)
+                ]
+            ).alias("c"),
+        )
+    return kmeans_assign(vectors, centroids)
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """DuckDB twin: the same iterations unrolled as CTEs, same
+    fixed-point update, same fold order (list_inner_product of the
+    per-dim diff list ≡ the sequential zip_with fold)."""
+    dist = (
+        "list_inner_product("
+        f"list_transform(generate_series(1, {dim}), i -> e.v[i] - c.c[i]),"
+        f"list_transform(generate_series(1, {dim}), i -> e.v[i] - c.c[i]))"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"""c0 AS (SELECT vec_id AS cid,
+               list_transform(v, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE}) AS c
+        FROM e WHERE vec_id < {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist}, c.cid) AS rn
+                FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{it} AS (SELECT cid,
+                   list((CAST(s AS DOUBLE) / n) / {SCALE} ORDER BY d) AS c
+            FROM (SELECT a.cid, ds.d,
+                         SUM(CAST(FLOOR(e.v[ds.d] * {SCALE}) AS BIGINT)) AS s,
+                         count(*) AS n
+                  FROM e JOIN a{it} a USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) ds
+                  GROUP BY a.cid, ds.d)
+            GROUP BY cid)"""
+        )
+        prev = f"c{it}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
+    )

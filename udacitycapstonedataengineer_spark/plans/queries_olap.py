@@ -709,3 +709,45 @@ def _sample_stratified_by_status(spark, t):
     return t["orders"].sampleBy(
         "o_orderstatus", {"O": 0.1, "F": 0.5, "P": 1.0}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "rollup_incremental_merge",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def _rollup_incremental_merge(spark, t):
+    # materialized-rollup maintenance: ingest produces DAY-grain
+    # partials (count + exact cent sums); the month rollup is a MERGE
+    # of partials (sum of sums, sum of counts), never a rescan of the
+    # fact. The oracle aggregates the fact directly at month grain —
+    # parity proves the merge algebra, the contract that lets a 100 TB
+    # pipeline maintain rollups incrementally (each new day merges in
+    # O(partial), and late-arriving days re-merge only their month).
+    day_partials = (
+        t["orders"]
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+    return (
+        day_partials.groupBy("order_month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

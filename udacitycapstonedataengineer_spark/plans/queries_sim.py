@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.clustering import kmeans, kmeans_oracle_sql
 from ..operators.similarity import (
     brute_force_topk,
     cosine_sql,
@@ -139,3 +140,12 @@ def _embedding_quantize_int8(spark, t):
     # symmetric per-vector int8 codes: 4× smaller embeddings, integer
     # dot products downstream — the storage/compute lever for 100 TB ANN
     return quantize_int8(t["embeddings"])
+
+
+@query("kmeans_clusters", kmeans_oracle_sql(k=8, iters=2, dim=64))
+def _kmeans_clusters(spark, t):
+    # distributed Lloyd's, 2 iterations, K=8 — bit-reproducible via
+    # fixed-point centroid accumulation (operators/clustering.py); the
+    # DuckDB oracle unrolls the SAME iterations, proving an ITERATIVE
+    # algorithm end-to-end, not just one step
+    return kmeans(t["embeddings"], k=8, iters=2, dim=64)

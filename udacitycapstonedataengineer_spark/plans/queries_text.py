@@ -260,3 +260,45 @@ def _grouped_median_dev_native(spark, t):
     return median_dev_native(
         t["documents"], key="source", id_col="doc_id", val_col="n_chars"
     )
+
+
+@query(
+    "pii_redact_contacts",
+    f"""
+    WITH c AS (
+        SELECT c_custkey,
+               c_name || ' <' || lower(replace(c_name, '#', '.'))
+               || '@example.com> tel 555-' || printf('%03d', c_custkey % 1000)
+               || '-' || printf('%04d', c_custkey % 10000)
+               || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+               || '.' || CAST(c_custkey % 250 AS VARCHAR) AS contact
+        FROM customer
+    )
+    SELECT c_custkey, {X.redact_pii_sql('contact')} AS redacted
+    FROM c
+    """,
+)
+def _pii_redact_contacts(spark, t):
+    # PII scrub — the pre-training redaction pass. The contact string
+    # is CONSTRUCTED from customer rows (the synthetic corpus has no
+    # PII), then redacted; running construction + redaction on both
+    # engines makes the oracle a true Java-regex ↔ RE2 parity check
+    # over thousands of distinct realistic values.
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> tel 555-"),
+        F.format_string("%03d", F.col("c_custkey") % 1000),
+        F.lit("-"),
+        F.format_string("%04d", F.col("c_custkey") % 10000),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 250).cast("string"),
+    )
+    return (
+        t["customer"]
+        .select("c_custkey", contact.alias("contact"))
+        .select("c_custkey", X.redact_pii("contact").alias("redacted"))
+    )
