@@ -269,3 +269,67 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     for k in before:
         if k != "click":
             assert after[k] == before[k]  # untouched partitions intact
+
+
+def test_zorder_files_cover_small_rectangles(spark, tmp_path):
+    """Z-order layout: every file's (x, y) bounding box is a small
+    fraction of the domain — so min/max stats prune on BOTH columns.
+    A row-major layout would give every file the full y range."""
+    import pyarrow.parquet as pq
+
+    from udacitycapstonedataengineer_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 1 << 14
+    df = spark.range(n).selectExpr(
+        "CAST(id % 128 AS BIGINT) AS x", "CAST(id DIV 128 AS BIGINT) AS y"
+    )
+    out = tmp_path / "zordered"
+    write_zordered(df, str(out), "x", "y", n_files=16, bits=7)
+
+    areas = []
+    for part in sorted(out.glob("*.parquet")):
+        md = pq.read_metadata(str(part))
+        xmin = ymin = 1 << 60
+        xmax = ymax = -1
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in ("x", "y") or col.statistics is None:
+                    continue
+                st = col.statistics
+                if name == "x":
+                    xmin, xmax = min(xmin, st.min), max(xmax, st.max)
+                else:
+                    ymin, ymax = min(ymin, st.min), max(ymax, st.max)
+        areas.append((xmax - xmin + 1) * (ymax - ymin + 1) / (128 * 128))
+    # each file covers a small rectangle, not a full-width stripe
+    assert len(areas) >= 8
+    assert sum(areas) / len(areas) < 0.25
+    assert max(areas) < 0.6
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The three join strategies are selectable per-join — the control
+    a tuner needs when AQE's default pick is wrong for a known
+    workload (e.g. forcing SMJ for a huge-huge join that would spill a
+    hash build, or shuffle-hash when one side is pre-bucketed)."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = (
+            o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert node in plan, (hint, plan[:400])

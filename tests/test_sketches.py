@@ -1,0 +1,60 @@
+"""Mergeable-sketch contracts: merge-equality (the incremental-rollup
+algebra) and error bounds vs exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.operators.sketches import (
+    hll_daily_distinct,
+    hll_merge_estimate,
+    kll_value_quantiles,
+    theta_distinct_by_source,
+)
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+
+def test_hll_merge_equals_direct_and_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = hll_daily_distinct(ev)
+    merged = hll_merge_estimate(daily).collect()[0].est_distinct
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).collect()[0][0]
+    # the mergeability contract: union of daily sketches == one pass
+    assert merged == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05  # lg_k=12 → ~1.6% rse
+    # determinism across layouts (sketches are order-insensitive)
+    merged2 = hll_merge_estimate(hll_daily_distinct(ev.repartition(13))).collect()[0].est_distinct
+    assert merged2 == merged
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    q = kll_value_quantiles(ev).collect()[0]
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n = len(vals)
+    for p, got in ((0.5, q.q50), (0.9, q.q90), (0.99, q.q99)):
+        # default k=200 → ~1.65% rank error (99% conf); allow 3%
+        lo = vals[max(0, int((p - 0.03) * n) - 1)]
+        hi = vals[min(n - 1, int((p + 0.03) * n))]
+        assert lo <= got <= hi, (p, got, lo, hi)
+
+
+def test_theta_per_source_sums_near_exact(spark, sf_dir):
+    from udacitycapstonedataengineer_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", fingerprint().alias("fingerprint")
+    )
+    per_source = {r.source: r.est_distinct for r in theta_distinct_by_source(docs).collect()}
+    exact = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("fingerprint").alias("n"))
+        .collect()
+    }
+    assert set(per_source) == set(exact)
+    for s, est in per_source.items():
+        assert abs(est - exact[s]) / max(exact[s], 1) < 0.05

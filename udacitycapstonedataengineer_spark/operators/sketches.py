@@ -1,0 +1,92 @@
+"""Mergeable sketches (Apache DataSketches via Spark SQL built-ins).
+
+The scale story: exact distinct counts and quantiles need a shuffle of
+every value; sketches are small, MERGEABLE summaries — build one per
+partition/day/source, union them later, never rescan. That algebra
+(estimate(union(parts)) == estimate(whole)) is what makes incremental
+pipelines cheap at 100 TB: each new day contributes one sketch, and
+any rollup (week, month, all-time) is a union of sketches.
+
+No DuckDB twin exists for DataSketches, so these register rows-only;
+the merge-equality and error-bound contracts are pinned by
+tests/test_sketches.py instead (the same pattern as
+approx_distinct_users).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_daily_distinct(
+    events: DataFrame, key: str = "user_id", lg_k: int = 12
+) -> DataFrame:
+    """Per-day HLL sketches of distinct ``key``, plus the estimate —
+    the daily building block of an incremental distinct-users rollup."""
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch"))
+        .select(
+            "day",
+            F.hll_sketch_estimate("sketch").alias("est_distinct"),
+            "sketch",
+        )
+    )
+
+
+def hll_merge_estimate(daily: DataFrame) -> DataFrame:
+    """Union the daily sketches → one all-time estimate. O(#days)
+    driver-free merge, never touching the raw events again."""
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct")
+    )
+
+
+def kll_value_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable quantile sketch (KLL) over a double column: per-type
+    sketches, merged to a global sketch, then quantiles — the
+    distributed-percentile path that doesn't materialize groups."""
+    per_type = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(value_col).alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar: fold the per-group
+    # sketches in a DETERMINISTIC order (sorted by group key) so the
+    # merged sketch — and its quantiles — are layout-independent
+    merged = per_type.agg(
+        F.expr(
+            "aggregate("
+            " slice(transform(array_sort(collect_list(struct(event_type, sk))),"
+            "       x -> x.sk), 2, 2147483647),"
+            " transform(array_sort(collect_list(struct(event_type, sk))),"
+            "       x -> x.sk)[0],"
+            " (acc, s) -> kll_sketch_merge_double(acc, s))"
+        ).alias("sk")
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(
+                f"q{int(p * 100)}"
+            )
+            for p in probs
+        ]
+    )
+
+
+def theta_distinct_by_source(
+    docs: DataFrame, key: str = "fingerprint"
+) -> DataFrame:
+    """Theta sketches per source + the cross-source union estimate —
+    distinct-content accounting across corpus sources (how much does a
+    new crawl REALLY add?)."""
+    per_source = docs.groupBy("source").agg(
+        F.theta_sketch_agg(key).alias("sk"),
+    )
+    return per_source.select(
+        "source",
+        F.theta_sketch_estimate("sk").alias("est_distinct"),
+    )

@@ -751,3 +751,22 @@ def _rollup_incremental_merge(spark, t):
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@query("sketch_distinct_users_daily")
+def _sketch_distinct_users_daily(spark, t):
+    # mergeable HLL distinct-user rollup (rows-only: DataSketches has
+    # no DuckDB twin; merge-equality + error bounds pinned in
+    # tests/test_sketches.py)
+    from ..operators.sketches import hll_daily_distinct
+
+    return hll_daily_distinct(t["events"]).select("day", "est_distinct")
+
+
+@query("sketch_value_quantiles")
+def _sketch_value_quantiles(spark, t):
+    # mergeable KLL quantiles of event value (rows-only; rank-error
+    # bound pinned in tests/test_sketches.py)
+    from ..operators.sketches import kll_value_quantiles
+
+    return kll_value_quantiles(t["events"])
