@@ -116,3 +116,32 @@ def test_observed_clean_single_pass(spark):
     assert m["rows_seen"] == 5
     assert m["rows_dropped"] == 3
     assert m["rows_seen"] - m["rows_dropped"] == kept
+
+
+def test_expectation_split_quarantines_with_evidence(spark):
+    """Failing rows land in quarantine with the names of the rules
+    they broke; clean + quarantine partitions the input exactly."""
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.operators.quality import (
+        expect,
+        expectation_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 7.0, "X"), (4, None, "R")],
+        "id long, price double, flag string",
+    )
+    rules = [
+        expect("price_positive", F.col("price") > 0),
+        expect("flag_domain", F.col("flag").isin("A", "N", "R")),
+    ]
+    clean, quarantine = expectation_split(df, rules)
+    assert {r.id for r in clean.collect()} == {1}
+    bad = {r.id: sorted(r.failed_rules) for r in quarantine.collect()}
+    assert bad == {
+        2: ["price_positive"],
+        3: ["flag_domain"],
+        4: ["price_positive"],  # null price = unevaluable = violation
+    }
+    assert clean.count() + quarantine.count() == df.count()

@@ -55,3 +55,61 @@ def check_star(star: dict[str, DataFrame]) -> dict[str, int]:
     metrics = assert_nonempty(star)
     metrics.update(fk_coverage(star["fact"], star["priority_dim"], "priority_key", "priority_key"))
     return metrics
+
+
+# ---- declarative expectations ---------------------------------------------
+
+
+def expect(name: str, condition: F.Column) -> tuple[str, F.Column]:
+    """One named row-level rule. Null condition results count as
+    violations (a rule you can't evaluate is not a pass)."""
+    return name, F.coalesce(condition, F.lit(False))
+
+
+def expectation_report(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
+    """Violation counts for every rule in ONE aggregate pass over the
+    data (no per-rule jobs — at 100 TB each extra pass is a full
+    scan). Returns (rule, n_rows, n_violations, violation_rate)."""
+    total = F.count(F.lit(1))
+    agg = df.agg(
+        total.alias("__n"),
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).alias(f"__v_{i}")
+            for i, (_, cond) in enumerate(rules)
+        ],
+    )
+    stacked = ", ".join(
+        f"'{name}', __v_{i}" for i, (name, _) in enumerate(rules)
+    )
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule, n_violations)", "__n AS n_rows"
+    ).selectExpr(
+        "rule",
+        "n_rows",
+        "n_violations",
+        "CAST(n_violations AS DOUBLE) / n_rows AS violation_rate",
+    )
+
+
+def expectation_split(
+    df: DataFrame, rules: list[tuple[str, F.Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): rows failing ANY rule are quarantined with
+    a ``failed_rules`` array naming which — replayable evidence, the
+    same contract as read_csv_quarantine. One projection, no shuffle;
+    the caller fork reuses one scan under whole-stage codegen."""
+    flagged = df.withColumn(
+        "failed_rules",
+        F.filter(
+            F.array(
+                *[
+                    F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    clean = flagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantine = flagged.filter(F.size("failed_rules") > 0)
+    return clean, quarantine

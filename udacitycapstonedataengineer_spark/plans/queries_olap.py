@@ -770,3 +770,47 @@ def _sketch_value_quantiles(spark, t):
     from ..operators.sketches import kll_value_quantiles
 
     return kll_value_quantiles(t["events"])
+
+
+@query(
+    "quality_expectation_report",
+    """
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                        THEN 1 ELSE 0 END) AS v_quantity_in_range,
+               SUM(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                        THEN 1 ELSE 0 END) AS v_price_positive,
+               SUM(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, FALSE)
+                        THEN 1 ELSE 0 END) AS v_discount_bounded,
+               SUM(CASE WHEN NOT (l_shipdate IS NOT NULL)
+                        THEN 1 ELSE 0 END) AS v_shipdate_present,
+               SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                        THEN 1 ELSE 0 END) AS v_returnflag_domain
+        FROM lineitem
+    )
+    SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+    FROM (
+        SELECT n_rows, 'quantity_in_range' AS rule, v_quantity_in_range AS n_violations FROM agg
+        UNION ALL SELECT n_rows, 'price_positive', v_price_positive FROM agg
+        UNION ALL SELECT n_rows, 'discount_bounded', v_discount_bounded FROM agg
+        UNION ALL SELECT n_rows, 'shipdate_present', v_shipdate_present FROM agg
+        UNION ALL SELECT n_rows, 'returnflag_domain', v_returnflag_domain FROM agg
+    )
+    """,
+)
+def _quality_expectation_report(spark, t):
+    # declarative expectations: all rule counts in ONE pass (single
+    # aggregate, then a stack pivot of the counters — no per-rule scan)
+    from ..operators.quality import expect, expectation_report
+
+    li = t["lineitem"]
+    rules = [
+        expect("quantity_in_range", F.col("l_quantity").between(1, 50)),
+        expect("price_positive", F.col("l_extendedprice") > 0),
+        expect("discount_bounded", F.col("l_discount").between(0.0, 0.1)),
+        expect("shipdate_present", F.col("l_shipdate").isNotNull()),
+        expect("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return expectation_report(li, rules)
