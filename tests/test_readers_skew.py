@@ -333,3 +333,33 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
             .toString()
         )
         assert node in plan, (hint, plan[:400])
+
+
+def test_ingest_lineage_metadata_columns(spark, tmp_path):
+    """_metadata-based lineage: every row names its source file, and
+    the columns persist through a sink for replay/blame."""
+    from udacitycapstonedataengineer_spark.sources.readers import (
+        with_ingest_lineage,
+    )
+
+    for i in range(2):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.parquet(
+            str(tmp_path / "landing" / f"f{i}.parquet")
+        )
+    df = with_ingest_lineage(
+        spark.read.parquet(str(tmp_path / "landing" / "*.parquet")),
+        batch_id="b-2026-08-13",
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    by_file = {}
+    for r in rows:
+        assert r._src_bytes > 0 and r._src_mtime is not None
+        assert r._batch_id == "b-2026-08-13"
+        by_file.setdefault(r._src_file, set()).add(r.id)
+    # rows attribute to exactly their producing file
+    assert sorted(len(v) for v in by_file.values()) == [10, 10]
+    # lineage survives a sink round-trip
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert "_src_file" in back.columns and back.count() == 20

@@ -3,11 +3,10 @@
 The reference reads everything with ``inferSchema=True`` (etl.py:61,76,92)
 — an extra full pass over the CSV and nondeterministic types. Here every
 reader takes an explicit ``StructType``; inference is opt-in for
-exploration only. The SAS7BDAT source (etl.py:42) has no Spark-4 reader;
-its capability is covered by a one-time convert-to-parquet step —
-``sas.convert_sas_like`` (single file, streaming) and
-``sas.convert_sas_batch`` (cluster-parallel, one task per file) — and
-all engine inputs are columnar.
+exploration only. The SAS7BDAT source (etl.py:42): a NATIVE
+``spark.read.format("sas7bdat")`` lives in ``sas_datasource.py``
+(Spark-4 Python DataSource API), with ``sas.convert_sas_like`` /
+``sas.convert_sas_batch`` as the convert-once-to-parquet alternative.
 """
 
 from __future__ import annotations
@@ -166,4 +165,23 @@ def load_tables(
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    return out
+
+
+def with_ingest_lineage(df: DataFrame, batch_id: str | None = None) -> DataFrame:
+    """Audit columns from the scan's hidden ``_metadata`` struct —
+    source file, size, mtime — plus an optional batch id. The lineage
+    every regulated pipeline wants, at zero cost: ``_metadata`` is
+    populated by the file reader itself (no extra IO, no UDF), and the
+    columns survive into sinks for replay/blame ("which file produced
+    this row?"). Must be applied to a DataFrame that came DIRECTLY
+    from a file source."""
+    out = df.select(
+        "*",
+        F.col("_metadata.file_name").alias("_src_file"),
+        F.col("_metadata.file_size").alias("_src_bytes"),
+        F.col("_metadata.file_modification_time").alias("_src_mtime"),
+    )
+    if batch_id is not None:
+        out = out.withColumn("_batch_id", F.lit(batch_id))
     return out
