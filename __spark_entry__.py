@@ -41,6 +41,11 @@ _PRIORITY = [
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",
     "tpch_q18_large_volume", "tpch_q19_disjunctive",
     "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_relation",
+    "tpch_q17_small_qty_revenue", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
     "dedup_exact_groups", "dedup_exact_keep_canonical",
     "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_pairs",
     "dedup_incremental_anti",
