@@ -492,3 +492,80 @@ def _variant_extract_props(spark, t):
             F.when(F.col("prop_k") >= 50, F.lit("high")).otherwise(F.lit("low")),
         )
     )
+
+
+@query(
+    "events_spend_rank_stats",
+    """
+    WITH spend AS (
+        SELECT user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(cents AS DOUBLE) / 100.0 AS spend,
+           percent_rank() OVER (ORDER BY cents, user_id) AS spend_pct_rank,
+           cume_dist()    OVER (ORDER BY cents, user_id) AS spend_cume_dist
+    FROM spend
+    ORDER BY user_id
+    """,
+)
+def _events_spend_rank_stats(spark, t):
+    # distribution position of every user's purchase spend:
+    # percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    # integer ratios under one IEEE division, so the doubles compare
+    # bit-for-bit across engines. The (cents, user_id) window order is
+    # total → ranks are reproducible on any partitioning. One shuffle
+    # for the user aggregate; the rank window runs at user grain.
+    spend = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("cents", "user_id")
+    return (
+        spend.select(
+            "user_id",
+            (F.col("cents").cast("double") / 100.0).alias("spend"),
+            F.percent_rank().over(w).alias("spend_pct_rank"),
+            F.cume_dist().over(w).alias("spend_cume_dist"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_transition_bigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 25
+    """,
+)
+def _events_transition_bigrams(spark, t):
+    # behavioral path mining: which event follows which — the Markov
+    # transition counts behind funnel design and next-action models.
+    # The lag window's (ts, event_id) order is total per user (event_id
+    # unique), so bigram attribution is deterministic even for
+    # same-timestamp events — the tie-break discipline the session
+    # oracle taught (ADVICE r1). One user_id shuffle for the window,
+    # then a tiny (prev,next)-grain aggregate; top-25 is a heap.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(25)
+    )

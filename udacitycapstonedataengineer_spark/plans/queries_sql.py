@@ -98,3 +98,86 @@ def _sql_not_exists_antijoin(spark, t):
 @query("sql_scalar_subquery", _SCALAR_SUBQ_SQL)
 def _sql_scalar_subquery(spark, t):
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# Spark 4 recursive CTE (WITH RECURSIVE, SPARK-24497): the classic
+# warehouse densification — generate a contiguous date spine and
+# left-join sparse daily aggregates onto it so missing days surface as
+# explicit zeros (gap-filled time series feed downstream models without
+# NULL-day bugs). The recursion is driver-bounded (one literal quarter,
+# 90 levels — under Spark's recursion guard) and the spine is tiny, so
+# the only real work is the one orders aggregation; the spine side of
+# the join broadcasts. DuckDB runs the same WITH RECURSIVE shape —
+# engine-dialect differences (INTERVAL literal, strftime) only.
+_RECURSIVE_SPINE_SPARK = """
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + INTERVAL '1' DAY FROM spine WHERE d < DATE '1995-03-31'
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               count(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+        GROUP BY 1
+    )
+    SELECT date_format(spine.d, 'yyyy-MM-dd') AS day_iso,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100.0 AS revenue
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ORDER BY day_iso
+"""
+
+_RECURSIVE_SPINE_DUCK = """
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-31'
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               count(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+        GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day_iso,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100.0 AS revenue
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ORDER BY day_iso
+"""
+
+
+@query("sql_recursive_date_spine", _RECURSIVE_SPINE_DUCK)
+def _sql_recursive_date_spine(spark, t):
+    return spark.sql(_RECURSIVE_SPINE_SPARK)
+
+
+# Correlated LATERAL subquery with per-key ORDER BY + LIMIT — "top-2
+# orders for every high-balance customer". Catalyst decorrelates the
+# lateral into a window/rank rewrite (no per-row re-execution); the
+# same query in DuckDB uses its native LATERAL join. Deterministic:
+# the inner ordering (o_totalprice DESC, o_orderkey) is total.
+_LATERAL_TOPN_SPARK = """
+    SELECT c.c_custkey, top.o_orderkey, top.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) AS top
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@query("sql_lateral_topn_per_customer", _LATERAL_TOPN_SPARK)
+def _sql_lateral_topn_per_customer(spark, t):
+    return spark.sql(_LATERAL_TOPN_SPARK)

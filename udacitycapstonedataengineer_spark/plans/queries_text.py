@@ -5,6 +5,7 @@ the scan, fully codegen'd."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -301,4 +302,122 @@ def _pii_redact_contacts(spark, t):
         t["customer"]
         .select("c_custkey", contact.alias("contact"))
         .select("c_custkey", X.redact_pii("contact").alias("redacted"))
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT doc_id, term, tf, df, term_rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term)
+                   AS term_rank
+        FROM tf JOIN df ON tf.term = df.term)
+    WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def _text_tfidf_top_terms(spark, t):
+    # tf-idf characteristic terms per document — the feature-selection
+    # step of corpus curation. The idf ORDERING is what matters, and
+    # (tf DESC, df ASC, term) ranks exactly as tf·log(N/df) would
+    # while staying in integers — no engine-libm log in the compared
+    # output (ln(x) is not bit-identical across math libraries). Plan:
+    # tf is one (doc,term) shuffle, df one term shuffle, the join
+    # re-uses df's term partitioning, and the per-doc top-3 is a
+    # running row_number — no global sort of the token stream.
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+@query(
+    "text_fuzzy_pairs_levenshtein",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+               AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 8) = substr(b.text, 1, 8)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def _text_fuzzy_pairs_levenshtein(spark, t):
+    # edit-distance near-dup verify: exact Levenshtein on 40-char
+    # prefixes, RESTRICTED to an 8-char-prefix equi-join bucket so the
+    # pair space is bucket-local (the same blocking discipline as the
+    # LSH pipelines — never all-pairs). Levenshtein is an exact integer
+    # metric with one standard definition, so Spark and DuckDB agree
+    # bit-for-bit. At scale the prefix bucket join is one hash shuffle;
+    # O(40²) DP per candidate pair only.
+    d = t["documents"].select("doc_id", F.substring("text", 1, 40).alias("p40"),
+                              F.substring("text", 1, 8).alias("p8"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("p40").alias("pa"),
+                 F.col("p8").alias("ba"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("p40").alias("pb"),
+                 F.col("p8").alias("bb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "text_pseudonymize_sha2",
+    """
+    SELECT sha256('pepper-2026|' || CAST(user_id AS VARCHAR)) AS uid_pseudo,
+           count(*) AS n_events
+    FROM events
+    GROUP BY uid_pseudo
+    ORDER BY uid_pseudo
+    """,
+)
+def _text_pseudonymize_sha2(spark, t):
+    # keyed pseudonymization — the reversible-only-with-the-pepper
+    # counterpart to pii_redact_contacts: replace the identifier with
+    # sha256(pepper || id) so per-user analytics still join/group while
+    # raw ids never leave the cluster. Pure native hash, zero shuffle
+    # beyond the count aggregate; both engines emit identical lowercase
+    # hex.
+    pseudo = F.sha2(
+        F.concat(F.lit("pepper-2026|"), F.col("user_id").cast("string")), 256
+    )
+    return (
+        t["events"]
+        .groupBy(pseudo.alias("uid_pseudo"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("uid_pseudo")
     )
