@@ -34,7 +34,12 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_suppliers",
     # training-data pipeline extensions
+    "text_tfidf_top_terms",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -53,7 +58,22 @@ HEADLINE = [
 # comparison is informational: queries >1.5× over baseline are listed
 # in the "regressions" field for A/B follow-up within one session, not
 # auto-failed.
-BASELINE_BENCH = os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
+def _latest_bench_file() -> str | None:
+    """Newest driver-committed BENCH_r{N}.json — the regression
+    reference rolls forward each round."""
+    import glob
+    import re
+
+    files = glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+    best, best_n = None, -1
+    for f in files:
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    return best
+
+
+BASELINE_BENCH = _latest_bench_file()
 
 
 def main() -> None:
@@ -102,6 +122,8 @@ def main() -> None:
 
 
 def _load_baseline() -> dict[str, float]:
+    if not BASELINE_BENCH:
+        return {}
     try:
         with open(BASELINE_BENCH) as f:
             data = json.load(f)

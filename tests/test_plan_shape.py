@@ -87,3 +87,25 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     # incremental dedup: anti join broadcasts the fingerprint projection
     plan = _plan(QUERIES["dedup_incremental_anti"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q21_rewrite_scans_lineitem_once(spark, sf_dir):
+    """The classic Q21 is a TRIPLE self-join of lineitem (base + EXISTS
+    + NOT EXISTS). The engine's per-order-aggregation rewrite must scan
+    lineitem exactly once — that's the whole point of the rewrite."""
+    plan = _plan(QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan[:800]
+    # supplier/nation/region side arrives via broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_and_q9_broadcast_dims(spark, sf_dir):
+    """Q2: supplier⋈nation⋈region and the filtered part list broadcast;
+    the only exchange keys are the derived part-supplier groupBy. Q9:
+    name-filtered part and supplier⋈nation broadcast."""
+    for name, min_bcast in [
+        ("tpch_q2_min_cost_supplier", 2),
+        ("tpch_q9_product_profit", 2),
+    ]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
