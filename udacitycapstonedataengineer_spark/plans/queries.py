@@ -471,5 +471,6 @@ from . import queries_labels  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_tpch2  # noqa: E402,F401
 from . import queries_tpch3  # noqa: E402,F401
+from . import queries_corpus2  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

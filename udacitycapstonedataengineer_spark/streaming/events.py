@@ -333,3 +333,169 @@ def streaming_dedup_within_watermark(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(dedup_cols or ["fingerprint"])
     )
+
+
+def stream_stream_click_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 10,
+    query_name: str = "stream_click_purchase",
+) -> DataFrame:
+    """Stream–stream interval join: attribute every purchase to the
+    click(s) by the same user within the preceding ``minutes``.
+
+    Both sides carry watermarks, so the join STATE IS BOUNDED: a
+    buffered click can be dropped once the purchase-side watermark
+    passes click_ts + interval (Spark derives the state-eviction bound
+    from the time-range condition — without the range predicate the
+    buffers would grow forever). Inner join + both-side watermarks is
+    the append-mode-safe configuration. At scale the join shuffles both
+    streams on user_id once; state lives in the state store, sized by
+    the interval, not the stream length.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", f"{2 * minutes} minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", f"{2 * minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def batch_click_purchase(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Batch twin of stream_stream_click_purchase (same semantics, one
+    equi-join on user plus the time-range residual)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id")
+
+
+def streaming_user_totals_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_user_totals_tws",
+) -> DataFrame:
+    """Per-user running purchase totals via the Spark-4
+    ``transformWithStateInPandas`` StatefulProcessor API — the
+    successor to applyInPandasWithState: typed named state (ValueState
+    here; ListState/MapState/timers available), Arrow-batched, and
+    REQUIRING the RocksDB state store, which keeps per-key state on
+    local disk instead of executor heap — the difference between
+    bounded and OOM at 100 TB key cardinality. Money accumulates in
+    exact integer cents (the same order-independence discipline as the
+    batch engine's functions/exact.py).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_purchases": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        purchases = _events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        out = purchases.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(query_name)
