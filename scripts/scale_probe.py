@@ -39,6 +39,13 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_by_key",
     "events_sessionize",
+    # round-2b additions: heaviest of the new suite
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "text_tfidf_top_terms",
+    "docs_contamination_check",
+    "docs_pack_sequences",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -363,3 +363,21 @@ def test_ingest_lineage_metadata_columns(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "out"))
     back = spark.read.parquet(str(tmp_path / "out"))
     assert "_src_file" in back.columns and back.count() == 20
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    """Spark 4 ships the XML source natively (spark-xml was merged
+    upstream): write with rootTag/rowTag, read back with an explicit
+    rowTag — schema and values survive. Avro remains an external
+    module (not on this classpath) and is documented as such."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "xml_out")
+    (df.write.format("xml").option("rootTag", "rows").option("rowTag", "row")
+       .save(path))
+    back = (
+        spark.read.format("xml").option("rowTag", "row").load(path)
+        .select("id", "name", "score")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -78,3 +78,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_parameterized_sql_named_args(spark, sf_dir):
+    """spark.sql named-parameter binding (Spark 3.4+/4): values are
+    bound as literals by the parser, not string-spliced — the
+    injection-safe way to template thresholds into SQL."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir)
+    df = spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > :min_price AND o_orderstatus = :status",
+        args={"min_price": 1000.0, "status": "F"},
+    )
+    n = df.collect()[0].n
+    expected = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter("o_totalprice > 1000.0 AND o_orderstatus = 'F'")
+        .count()
+    )
+    assert n == expected > 0

@@ -569,3 +569,43 @@ def _events_transition_bigrams(spark, t):
         .orderBy(F.desc("n"), "prev_type", "next_type")
         .limit(25)
     )
+
+
+@query(
+    "events_forward_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def _events_forward_fill(spark, t):
+    # forward-fill (last-observation-carried-forward): every event
+    # carries the user's most recent purchase value — the gap-filling
+    # primitive for sparse observations (sensor readings, prices,
+    # consent flags). IGNORE NULLS last_value over a TOTAL (ts,
+    # event_id) order makes the fill deterministic under timestamp
+    # ties; rows leading the first observation stay NULL (both engines
+    # agree). One user_id shuffle; the carried double is passed through
+    # untouched, so it compares bit-for-bit.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    observed = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            F.last(observed, ignorenulls=True).over(w).alias(
+                "last_purchase_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
