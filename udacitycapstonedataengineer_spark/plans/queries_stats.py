@@ -5,6 +5,7 @@ all DuckDB-oracled.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import H60, H60_SQL
@@ -152,4 +153,390 @@ def _orders_outlier_iqr(spark, t):
             ).alias("n_low_outliers"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "docs_repetition_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wrd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wa AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               count(*) AS n_distinct_words,
+               CAST(MAX(cnt) AS BIGINT) AS top_word_n
+        FROM (SELECT doc_id, word, count(*) AS cnt
+              FROM wrd GROUP BY doc_id, word)
+        GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w WHERE len(ws) >= 2
+    ),
+    ba AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_dup_bigrams
+        FROM (SELECT doc_id, bigram, count(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
+           n_bigrams, n_dup_bigrams
+    FROM wa JOIN ba USING (doc_id)
+    ORDER BY wa.doc_id
+    """,
+)
+def _docs_repetition_stats(spark, t):
+    # Gopher/C4-style within-document repetition profile: the counts
+    # behind the classic quality filters (most-frequent-word fraction,
+    # duplicate-bigram fraction). Emitted as exact integers — the
+    # consumer picks thresholds; no float ratios cross the engine
+    # boundary. Two explode→two-level aggregates (map-side partial agg
+    # absorbs the per-doc fan-out), joined back at doc grain. The
+    # (doc_id, word) shuffle key is high-cardinality and unskewed, so
+    # the plan holds at corpus scale.
+    docs = t["documents"].select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    wa = (
+        docs.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("cnt").alias("top_word_n"),
+        )
+    )
+    # sequence(1, size-1) is guarded by size>=2: Spark's sequence(1, 0)
+    # is DESCENDING [1, 0], not empty (see queries_text chunking note).
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    ba = (
+        docs.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+            ).alias("n_dup_bigrams"),
+        )
+    )
+    return wa.join(ba, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "docs_global_dup_spans",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                                  ws[i+3], ws[i+4]))) AS shingle
+        FROM w WHERE len(ws) >= 5
+    ),
+    df AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS n_docs
+        FROM sh
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_shingles
+    FROM df GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def _docs_global_dup_spans(spark, t):
+    # cross-document duplicate-span profile (the C4 "repeated span"
+    # signal): for each doc, how many of its distinct word-5-gram
+    # spans also occur in at least one OTHER document. Distinct
+    # (doc, shingle) pairs → window count at shingle grain → doc-grain
+    # rollup: the corpus-wide span frequency is ONE shuffle on the
+    # shingle key (uniform, high-cardinality), never an all-pairs doc
+    # comparison. Complements docs_contamination_check (which compares
+    # against a broadcast eval set, not the corpus itself).
+    shingles = F.expr(
+        "transform(sequence(1, size(ws) - 4),"
+        " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1),"
+        " element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4)))"
+    )
+    sh = (
+        t["documents"]
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_shingles"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "events_debounce",
+    """
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM ordered
+    WHERE prev_us IS NULL OR us - prev_us >= 60000000
+    ORDER BY event_id
+    """,
+)
+def _events_debounce(spark, t):
+    # debounce: suppress repeat (user, type) events arriving within
+    # 60 s of the previous KEPT-or-not event — the standard guard
+    # against double-clicks / retry storms before sessionization or
+    # billing. lag over the total (ts, event_id) order makes the
+    # decision deterministic under timestamp ties; integer
+    # epoch-micros arithmetic keeps the threshold test exact. One
+    # (user, type) shuffle, no join.
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    return (
+        t["events"]
+        .select("event_id", "user_id", "event_type", us.alias("us"),
+                prev.alias("prev_us"))
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") >= 60_000_000)
+        )
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_rolling_7d_active_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN du.day = d.day
+                                    THEN du.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_7d
+    FROM days d
+    JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def _events_rolling_7d_active_users(spark, t):
+    # DAU + trailing-7-day active users per day — the sliding-window
+    # COUNT DISTINCT that plain windows can't express (distinct does
+    # not decompose over frames). Strategy: collapse events to
+    # distinct (day, user) FIRST (one shuffle, day×user grain — at
+    # 100 TB this is users×days rows, ~10⁻⁴ of the event count), then
+    # fan each pair out to the ≤7 window anchors via a broadcast
+    # range join against the tiny day dimension, and count distinct
+    # at day grain. All-integer outputs.
+    du = (
+        t["events"]
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = F.broadcast(du.select("day").distinct().withColumnRenamed(
+        "day", "anchor"
+    ))
+    return (
+        du.join(
+            days,
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "orders_winsorized_sum",
+    """
+    WITH cents AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderstatus,
+               quantile_cont(c, 0.05) AS q05,
+               quantile_cont(c, 0.95) AS q95
+        FROM cents GROUP BY o_orderstatus
+    ),
+    agg AS (
+        SELECT c.o_orderstatus,
+               count(*) AS n_orders,
+               CAST(SUM(CASE WHEN c.c < b.q05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below,
+               CAST(SUM(CASE WHEN c.c > b.q95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN c.c >= b.q05 AND c.c <= b.q95
+                             THEN c.c ELSE 0 END) AS BIGINT) AS mid_sum_cents,
+               MIN(b.q05) AS q05, MIN(b.q95) AS q95
+        FROM cents c JOIN b USING (o_orderstatus)
+        GROUP BY c.o_orderstatus
+    )
+    SELECT o_orderstatus, n_orders, n_below, n_above, mid_sum_cents,
+           CAST(mid_sum_cents AS DOUBLE) + n_below * q05 + n_above * q95
+               AS winsorized_sum_cents
+    FROM agg ORDER BY o_orderstatus
+    """,
+)
+def _orders_winsorized_sum(spark, t):
+    # winsorized total per status: clip at the 5th/95th percentile
+    # before summing — the robust aggregate that keeps a few fat-
+    # finger orders from owning the metric. The interior sum stays an
+    # exact BIGINT of cents; the clipped tails contribute as
+    # count × quantile in ONE shared float expression evaluated after
+    # aggregation (never a float sum over rows, which would be
+    # accumulation-order-dependent on a cluster). Quantiles
+    # interpolate on integer cents — bitwise-identical across engines
+    # (percentile ≡ quantile_cont, same discipline as
+    # percentile_by_status). Tiny status-grain bounds broadcast back.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = t["orders"].select("o_orderstatus", cents.alias("c"))
+    b = F.broadcast(
+        c.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(c, 0.05)").alias("q05"),
+            F.expr("percentile(c, 0.95)").alias("q95"),
+        )
+        .withColumnRenamed("o_orderstatus", "b_status")
+    )
+    agg = (
+        c.join(b, F.col("o_orderstatus") == F.col("b_status"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("c") < F.col("q05"), 1).otherwise(0)).alias(
+                "n_below"
+            ),
+            F.sum(F.when(F.col("c") > F.col("q95"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("c") >= F.col("q05"))
+                    & (F.col("c") <= F.col("q95")),
+                    F.col("c"),
+                ).otherwise(0)
+            ).alias("mid_sum_cents"),
+            F.min("q05").alias("q05"),
+            F.min("q95").alias("q95"),
+        )
+    )
+    winsorized = (
+        F.col("mid_sum_cents").cast("double")
+        + F.col("n_below") * F.col("q05")
+        + F.col("n_above") * F.col("q95")
+    )
+    return agg.select(
+        "o_orderstatus", "n_orders", "n_below", "n_above",
+        "mid_sum_cents", winsorized.alias("winsorized_sum_cents"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "events_zscore_outliers",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               SUM(v) AS s1, SUM(v::HUGEINT * v) AS s2
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(MIN(m.n) AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN 4 * (m.n::HUGEINT * c.v - m.s1)
+                             * (m.n::HUGEINT * c.v - m.s1)
+                          > 9 * (m.n::HUGEINT * m.s2 - m.s1 * m.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers_1p5sigma
+    FROM c JOIN m USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+)
+def _events_zscore_outliers(spark, t):
+    # robust outlier count per type with ZERO float ops: |x − μ| > kσ
+    # cross-multiplied into pure integer arithmetic —
+    # 4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) is exactly |z| > 1.5 (k²=9/4).
+    # The moments accumulate as exact integers (decimal for the
+    # squares — Σx² passes int64 around sf10); the membership test is
+    # then layout- and engine-independent, unlike any float-σ
+    # comparison at the boundary. Tiny type-grain moments broadcast
+    # back onto the stream; one shuffle total.
+    v = F.round(F.col("value") * 100).cast("long")
+    c = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", v.alias("v"))
+    )
+    m = F.broadcast(
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+        )
+        .withColumnRenamed("event_type", "m_type")
+    )
+    dec = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
+    diff = dec("n") * dec("v") - dec("s1")
+    cond = 4 * diff * diff > 9 * (dec("n") * F.col("s2") - dec("s1") * dec("s1"))
+    return (
+        c.join(m, F.col("event_type") == F.col("m_type"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_values"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_outliers_1p5sigma"),
+        )
+        .orderBy("event_type")
     )
