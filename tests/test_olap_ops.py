@@ -266,3 +266,23 @@ def test_kmeans_reproducible_across_layouts(spark, sf_dir):
     assert a == b
     assert len(set(a.values())) > 1  # actually clustered, not collapsed
     assert set(a) == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_snapshot_diff_classifies_and_is_nullsafe(spark):
+    """added/removed/changed classification, NULL→value and value→NULL
+    both count as changes, unchanged rows are dropped."""
+    from udacitycapstonedataengineer_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, "c"), (4, None, "d")],
+        "k int, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (4, 40, "d"), (5, 50, "e")],
+        "k int, v int, s string",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}

@@ -226,3 +226,45 @@ def _dedup_minhash_lsh(spark, t):
 def _dedup_simhash(spark, t):
     # SimHash near-dup pairs — oracled end-to-end (portable hashing)
     return simhash_near_dups(t["documents"], max_hamming=16)
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ( {_minhash_oracle_sql()} ) q
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def _dedup_clusters(spark, t):
+    # transitive closure of the near-dup relation, ORACLED: Spark runs
+    # hash-min label propagation (operators/graph.py — one join + one
+    # groupBy per round on the tiny pair-edge set); DuckDB reproduces
+    # the same fixed point as a recursive-CTE reachability closure +
+    # MIN. Component = min reachable doc_id on both engines, so the
+    # iterative algorithm is value-checked end-to-end, not just
+    # property-tested. Edges come from the already-oracled MinHash-LSH
+    # pipeline, keeping the two formulations' inputs identical.
+    from ..operators.dedup import minhash_near_dups
+    from ..operators.graph import connected_components
+
+    pairs = minhash_near_dups(
+        t["documents"], num_hashes=16, bands=4, threshold=0.3
+    ).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )

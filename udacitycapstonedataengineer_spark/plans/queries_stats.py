@@ -540,3 +540,139 @@ def _events_zscore_outliers(spark, t):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.cents IS DISTINCT FROM n.cents
+                     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                     THEN 'changed' END AS change_type,
+           o.cents AS old_cents, n.cents AS new_cents,
+           o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.cents IS DISTINCT FROM n.cents
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'changed' END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def _orders_snapshot_diff(spark, t):
+    # CDC snapshot diff demoed on two derived versions of orders
+    # (simulated deletes via %7, inserts via %11, price updates via
+    # %5): one full-outer join on the key, null-safe comparison,
+    # emit only differing rows. The operator (operators/diff.py)
+    # projects compared columns before the join so the shuffle carries
+    # key + values only; bucketed snapshots make it shuffle-free.
+    from ..operators.diff import snapshot_diff
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = t["orders"].select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0),
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"], ["cents", "o_orderstatus"])
+        .select(
+            "o_orderkey", "change_type",
+            "old_cents", "new_cents",
+            F.col("old_o_orderstatus").alias("old_status"),
+            F.col("new_o_orderstatus").alias("new_status"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "orders_column_profile",
+    """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               count(o_orderstatus) AS nn_status,
+               count(DISTINCT o_orderstatus) AS nd_status,
+               CAST(min(o_orderstatus) AS VARCHAR) AS mn_status,
+               CAST(max(o_orderstatus) AS VARCHAR) AS mx_status,
+               count(o_custkey) AS nn_cust,
+               count(DISTINCT o_custkey) AS nd_cust,
+               CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+               CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+               count(o_orderpriority) AS nn_prio,
+               count(DISTINCT o_orderpriority) AS nd_prio,
+               CAST(min(o_orderpriority) AS VARCHAR) AS mn_prio,
+               CAST(max(o_orderpriority) AS VARCHAR) AS mx_prio
+        FROM orders
+    )
+    SELECT col_name, n_rows, n_non_null, n_distinct, min_value, max_value
+    FROM (
+        SELECT 'o_orderstatus' AS col_name, n_rows, nn_status AS n_non_null,
+               nd_status AS n_distinct, mn_status AS min_value,
+               mx_status AS max_value FROM a
+        UNION ALL
+        SELECT 'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, mn_prio, mx_prio
+        FROM a
+    )
+    ORDER BY col_name
+    """,
+)
+def _orders_column_profile(spark, t):
+    # one-pass wide-table profile (the df.describe() a data engineer
+    # actually wants): per column — non-null count, exact distinct
+    # count, min, max — in a SINGLE scan + aggregate. Spark plans the
+    # 3 exact DISTINCTs as one Expand (3× row multiply before partial
+    # agg) — one shuffle, no per-column jobs; at extreme widths swap
+    # exact distincts for approx_count_distinct (sketch suite covers
+    # that trade). Values stringified so the long-format output has a
+    # uniform schema.
+    o = t["orders"]
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("mn_status"),
+        F.max("o_orderstatus").cast("string").alias("mx_status"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("mn_prio"),
+        F.max("o_orderpriority").cast("string").alias("mx_prio"),
+    )
+    long = a.selectExpr(
+        """stack(3,
+            'o_orderstatus', nn_status, nd_status, mn_status, mx_status,
+            'o_custkey', nn_cust, nd_cust, mn_cust, mx_cust,
+            'o_orderpriority', nn_prio, nd_prio, mn_prio, mx_prio
+        ) AS (col_name, n_non_null, n_distinct, min_value, max_value)""",
+        "n_rows",
+    )
+    return long.select(
+        "col_name", "n_rows", "n_non_null", "n_distinct",
+        "min_value", "max_value",
+    ).orderBy("col_name")
