@@ -109,3 +109,29 @@ def test_q2_and_q9_broadcast_dims(spark, sf_dir):
     ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert plan.count("BroadcastHashJoin") >= min_bcast, name
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A fact partitioned on the join key must be pruned at runtime by
+    a selective dim filter (DPP): the scan's partition filter carries a
+    dynamicpruning subquery instead of reading every partition. This is
+    the mechanism that keeps dim-filtered scans of a date/status-
+    partitioned 100 TB fact from touching cold partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact_path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "closed")
+    joined = fact.join(
+        dim, fact.o_orderstatus == dim.status
+    ).groupBy("label").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only reflects the F partition
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0].label == "closed"

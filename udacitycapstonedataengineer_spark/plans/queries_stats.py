@@ -676,3 +676,126 @@ def _orders_column_profile(spark, t):
         "col_name", "n_rows", "n_non_null", "n_distinct",
         "min_value", "max_value",
     ).orderBy("col_name")
+
+
+@query(
+    "orders_equidepth_deciles",
+    """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    vg AS (SELECT c, count(*) AS cnt FROM c GROUP BY c),
+    v2 AS (
+        SELECT c, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start
+        FROM vg
+    ),
+    tot AS (SELECT count(*) AS n FROM c),
+    r AS (
+        SELECT cc.c,
+               v2.start + ROW_NUMBER() OVER (PARTITION BY cc.c
+                                             ORDER BY cc.o_orderkey) AS rnk
+        FROM c cc JOIN v2 ON cc.c = v2.c
+    )
+    SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+           count(*) AS n_orders,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM r, tot
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def _orders_equidepth_deciles(spark, t):
+    # equi-depth (quantile) histogram via EXACT distributed ranking —
+    # the two-level pattern that avoids Spark's classic trap of a
+    # global-order window pulling every row into one partition:
+    # (1) collapse to VALUE grain and cumsum the counts there (the
+    # global window runs over distinct values only — orders of
+    # magnitude smaller, spill-backed); (2) per-row rank = group start
+    # + row_number WITHIN the value partition (distributed); decile =
+    # (rank−1)·10 div n, pure integer math identical in both engines.
+    # Same discipline as grouped_median_dev_native's middle-rank
+    # extraction.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = t["orders"].select("o_orderkey", cents.alias("c"))
+    vg = c.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    v2 = vg.withColumn(
+        "start", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+    ).select("c", "start")
+    tot = F.broadcast(c.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    rn = F.row_number().over(
+        Window.partitionBy("c").orderBy("o_orderkey")
+    )
+    r = (
+        c.withColumn("rn", rn)
+        .join(v2, "c")
+        .crossJoin(tot)
+        .select(
+            "c",
+            F.expr("(start + rn - 1) * 10 DIV n").alias("decile"),
+        )
+    )
+    return (
+        r.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "events_mode_value_per_type",
+    """
+    SELECT event_type, mode_cents, n_occurrences
+    FROM (
+        SELECT event_type, c AS mode_cents, count(*) AS n_occurrences,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY count(*) DESC, c) AS rn
+        FROM (SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type, c
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def _events_mode_value_per_type(spark, t):
+    # exact mode per group with a DETERMINISTIC tie-break (highest
+    # count, then smallest value): (type, value)-grain aggregate, then
+    # a top-1 window at value grain — never a per-group collect. The
+    # two-level shape means the heavy shuffle key is (type, value),
+    # which stays unskewed even when one type dominates the stream.
+    v = F.round(F.col("value") * 100).cast("long")
+    counts = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", v.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("n_occurrences"), "c"
+        )
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("c").alias("mode_cents"),
+            "n_occurrences",
+        )
+        .orderBy("event_type")
+    )
