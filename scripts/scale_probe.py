@@ -91,7 +91,12 @@ def main() -> None:
     src = "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scale-probe", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=int(cpus),
+                      # 10× data in ONE local JVM (driver = all executors):
+                      # the default 1g heap is no model of a real cluster's
+                      # per-executor memory — size it like one executor
+                      # would be.
+                      extra_conf={"spark.driver.memory": "16g"})
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, src, out_dir, factor)
 

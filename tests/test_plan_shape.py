@@ -97,6 +97,10 @@ def test_q21_rewrite_scans_lineitem_once(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan[:800]
     # supplier/nation/region side arrives via broadcast, not a shuffle
     assert "BroadcastHashJoin" in plan
+    # the orders side is fact-proportional: it must come in via a
+    # pinned shuffle join (reused by the per-order agg), NEVER a
+    # broadcast — the sf1 probe caught the broadcast OOMing at 10×
+    assert "ShuffledHashJoin" in plan
 
 
 def test_q2_and_q9_broadcast_dims(spark, sf_dir):

@@ -189,8 +189,9 @@ def _orders_outlier_iqr(spark, t):
         GROUP BY doc_id
     )
     SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
-           n_bigrams, n_dup_bigrams
-    FROM wa JOIN ba USING (doc_id)
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(n_dup_bigrams, 0) AS n_dup_bigrams
+    FROM wa LEFT JOIN ba USING (doc_id)
     ORDER BY wa.doc_id
     """,
 )
@@ -236,7 +237,17 @@ def _docs_repetition_stats(spark, t):
             ).alias("n_dup_bigrams"),
         )
     )
-    return wa.join(ba, "doc_id").orderBy("doc_id")
+    # LEFT join + 0-fill: a 1-word doc has no bigrams but must still
+    # appear in the profile (inner join would silently drop it)
+    return (
+        wa.join(ba, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct_words", "top_word_n",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_dup_bigrams", F.lit(0)).alias("n_dup_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -798,4 +809,50 @@ def _events_mode_value_per_type(spark, t):
             "n_occurrences",
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "text_inverted_index",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM tok
+    GROUP BY term
+    HAVING count(*) >= 10
+    ORDER BY term
+    """,
+)
+def _text_inverted_index(spark, t):
+    # inverted index (term → sorted posting list) — the retrieval
+    # building block under keyword search / BM25 / RAG hybrid search.
+    # Distinct (doc, term) pairs → one shuffle on the term key; the
+    # posting list is sorted INSIDE the aggregate (sort_array over
+    # collect_list), so no per-term window, and emitted as a joined
+    # string for a stable cross-engine representation. At 100 TB
+    # stop-word-grade terms make postings huge — the df floor here
+    # stands in for the tiered posting/stop-listing a real index does;
+    # collect_list is bounded by that same cap.
+    tok = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+        .orderBy("term")
     )

@@ -551,10 +551,16 @@ def _tpch_q21_waiting_suppliers(spark, t):
     o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
+    # The orders side is FACT-proportional — never broadcast it (the
+    # sf1-equivalent probe caught Spark size-misestimating it under the
+    # broadcast threshold and OOMing the build). SHUFFLE_HASH pins a
+    # shuffle join on l_orderkey, which the per-order aggregation then
+    # reuses — same exchange count as the broadcast plan, but bounded
+    # memory at any scale.
     li = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn(
             "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
         )
