@@ -89,6 +89,28 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_spend_rank_has_no_global_window(spark, sf_dir):
+    """percent_rank/cume_dist must come from the distributed exact
+    ranking (operators/ranking.py), never a no-partitionBy window that
+    serializes all users through one task (VERDICT r2 #2). The plan
+    must show the range repartition and no built-in global ranking
+    window function."""
+    plan = _plan(QUERIES["events_spend_rank_stats"](spark, sf_dir))
+    assert "percent_rank(" not in plan, plan[:1200]
+    assert "cume_dist(" not in plan, plan[:1200]
+    assert "SPARK_PARTITION_ID" in plan, plan[:1200]
+    assert "rangepartitioning" in plan.lower(), plan[:1200]
+
+
+def test_rolling_7d_fanout_is_equi_join(spark, sf_dir):
+    """The trailing-7-day fan-out must be an exploded equi-join, never
+    a range-predicate nested loop comparing every (day,user) pair
+    against every anchor day (ADVICE r2): O(|du|·7), not O(|du|·|days|)."""
+    plan = _plan(QUERIES["events_rolling_7d_active_users"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "Generate explode" in plan
+
+
 def test_q21_rewrite_scans_lineitem_once(spark, sf_dir):
     """The classic Q21 is a TRIPLE self-join of lineitem (base + EXISTS
     + NOT EXISTS). The engine's per-order-aggregation rewrite must scan

@@ -360,14 +360,14 @@ def _events_debounce(spark, t):
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM du)
-    SELECT d.day,
+    SELECT CAST(d.day AS VARCHAR) AS day,
            CAST(count(DISTINCT CASE WHEN du.day = d.day
                                     THEN du.user_id END) AS BIGINT) AS dau,
            CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_7d
     FROM days d
     JOIN du ON du.day BETWEEN d.day - 6 AND d.day
     GROUP BY d.day
-    ORDER BY d.day
+    ORDER BY day
     """,
 )
 def _events_rolling_7d_active_users(spark, t):
@@ -376,29 +376,39 @@ def _events_rolling_7d_active_users(spark, t):
     # not decompose over frames). Strategy: collapse events to
     # distinct (day, user) FIRST (one shuffle, day×user grain — at
     # 100 TB this is users×days rows, ~10⁻⁴ of the event count), then
-    # fan each pair out to the ≤7 window anchors via a broadcast
-    # range join against the tiny day dimension, and count distinct
-    # at day grain. All-integer outputs.
+    # fan each pair out to its ≤7 trailing window anchors with an
+    # EXPLODED sequence + equi-join — never a range predicate, which
+    # Spark would plan as a nested-loop compare of every pair against
+    # every day (ADVICE r2). The broadcast semi-join keeps only
+    # anchors that exist in the data (matching the oracle's `days`
+    # dimension). `day` is emitted as an ISO string so both engines
+    # agree on the output type (the repo's date-output discipline).
     du = (
         t["events"]
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    days = F.broadcast(du.select("day").distinct().withColumnRenamed(
-        "day", "anchor"
-    ))
+    days = du.select(F.col("day").alias("anchor")).distinct()
+    fanout = du.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+    )
     return (
-        du.join(
-            days,
-            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
-            & (F.col("day") <= F.col("anchor")),
-        )
-        .groupBy(F.col("anchor").alias("day"))
+        fanout.join(F.broadcast(days), "anchor", "left_semi")
+        .groupBy("anchor")
         .agg(
             F.countDistinct(
                 F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
             ).alias("dau"),
             F.countDistinct("user_id").alias("wau_7d"),
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_7d",
         )
         .orderBy("day")
     )
