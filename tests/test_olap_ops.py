@@ -286,3 +286,55 @@ def test_snapshot_diff_classifies_and_is_nullsafe(spark):
         for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
     }
     assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_kmeans_sparse_ids_and_underfilled_k(spark, sf_dir):
+    """ADVICE r2: init takes the first k vectors by id RANK, so
+    sparse/offset vec_ids still seed exactly k clusters; fewer than k
+    input vectors raises instead of silently under-clustering."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.operators.clustering import kmeans
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # shift every id far past k: the old `vec_id < k` filter seeded ZERO
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    out = kmeans(shifted, k=4, iters=2).collect()
+    assert len(out) == shifted.count()
+    assert len({r.cluster for r in out}) > 1
+    # offset-invariance: same clustering as the unshifted input
+    base = {r.vec_id: r.cluster for r in kmeans(emb, k=4, iters=2).collect()}
+    assert {r.vec_id - 100_000: r.cluster - 100_000 for r in out} == base
+    with _pytest.raises(ValueError, match="only"):
+        kmeans(emb.limit(3), k=4, iters=2)
+
+
+def test_grouped_median_generic_key_types(spark):
+    """ADVICE r2: median_dev_grouped derives field types from the
+    input schema — a numeric key other than user_id (the old
+    name-hardcoded case) must work, as must a string key."""
+    from udacitycapstonedataengineer_spark.operators.grouped import (
+        median_dev_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (1, 12, 300), (2, 20, 5), (2, 21, 15)],
+        "grp int, row_id int, v int",
+    )
+    out = {
+        (r.grp, r.row_id): (r.median_val, r.dev_val)
+        for r in median_dev_grouped(df, "grp", "row_id", "v").collect()
+    }
+    assert out[(1, 10)] == (200.0, -100.0)
+    assert out[(2, 21)] == (10.0, 5.0)
+
+    sdf = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 8), ("b", 3, 7)], "grp string, row_id long, v long"
+    )
+    sout = {
+        r.row_id: r.median_val
+        for r in median_dev_grouped(sdf, "grp", "row_id", "v").collect()
+    }
+    assert sout == {1: 6.0, 2: 6.0, 3: 7.0}

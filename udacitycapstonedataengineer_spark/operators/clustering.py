@@ -69,11 +69,21 @@ def kmeans(
     """Lloyd's for ``iters`` iterations; returns final (vec_id,
     cluster). Deterministic on any cluster layout (see module doc)."""
     vectors = _as_double_vec(emb, vec_col)
+    # init = first k vectors by id RANK (not `vec_id < k`, which
+    # silently under-seeds on sparse/offset ids — ADVICE r2). One
+    # driver action fetches the k×dim seed table, validates the
+    # contract, and infers dim — K·dim doubles, trivial at any scale.
+    seed = vectors.orderBy("vec_id").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(
+            f"kmeans: k={k} but only {len(seed)} input vectors"
+        )
     if dim is None:
-        dim = len(vectors.select("v").first()[0])
-    centroids = vectors.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.expr(_quantize_vec("v")).alias("c")
-    )
+        dim = len(seed[0]["v"])
+    centroids = vectors.sparkSession.createDataFrame(
+        [(r["vec_id"], r["v"]) for r in seed],
+        "cid bigint, c array<double>",
+    ).select("cid", F.expr(_quantize_vec("c")).alias("c"))
     for _ in range(iters - 1):
         assigned = kmeans_assign(vectors, centroids)
         # fixed-point per-dimension sums: exact BIGINTs, order-free
@@ -117,7 +127,7 @@ def kmeans_oracle_sql(
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
         f"""c0 AS (SELECT vec_id AS cid,
                list_transform(v, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE}) AS c
-        FROM e WHERE vec_id < {k})""",
+        FROM e ORDER BY vec_id LIMIT {k})""",
     ]
     prev = "c0"
     for it in range(1, iters):

@@ -37,11 +37,15 @@ def median_dev_grouped(
     the grouped-map shape: the median needs the whole group, the
     output is per-row. Use ONLY with mid-cardinality keys (see module
     docstring); the registered query groups events by user_id."""
+    # pass-through field types come from the INPUT schema — hardcoding
+    # them by column name silently corrupts any other numeric key
+    # (ADVICE r2): applyInPandas casts pandas output to this schema.
+    in_types = {f.name: f.dataType for f in df.schema.fields}
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(key, T.LongType() if key == "user_id" else T.StringType()),
-            T.StructField(val_col, T.LongType()),
+            T.StructField(id_col, in_types[id_col]),
+            T.StructField(key, in_types[key]),
+            T.StructField(val_col, in_types[val_col]),
             T.StructField("median_val", T.DoubleType()),
             T.StructField("dev_val", T.DoubleType()),
         ]

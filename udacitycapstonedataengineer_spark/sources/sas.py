@@ -33,21 +33,65 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _normalize_chunk(pdf: pd.DataFrame) -> pa.Table:
+# SAS day-grain display formats (public: SAS format documentation;
+# the same family pandas' SAS7BDATReader converts with unit='d').
+# Fallback only — when pandas exposes its own authoritative list we
+# import it so our DATE/TIMESTAMP split matches pandas' conversion
+# exactly.
+_DAY_FORMATS_FALLBACK = frozenset(
+    {
+        "DATE", "DAY", "DDMMYY", "MMDDYY", "YYMMDD", "JULIAN", "JULDAY",
+        "MONYY", "YYMON", "MONTH", "YEAR", "QTR", "WEEKDATE", "WEEKDATX",
+        "WEEKDAY", "WEEKV", "WORDDATE", "WORDDATX", "MONNAME", "DOWNAME",
+        "E8601DA", "B8601DA", "MINGUO", "NENGO", "YYQ", "YYMM",
+    }
+)
+
+
+def _day_format_names() -> frozenset[str]:
+    try:  # pandas' own list — the exact set it converts at day grain
+        from pandas.io.sas.sas_constants import sas_date_formats
+
+        return frozenset(sas_date_formats)
+    except Exception:
+        return _DAY_FORMATS_FALLBACK
+
+
+def day_grain_columns(reader) -> set[str]:
+    """Column names the SAS file declares with a DAY-grain display
+    format. The TYPE decision (parquet DATE vs TIMESTAMP) comes from
+    this header metadata, never from sampled values: an all-midnight
+    first chunk must NOT pin a DATETIME column to DATE and silently
+    truncate later time-of-day values (ADVICE r2)."""
+    day_formats = _day_format_names()
+    out: set[str] = set()
+    for col in getattr(reader, "columns", []):
+        name = col.name
+        if isinstance(name, bytes):
+            name = name.decode("latin-1")
+        fmt = col.format or ""
+        if isinstance(fmt, bytes):
+            fmt = fmt.decode("ascii", "ignore")
+        if fmt.upper().rstrip("0123456789.") in day_formats:
+            out.add(name)
+    return out
+
+
+def _normalize_chunk(pdf: pd.DataFrame, day_cols: set[str] | None = None) -> pa.Table:
     """Chunk → Arrow with stable types: SAS numerics stay float64
     (SAS has ONE numeric type; integer-looking columns are the
     caller's cast decision, see plans/queries cast_types), text stays
     string, DATE/DATETIME-formatted numerics arrive from the reader as
-    datetime64 and land as parquet DATE/TIMESTAMP."""
+    datetime64 and land as parquet DATE (day-grain format per the
+    file header — ``day_cols``) or TIMESTAMP (everything else)."""
+    day_cols = day_cols or set()
     out = {}
     for name in pdf.columns:
         s = pdf[name]
         if s.dtype == object:
             out[name] = pa.array(s, type=pa.string())
         elif str(s.dtype).startswith("datetime64"):
-            # day-precision SAS dates surface as midnight datetimes;
-            # keep calendar dates as DATE to preserve the source grain
-            if (s.dropna().dt.normalize() == s.dropna()).all():
+            if name in day_cols:
                 out[name] = pa.array(s.dt.date, type=pa.date32())
             else:
                 out[name] = pa.array(s.astype("datetime64[us]"))
@@ -72,10 +116,11 @@ def convert_sas_like(
         sas_path, format="sas7bdat", chunksize=chunksize, iterator=True,
         encoding=encoding,
     )
+    day_cols = day_grain_columns(reader)
     writer: pq.ParquetWriter | None = None
     try:
         for chunk in reader:
-            table = _normalize_chunk(chunk)
+            table = _normalize_chunk(chunk, day_cols)
             if writer is None:
                 writer = pq.ParquetWriter(out_path, table.schema)
             else:

@@ -33,9 +33,28 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .readers import _arrow_field_to_spark
-from .sas import _normalize_chunk
+from .sas import _normalize_chunk, day_grain_columns
 
 DEFAULT_CHUNKSIZE = 100_000
+
+
+def _cast_checked(table, schema, path: str):
+    """Cast a per-file table to the pinned driver schema, REFUSING the
+    one lossy direction: TIMESTAMP (a DATETIME-formatted column in
+    this file) → DATE32 (pinned from a file where the same column is
+    DATE-formatted). Arrow performs that cast silently, truncating
+    time-of-day (ADVICE r2); date32 → timestamp widening stays fine."""
+    import pyarrow as pa
+
+    for field in table.schema:
+        target = schema.field(field.name).type
+        if pa.types.is_timestamp(field.type) and pa.types.is_date(target):
+            raise ValueError(
+                f"{path}: column {field.name!r} is DATETIME-formatted but "
+                "the pinned schema (from the first file) says DATE — "
+                "re-read with consistent files or convert per-file"
+            )
+    return table.cast(schema)
 
 
 def _expand(path: str) -> list[str]:
@@ -51,7 +70,8 @@ def _peek_arrow_schema(path: str, encoding: str):
         path, format="sas7bdat", chunksize=64, iterator=True, encoding=encoding
     )
     try:
-        return _normalize_chunk(next(iter(reader))).schema
+        day_cols = day_grain_columns(reader)
+        return _normalize_chunk(next(iter(reader)), day_cols).schema
     finally:
         reader.close()
 
@@ -111,9 +131,14 @@ class SasDataSourceReader(DataSourceReader):
             iterator=True,
             encoding=self.encoding,
         )
+        day_cols = day_grain_columns(reader)
         try:
             for chunk in reader:
-                yield from _normalize_chunk(chunk).cast(self.arrow_schema).to_batches()
+                yield from _cast_checked(
+                    _normalize_chunk(chunk, day_cols),
+                    self.arrow_schema,
+                    partition.path,
+                ).to_batches()
         finally:
             reader.close()
 

@@ -428,6 +428,7 @@ def streaming_user_totals_tws(
     exact integer cents (the same order-independence discipline as the
     batch engine's functions/exact.py).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -457,7 +458,15 @@ def streaming_user_totals_tws(
                 n, cents = int(prev[0]), int(prev[1])
             for pdf in rows:
                 n += len(pdf)
-                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                # HALF-UP cents, matching the engine's F.round
+                # discipline — pandas .round() is banker's half-even
+                # and diverges from the batch twin on exact .5 cents
+                # (ADVICE r2). floor(x+0.5) is half-up for positives.
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
             self._totals.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_purchases": [n], "cents": [cents]}
