@@ -21,38 +21,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["star_revenue_by_region_year"](spark, SF_SMOKE)
 
 
-# The correctness driver checks a fixed-size prefix of this dict, so
-# ordering is part of the contract: the core §2 reference surface and
-# TPC-H suite lead, then every remaining ORACLED query (registration
-# order), and the handful of rows-only queries (approximate/seeded —
-# each pinned by an error-bound test instead) come last.
+# The correctness driver checks a fixed-size (~50) prefix of this
+# dict, so ordering is part of the contract. Round-3 rotation
+# (VERDICT r2 #3): the flagship plus one representative per §2 family
+# keeps the reference surface continuously driver-verified, and the
+# rest of the window goes to oracled queries that r01/r02 never
+# checked — round-3-changed queries first, then the heaviest new
+# shuffle shapes. Queries already driver-green in r01/r02 (TPC-H
+# suite, dedup/ANN leads) follow after the window; rows-only
+# approximate/seeded queries (pinned by error-bound tests) come last.
 _PRIORITY = [
     "star_revenue_by_region_year",
-    "priority_dim", "calendar_dim", "country_dim", "fact_orders",
-    "project_select", "drop_columns", "rename_columns", "derive_column",
-    "cast_types", "dropna_rows", "filter_predicate", "null_profile",
-    "distinct_rows", "dedup_by_key",
-    "join_left_broadcast", "join_string_keys", "join_dedup",
-    "groupby_avg", "global_counts", "sas_date_decode", "initcap_labels",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_priority_check", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q10_returned_items",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q18_large_volume", "tpch_q19_disjunctive",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_relation",
-    "tpch_q17_small_qty_revenue", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "dedup_exact_groups", "dedup_exact_keep_canonical",
-    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_pairs",
-    "dedup_incremental_anti",
+    # one driver-green representative per §2 family, every round
+    "priority_dim", "cast_types", "dropna_rows", "null_profile",
+    "distinct_rows", "dedup_by_key", "join_left_broadcast",
+    "country_dim", "join_string_keys", "join_dedup", "groupby_avg",
+    "global_counts", "calendar_dim", "sas_date_decode",
+    "initcap_labels", "sas_labels_decode",
+    # changed this round — must re-earn a driver-green row
+    "events_rolling_7d_active_users", "events_spend_rank_stats",
+    "kmeans_clusters",
+    # never checked in r01/r02: heavy new shuffle shapes first
+    "dedup_clusters", "orders_equidepth_deciles",
+    "docs_global_dup_spans", "docs_contamination_check",
+    "docs_repetition_stats", "variant_extract_props",
+    "events_transition_bigrams", "events_forward_fill",
+    "unpivot_part_metrics", "olap_grouping_sets",
+    "pivot_native_counts", "stats_corr_exact", "sample_hash_orders",
+    "window_running_sum", "scd2_nation_update",
+    "rollup_incremental_merge", "quality_expectation_report",
+    "embedding_neardup_pairs", "embedding_quantize_int8",
+    "sql_exists_semijoin", "sql_not_exists_antijoin",
+    "sql_scalar_subquery", "sql_recursive_date_spine",
+    "sql_lateral_topn_per_customer", "text_token_stats",
+    "text_lang_id", "text_fingerprint", "text_top_terms",
+    "json_extract_props", "pii_redact_contacts",
+    # ---- ~50-row driver window boundary ----
+    # still-unchecked tail: rotate into the window in round 4
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
     "text_quality_score", "docs_chunk_windows",
     "grouped_median_dev", "grouped_median_dev_native",
-    "sas_labels_decode",
+    "sql_fact_dim_join", "sql_qualified_star",
+    "text_tfidf_top_terms", "text_fuzzy_pairs_levenshtein",
+    "text_pseudonymize_sha2", "docs_pack_sequences",
+    "corpus_mixture_sample", "ml_split_assignment",
+    "orders_price_histogram", "orders_outlier_iqr",
+    "events_debounce", "orders_winsorized_sum",
+    "events_zscore_outliers", "orders_snapshot_diff",
+    "orders_column_profile", "events_mode_value_per_type",
+    "text_inverted_index",
 ]
 
 
