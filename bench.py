@@ -50,6 +50,13 @@ HEADLINE = [
     "events_sessionize",
     "text_quality_score",
     "multimodal_features",
+    # round-2b stats/corpus suite — heaviest new shuffle shapes
+    # (VERDICT r2 #4)
+    "orders_equidepth_deciles",
+    "docs_global_dup_spans",
+    "events_rolling_7d_active_users",
+    "docs_contamination_check",
+    "dedup_clusters",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -46,6 +46,12 @@ PROBE_QUERIES = [
     "text_tfidf_top_terms",
     "docs_contamination_check",
     "docs_pack_sequences",
+    # round-3 additions: remaining heavy round-2b shuffle shapes
+    # (VERDICT r2 #4/#5)
+    "orders_equidepth_deciles",
+    "docs_global_dup_spans",
+    "events_rolling_7d_active_users",
+    "dedup_clusters",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -102,6 +102,18 @@ def test_spend_rank_has_no_global_window(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan[:1200]
 
 
+def test_equidepth_deciles_has_no_value_grain_global_window(spark, sf_dir):
+    """The equi-depth rank must come from the distributed exact
+    ranking, never a value-grain cumsum window — with near-unique
+    continuous prices the "distinct values" table degenerates to row
+    grain and the no-partitionBy window becomes the single-task trap
+    (VERDICT r2 #5). The plan must show range repartition + the
+    partition-id window, and no window partitioned by the value."""
+    plan = _plan(QUERIES["orders_equidepth_deciles"](spark, sf_dir))
+    assert "SPARK_PARTITION_ID" in plan, plan[:1200]
+    assert "rangepartitioning" in plan.lower(), plan[:1200]
+
+
 def test_rolling_7d_fanout_is_equi_join(spark, sf_dir):
     """The trailing-7-day fan-out must be an exploded equi-join, never
     a range-predicate nested loop comparing every (day,user) pair

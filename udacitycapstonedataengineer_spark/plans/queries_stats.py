@@ -732,36 +732,29 @@ def _orders_column_profile(spark, t):
     """,
 )
 def _orders_equidepth_deciles(spark, t):
-    # equi-depth (quantile) histogram via EXACT distributed ranking —
-    # the two-level pattern that avoids Spark's classic trap of a
-    # global-order window pulling every row into one partition:
-    # (1) collapse to VALUE grain and cumsum the counts there (the
-    # global window runs over distinct values only — orders of
-    # magnitude smaller, spill-backed); (2) per-row rank = group start
-    # + row_number WITHIN the value partition (distributed); decile =
-    # (rank−1)·10 div n, pure integer math identical in both engines.
-    # Same discipline as grouped_median_dev_native's middle-rank
-    # extraction.
+    # equi-depth (quantile) histogram via EXACT distributed ranking.
+    # The oracle's rank (value-group start + row_number within the
+    # value ordered by o_orderkey) is exactly the global rank under
+    # (c, o_orderkey), so we compute it with with_global_rank's
+    # range-partition + offset scheme: per-task memory is bounded by
+    # the range-partition size even when every price is DISTINCT
+    # (near-unique continuous values were the residual hazard of the
+    # earlier value-grain cumsum window — its "distinct values"
+    # table degenerated to row grain). decile = (rank−1)·10 div n,
+    # pure integer math identical in both engines.
+    from udacitycapstonedataengineer_spark.operators.ranking import (
+        with_global_rank,
+    )
+
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     c = t["orders"].select("o_orderkey", cents.alias("c"))
-    vg = c.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
-    wv = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    v2 = vg.withColumn(
-        "start", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
-    ).select("c", "start")
     tot = F.broadcast(c.groupBy().agg(F.count(F.lit(1)).alias("n")))
-    rn = F.row_number().over(
-        Window.partitionBy("c").orderBy("o_orderkey")
-    )
     r = (
-        c.withColumn("rn", rn)
-        .join(v2, "c")
+        with_global_rank(c, ["c", "o_orderkey"], "rnk")
         .crossJoin(tot)
         .select(
             "c",
-            F.expr("(start + rn - 1) * 10 DIV n").alias("decile"),
+            F.expr("(rnk - 1) * 10 DIV n").alias("decile"),
         )
     )
     return (
