@@ -22,14 +22,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks a fixed-size (~50) prefix of this
-# dict, so ordering is part of the contract. Round-3 rotation
-# (VERDICT r2 #3): the flagship plus one representative per §2 family
-# keeps the reference surface continuously driver-verified, and the
-# rest of the window goes to oracled queries that r01/r02 never
-# checked — round-3-changed queries first, then the heaviest new
-# shuffle shapes. Queries already driver-green in r01/r02 (TPC-H
-# suite, dedup/ANN leads) follow after the window; rows-only
-# approximate/seeded queries (pinned by error-bound tests) come last.
+# dict, so ordering is part of the contract. Round-4 rotation
+# (VERDICT r3 #1): the flagship plus one representative per §2 family
+# keeps the reference surface continuously driver-verified;
+# round-4-changed queries must re-earn a green row; and the rest of
+# the window takes the final 29 never-driver-checked queries — the
+# 24 tail queries r01-r03 never reached plus the 5 formerly
+# rows-only approximate/sketch queries, which now carry
+# interval-assertion oracles (exact values hash-compared, accuracy
+# asserted as a boolean both engines must agree on). After this
+# window every registered query has appeared in a driver
+# CORRECTNESS_r*.json. Already-green queries follow after the
+# boundary.
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
@@ -39,25 +43,8 @@ _PRIORITY = [
     "global_counts", "calendar_dim", "sas_date_decode",
     "initcap_labels", "sas_labels_decode",
     # changed this round — must re-earn a driver-green row
-    "events_rolling_7d_active_users", "events_spend_rank_stats",
-    "kmeans_clusters",
-    # never checked in r01/r02: heavy new shuffle shapes first
-    "dedup_clusters", "orders_equidepth_deciles",
-    "docs_global_dup_spans", "docs_contamination_check",
-    "docs_repetition_stats", "variant_extract_props",
-    "events_transition_bigrams", "events_forward_fill",
-    "unpivot_part_metrics", "olap_grouping_sets",
-    "pivot_native_counts", "stats_corr_exact", "sample_hash_orders",
-    "window_running_sum", "scd2_nation_update",
-    "rollup_incremental_merge", "quality_expectation_report",
-    "embedding_neardup_pairs", "embedding_quantize_int8",
-    "sql_exists_semijoin", "sql_not_exists_antijoin",
-    "sql_scalar_subquery", "sql_recursive_date_spine",
-    "sql_lateral_topn_per_customer", "text_token_stats",
-    "text_lang_id", "text_fingerprint", "text_top_terms",
-    "json_extract_props", "pii_redact_contacts",
-    # ---- ~50-row driver window boundary ----
-    # still-unchecked tail: rotate into the window in round 4
+    "tpch_q15_top_supplier", "dedup_clusters",
+    # never driver-checked before round 4: the 24-query tail ...
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
     "text_quality_score", "docs_chunk_windows",
     "grouped_median_dev", "grouped_median_dev_native",
@@ -70,6 +57,13 @@ _PRIORITY = [
     "events_zscore_outliers", "orders_snapshot_diff",
     "orders_column_profile", "events_mode_value_per_type",
     "text_inverted_index",
+    # ... plus the 5 newly-oracled approximate/sketch queries
+    "approx_percentile_price", "approx_distinct_users",
+    "sample_stratified_by_status", "sketch_distinct_users_daily",
+    "sketch_value_quantiles",
+    # heavy round-3 shapes kept warm in the remaining slots
+    "orders_equidepth_deciles", "events_rolling_7d_active_users",
+    # ---- ~50-row driver window boundary ----
 ]
 
 

@@ -6,6 +6,8 @@ tests pin the plan shapes the engine promises (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.plans.queries import QUERIES
@@ -112,6 +114,24 @@ def test_equidepth_deciles_has_no_value_grain_global_window(spark, sf_dir):
     plan = _plan(QUERIES["orders_equidepth_deciles"](spark, sf_dir))
     assert "SPARK_PARTITION_ID" in plan, plan[:1200]
     assert "rangepartitioning" in plan.lower(), plan[:1200]
+    # negative mirror of the docstring promise (ADVICE r3): every
+    # window in the plan must hang off the synthetic partition id —
+    # a hybrid regression that re-adds a value-partitioned window
+    # alongside the ranked path must fail here
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "__pid", m.group(0)
+
+
+def test_q15_has_no_global_window(spark, sf_dir):
+    """Q15's global max must be a broadcast 1-row aggregate
+    crossJoined back onto the per-supplier revenue — never an
+    empty-partition window funneling the aggregate through one task
+    (VERDICT r3 #2). No windowspecdefinition at all in this plan."""
+    plan = _plan(QUERIES["tpch_q15_top_supplier"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1200]
 
 
 def test_rolling_7d_fanout_is_equi_join(spark, sf_dir):

@@ -381,3 +381,51 @@ def test_xml_source_roundtrip(spark, tmp_path):
         .select("id", "name", "score")
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_lsh_max_bucket_caps_boilerplate_skew(spark):
+    """Skew-stress for the LSH banding path (VERDICT r3 #8): a
+    boilerplate-heavy corpus puts one dominant bucket in every band;
+    the max_bucket cap must (a) keep the candidate-pair count bounded
+    — uncapped, 300 clones alone emit 300·299/2 = 44 850 pairs — and
+    (b) report the drop through lsh_bucket_profile so operators can
+    SEE what the cap removed instead of trusting a docstring."""
+    from udacitycapstonedataengineer_spark.operators.dedup import (
+        lsh_bucket_profile,
+        minhash_candidates,
+    )
+
+    n_clone, n_distinct = 300, 50
+    boiler = (
+        "terms of service apply to every visitor of this site and by "
+        "continuing you accept the terms of service in full"
+    )
+    rows = [(i, boiler) for i in range(n_clone)] + [
+        (
+            1000 + i,
+            f"unique document number {i} discussing topic {i * 7} in "
+            f"detail with content specific to item {i * 13}",
+        )
+        for i in range(n_distinct)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prof = lsh_bucket_profile(docs, num_hashes=16, bands=4, max_bucket=64)
+    stats = {r.band: r for r in prof.collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for band, r in stats.items():
+        # identical docs share identical signatures: the boilerplate
+        # bucket holds all 300 clones and must be flagged as dropped
+        assert r.max_bucket_size >= n_clone, (band, r)
+        assert r.n_dropped_buckets >= 1, (band, r)
+        assert r.n_dropped_rows >= n_clone, (band, r)
+        assert r.dropped_pairs_avoided >= n_clone * (n_clone - 1) // 2, (
+            band, r,
+        )
+
+    cand = minhash_candidates(docs, num_hashes=16, bands=4, max_bucket=64)
+    n_pairs = cand.count()
+    # the cap drops the degenerate bucket entirely: candidates are at
+    # most incidental collisions among the distinct docs — orders of
+    # magnitude below the uncapped quadratic blowup
+    assert n_pairs < 1000, n_pairs

@@ -293,10 +293,13 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     per-user purchase totals equal the batch aggregate, in exact
     cents.
 
-    The TWS Python driver worker needs the protobuf package (state
-    protocol serialization); this container doesn't ship it, so the
-    test self-skips there — the operator code path is real and runs
-    wherever pyspark's standard connect/protobuf deps are installed."""
+    The TWS worker<->JVM state protocol is protobuf-serialized; where
+    no protobuf distribution is installed, get_spark's bootstrap
+    (compat.ensure_protobuf_runtime + pbshim/sitecustomize.py) makes a
+    vendored pure-python runtime importable in the driver AND the
+    forked Python workers. The importorskip is the last-resort gate
+    for machines where neither a real install nor the vendored
+    fallback exists."""
     import pytest
 
     pytest.importorskip("google.protobuf.descriptor")

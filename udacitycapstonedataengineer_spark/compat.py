@@ -1,0 +1,41 @@
+"""Environment compatibility shims.
+
+Currently one concern: making transformWithStateInPandas runnable in
+containers that ship no ``protobuf`` distribution (the TWS worker<->JVM
+state protocol is protobuf-serialized). See pbshim/sitecustomize.py
+for the mechanism; this module runs it in the DRIVER process and
+exports the shim directory to PYTHONPATH so forked Python workers run
+it too (the ``site`` module auto-imports ``sitecustomize`` from
+PYTHONPATH at interpreter start).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_PBSHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+
+
+def ensure_protobuf_runtime() -> bool:
+    """Bootstrap protobuf driver-side and worker-side (idempotent).
+
+    Returns True iff ``google.protobuf`` is importable afterwards —
+    i.e. transformWithStateInPandas can run. Must be called BEFORE the
+    SparkSession is created: the JVM inherits this process's
+    PYTHONPATH and passes it to the Python worker daemon.
+    """
+    spec = importlib.util.spec_from_file_location(
+        "udacitycapstonedataengineer_spark._pbshim_boot",
+        os.path.join(_PBSHIM_DIR, "sitecustomize.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # runs bootstrap_protobuf() at import
+    ok = mod.bootstrap_protobuf()
+    if ok:
+        current = os.environ.get("PYTHONPATH", "")
+        if _PBSHIM_DIR not in current.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                _PBSHIM_DIR + (os.pathsep + current if current else "")
+            )
+    return ok

@@ -186,6 +186,62 @@ def minhash_candidates(
     )
 
 
+def lsh_bucket_profile(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Per-band LSH skew diagnostics: bucket/row counts and how much
+    the ``max_bucket`` cap drops. One row per band:
+    (band, n_buckets, n_rows, max_bucket_size, n_dropped_buckets,
+    n_dropped_rows, dropped_pairs_avoided).
+
+    ``dropped_pairs_avoided`` = Σ s·(s−1)/2 over dropped buckets — the
+    candidate pairs the cap PREVENTED. On a boilerplate-heavy corpus
+    this is the quadratic blowup that would otherwise land on single
+    reducers; profiling it turns the "skew-capped" design claim into a
+    measured number (see tests/test_readers_skew.py and PERF_NOTES.md).
+    Cost: the same exploded (band,bucket) table minhash_candidates
+    builds, aggregated twice at bucket then band grain — no self-join.
+    """
+    rows = num_hashes // bands
+    sigs = with_shingles(docs).select(
+        "doc_id", F.expr(_sig_expr(num_hashes)).alias("minhash")
+    )
+    band_slice = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> {H60.format(x=band_slice)})"
+    )
+    bucket_sizes = (
+        sigs.select(
+            "doc_id", F.posexplode(F.expr(band_expr)).alias("band", "bucket")
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    dropped = F.col("sz") > max_bucket
+    return (
+        bucket_sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_rows"),
+            F.max("sz").alias("max_bucket_size"),
+            F.sum(dropped.cast("long")).alias("n_dropped_buckets"),
+            F.sum(F.when(dropped, F.col("sz")).otherwise(0)).alias(
+                "n_dropped_rows"
+            ),
+            F.sum(
+                F.when(dropped, F.col("sz") * (F.col("sz") - 1) / 2)
+                .otherwise(0.0)
+                .cast("long")
+            ).alias("dropped_pairs_avoided"),
+        )
+        .orderBy("band")
+    )
+
+
 def jaccard_verify(
     docs: DataFrame,
     pairs: DataFrame,

@@ -44,25 +44,35 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    comp_type = dict(labels.dtypes)["comp"]
     for _ in range(max_iter):
+        # the convergence probe rides INSIDE the label aggregation
+        # (VERDICT r3 #7): self rows carry the previous label in a
+        # `prev` sidecar (exactly one self row per node, so max(prev)
+        # recovers it); neighbor rows carry null. Convergence is then
+        # a filter-count on the checkpointed label table — no extra
+        # join job per round.
         neighbor = sym.join(
             labels, sym.dst == labels.node
-        ).select(F.col("src").alias("node"), "comp")
-        new_labels = (
-            labels.select("node", "comp")
+        ).select(
+            F.col("src").alias("node"),
+            "comp",
+            F.lit(None).cast(comp_type).alias("prev"),
+        )
+        merged = (
+            labels.select("node", "comp", F.col("comp").alias("prev"))
             .union(neighbor)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max("prev").alias("prev"),
+            )
             .localCheckpoint()
         )
         improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("comp") < F.col("prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("node", "comp")
         if improved == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

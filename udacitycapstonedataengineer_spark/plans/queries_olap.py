@@ -149,24 +149,79 @@ def _olap_cube_counts(spark, t):
     )
 
 
-@query("approx_percentile_price")
+@query(
+    "approx_percentile_price",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, TRUE AS median_within_rank_eps
+    FROM orders GROUP BY 1
+    """,
+)
 def _approx_percentile_price(spark, t):
-    # sketch-based percentile (constant memory, mergeable — the 100 TB
-    # path). Rows-only: the GK sketch differs from DuckDB's; bounded vs
-    # exact in tests/test_olap_ops.py.
-    return t["orders"].groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("median_price"),
+    # sketch-based percentile (GK, constant memory, mergeable — the
+    # 100 TB path), emitted in SELF-VERIFYING interval-assertion form
+    # (VERDICT r3 #1): Spark's sketch value can't hash-match any other
+    # engine's, so the query asserts its own accuracy contract — the
+    # estimate's RANK among the group's prices must sit within eps of
+    # the 0.5 target — and emits that as a boolean next to the exact
+    # group count. The oracle recomputes the exact count and claims
+    # TRUE; a sketch regression flips the boolean and fails the hash.
+    # GK guarantees rank error <= 1/accuracy = 1e-4; eps=0.01 is 100x.
+    eps = 0.01
+    o = t["orders"].select("o_orderstatus", "o_totalprice")
+    ap = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("m")
+    )
+    res = (
+        o.join(F.broadcast(ap), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("m")).cast("long")
+            ).alias("n_le"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("m")).cast("long")
+            ).alias("n_lt"),
+        )
+    )
+    within = (
+        F.col("n_le") >= F.ceil(F.lit(0.5 - eps) * F.col("n_orders"))
+    ) & (F.col("n_lt") <= F.floor(F.lit(0.5 + eps) * F.col("n_orders")))
+    return res.select(
+        "o_orderstatus", "n_orders", within.alias("median_within_rank_eps")
     )
 
 
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_eps
+    FROM events GROUP BY 1
+    """,
+)
 def _approx_distinct_users(spark, t):
     # HyperLogLog++ distinct estimate per event_type — the constant-
-    # memory path for 100 TB cardinality profiling. Rows-only check:
-    # Spark's HLL++ and DuckDB's sketch give different estimates by
-    # construction; tests/test_olap_ops.py bounds the error vs exact.
-    return t["events"].groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    # memory path for 100 TB cardinality profiling — in the same
+    # self-verifying form as approx_percentile_price: the exact
+    # distinct count is the hash-compared value, and the HLL estimate
+    # is asserted within 5x its configured rsd (2% -> 10%) as a
+    # boolean. DuckDB claims TRUE; an HLL regression fails the hash.
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact"))
+                <= F.greatest(F.lit(2.0), F.lit(0.1) * F.col("n_exact"))
+            ).alias("hll_within_eps"),
+        )
     )
 
 
@@ -697,18 +752,46 @@ def _tpch_q10_returned_items(spark, t):
     )
 
 
-@query("sample_stratified_by_status")
+@query(
+    "sample_stratified_by_status",
+    """
+    SELECT o_orderstatus, count(*) AS n_total, TRUE AS rate_within_eps
+    FROM orders GROUP BY 1
+    """,
+)
 def _sample_stratified_by_status(spark, t):
     # stratified sampling: per-stratum fractions via sampleBy (seeded
     # Bernoulli per row — the rebalancing step when one source/class
-    # dominates a training corpus). Rows-only check: the sampled SET is
-    # seed- and engine-specific by construction; the per-stratum rate
-    # bound lives in tests/test_olap_ops.py. For reproducible HOLDOUT
-    # splits use sample_hash_orders — hash membership survives engine
-    # and layout changes; sampleBy is for rate control, not identity.
-    return t["orders"].sampleBy(
-        "o_orderstatus", {"O": 0.1, "F": 0.5, "P": 1.0}, seed=42
-    ).select("o_orderkey", "o_orderstatus")
+    # dominates a training corpus). The sampled SET is seed- and
+    # engine-specific by construction, so the query emits the
+    # self-verifying form (VERDICT r3 #1): the exact stratum totals
+    # are the hash-compared values and the realized sampling rate is
+    # asserted within 0.05 of the requested fraction per stratum
+    # (frac=1.0 must be exact). For reproducible HOLDOUT splits use
+    # sample_hash_orders — hash membership survives engine and layout
+    # changes; sampleBy is for rate control, not identity.
+    fractions = {"O": 0.1, "F": 0.5, "P": 1.0}
+    frac_col = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("o_orderstatus")]
+    n_sampled = (
+        t["orders"]
+        .sampleBy("o_orderstatus", fractions, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    n_total = t["orders"].groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    rate = F.col("n_sampled").cast("double") / F.col("n_total")
+    within = F.when(
+        frac_col == 1.0, F.col("n_sampled") == F.col("n_total")
+    ).otherwise(F.abs(rate - frac_col) <= F.lit(0.05))
+    return (
+        n_total.join(F.broadcast(n_sampled), "o_orderstatus", "left")
+        .fillna(0, ["n_sampled"])
+        .select("o_orderstatus", "n_total", within.alias("rate_within_eps"))
+    )
 
 
 @query(
@@ -753,23 +836,78 @@ def _rollup_incremental_merge(spark, t):
     )
 
 
-@query("sketch_distinct_users_daily")
+@query(
+    "sketch_distinct_users_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_eps
+    FROM events GROUP BY 1
+    """,
+)
 def _sketch_distinct_users_daily(spark, t):
-    # mergeable HLL distinct-user rollup (rows-only: DataSketches has
-    # no DuckDB twin; merge-equality + error bounds pinned in
-    # tests/test_sketches.py)
+    # mergeable DataSketches HLL distinct-user rollup (the incremental
+    # 100 TB path: one sketch per day, rollups merge sketches, never
+    # rescan), self-verified (VERDICT r3 #1): exact per-day distincts
+    # are the hash-compared values; the lg_k=12 estimate (~1.6% rse)
+    # is asserted within max(5, 5%) of exact. Merge-equality pinned in
+    # tests/test_sketches.py.
     from ..operators.sketches import hll_daily_distinct
 
-    return hll_daily_distinct(t["events"]).select("day", "est_distinct")
+    est = hll_daily_distinct(t["events"]).select("day", "est_distinct")
+    exact = t["events"].groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(F.broadcast(est), "day").select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("est_distinct") - F.col("n_exact"))
+            <= F.greatest(F.lit(5.0), F.lit(0.05) * F.col("n_exact"))
+        ).alias("hll_within_eps"),
+    )
 
 
-@query("sketch_value_quantiles")
+@query(
+    "sketch_value_quantiles",
+    """
+    SELECT CAST(q AS DOUBLE) AS q, count(*) AS n_values,
+           TRUE AS kll_within_rank_eps
+    FROM events CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS probs(q)
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def _sketch_value_quantiles(spark, t):
-    # mergeable KLL quantiles of event value (rows-only; rank-error
-    # bound pinned in tests/test_sketches.py)
+    # mergeable KLL quantiles of event value, self-verified (VERDICT
+    # r3 #1): for each target prob q the estimate's realized RANK
+    # among the non-null values must sit within 0.03 of q (the k=200
+    # KLL 99%-confidence rank error is ~1.65%); the hash-compared
+    # values are the exact non-null counts. Merge determinism pinned
+    # in tests/test_sketches.py.
     from ..operators.sketches import kll_value_quantiles
 
-    return kll_value_quantiles(t["events"])
+    est = kll_value_quantiles(t["events"]).selectExpr(
+        "stack(3, CAST(0.5 AS DOUBLE), q50,"
+        " CAST(0.9 AS DOUBLE), q90,"
+        " CAST(0.99 AS DOUBLE), q99) AS (q, est)"
+    )
+    vals = t["events"].filter(F.col("value").isNotNull()).select("value")
+    res = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("n_le"),
+            F.sum((F.col("value") < F.col("est")).cast("long")).alias("n_lt"),
+        )
+    )
+    within = (
+        F.col("n_le").cast("double") / F.col("n_values") >= F.col("q") - 0.03
+    ) & (
+        F.col("n_lt").cast("double") / F.col("n_values") <= F.col("q") + 0.03
+    )
+    return res.select("q", "n_values", within.alias("kll_within_rank_eps"))
 
 
 @query(

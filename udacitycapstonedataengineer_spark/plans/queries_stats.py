@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import H60, H60_SQL
+from ..operators.ranking import with_global_rank
 from .registry import query
 
 
@@ -742,10 +743,6 @@ def _orders_equidepth_deciles(spark, t):
     # earlier value-grain cumsum window — its "distinct values"
     # table degenerated to row grain). decile = (rank−1)·10 div n,
     # pure integer math identical in both engines.
-    from udacitycapstonedataengineer_spark.operators.ranking import (
-        with_global_rank,
-    )
-
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     c = t["orders"].select("o_orderkey", cents.alias("c"))
     tot = F.broadcast(c.groupBy().agg(F.count(F.lit(1)).alias("n")))

@@ -16,7 +16,6 @@ float division at the end — identical IEEE ops in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -283,8 +282,10 @@ def _tpch_q14_promo_effect(spark, t):
 def _tpch_q15_top_supplier(spark, t):
     # Q15: supplier(s) with the quarter's max revenue. The max-equality
     # comparison runs on the EXACT integer units (double sums would
-    # make "equals max" partitioning-dependent); the empty-frame window
-    # max avoids a second scan of lineitem.
+    # make "equals max" partitioning-dependent). The global max comes
+    # from a broadcast 1-row aggregate crossJoined back onto rev — a
+    # global window would funnel the per-supplier aggregate through one
+    # task; this shape stays fully parallel at any supplier count.
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -293,10 +294,11 @@ def _tpch_q15_top_supplier(spark, t):
         li.select("l_suppkey", _rev_units().alias("units"))
         .groupBy("l_suppkey")
         .agg(F.sum("units").alias("units"))
+    ).persist()
+    max_units = rev.agg(F.max("units").alias("__max"))
+    top = rev.crossJoin(F.broadcast(max_units)).filter(
+        F.col("units") == F.col("__max")
     )
-    top = rev.withColumn(
-        "__max", F.max("units").over(Window.partitionBy())
-    ).filter(F.col("units") == F.col("__max"))
     return (
         top.join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),

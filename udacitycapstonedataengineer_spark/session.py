@@ -45,6 +45,12 @@ def get_spark(
     submitter sets master and this arg is left None with
     ``spark.master`` already present.
     """
+    # before the JVM starts: protobuf bootstrap for TWS (exports
+    # PYTHONPATH to the python workers; no-op where protobuf is
+    # properly installed — see compat.py)
+    from .compat import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
