@@ -64,6 +64,9 @@ _PRIORITY = [
     # heavy round-3 shapes kept warm in the remaining slots
     "orders_equidepth_deciles", "events_rolling_7d_active_users",
     # ---- ~50-row driver window boundary ----
+    # added in round 4, never driver-checked: rotate into the window
+    # in round 5
+    "docs_novelty_hapax", "text_keyword_search_topk",
 ]
 
 

@@ -89,6 +89,13 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     # incremental dedup: anti join broadcasts the fingerprint projection
     plan = _plan(QUERIES["dedup_incremental_anti"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # keyword retrieval: global top-10 via per-partition heaps, not a sort
+    plan = _plan(QUERIES["text_keyword_search_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # novelty score: corpus frequency via bigram-grain agg+join — never
+    # a pairwise doc comparison
+    plan = _plan(QUERIES["docs_novelty_hapax"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_spend_rank_has_no_global_window(spark, sf_dir):

@@ -421,3 +421,135 @@ def _text_pseudonymize_sha2(spark, t):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("uid_pseudo")
     )
+
+
+@query(
+    "docs_novelty_hapax",
+    r"""
+    WITH dt AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           s -> s <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM dt
+    ),
+    freq AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN freq.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN freq.n = 1 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS novelty_bp
+    FROM bg JOIN freq ON bg.bigram = freq.bigram
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def _docs_novelty_hapax(spark, t):
+    # corpus-novelty quality signal: the fraction of a document's word
+    # bigrams that are HAPAX in the corpus (occur exactly once
+    # anywhere). High hapax share = unusual text (fresh content, or
+    # garbage); low = boilerplate assembled from common phrasing. The
+    # LM-free stand-in for a perplexity filter, and integer-exact end
+    # to end (basis points via integer division) so it hash-matches
+    # any engine — no libm in the compared output. Plan: narrow
+    # explode to (doc, bigram) grain; ONE bigram-grain shuffle for the
+    # corpus frequency; the join back reuses the bigram partitioning;
+    # final per-doc agg is a doc-grain shuffle. Never doc×doc, no
+    # skew: bigram keys are near-uniform.
+    # bind the token array ONCE via the single-element-array lambda
+    # (the SHINGLES_EXPR discipline — a bare subexpression would be
+    # projection-collapsed into the per-bigram lambda); CASE guards
+    # 0/1-token docs (Spark's sequence(0, -1) would count DOWN)
+    bigrams = (
+        "transform(array(filter(split(lower(text), '\\\\s+'), s -> s != '')),"
+        " tok -> CASE WHEN size(tok) < 2 THEN array()"
+        " ELSE transform(sequence(0, size(tok) - 2),"
+        "                i -> concat(tok[i], ' ', tok[i + 1])) END)[0]"
+    )
+    bg = t["documents"].select(
+        "doc_id", F.explode(F.expr(bigrams)).alias("bigram")
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_hapax",
+            F.expr("n_hapax * 10000 DIV n_bigrams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_keyword_search_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM documents)
+        WHERE term IN ('scan', 'join', 'hash')
+    ),
+    hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, total_tf, rank FROM (
+        SELECT doc_id, total_tf,
+               row_number() OVER (ORDER BY total_tf DESC, doc_id) AS rank
+        FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+              FROM hits GROUP BY doc_id
+              HAVING count(DISTINCT term) = 3)
+    )
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def _text_keyword_search_topk(spark, t):
+    # conjunctive (AND) keyword retrieval with tf ranking — the
+    # boolean-retrieval primitive over the same token stream as the
+    # inverted index. Ranking stays in integers (total term frequency,
+    # doc_id tie-break) per the no-libm discipline; BM25's idf/log
+    # factor is deliberately out of the compared output. Plan: the
+    # IN-list filter lands at the scan (only matching tokens survive
+    # the explode), one (doc,term) shuffle, the AND check is
+    # count-distinct==|terms| per doc, and the global top-10 is
+    # TakeOrderedAndProject (per-partition heaps), never a full sort.
+    terms = ["scan", "join", "hash"]
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    hits = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qualified = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count_distinct("term").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    top = (
+        qualified.select("doc_id", "total_tf")
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "total_tf", "rank")
+        .orderBy("rank")
+    )
