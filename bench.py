@@ -57,6 +57,9 @@ HEADLINE = [
     "events_rolling_7d_active_users",
     "docs_contamination_check",
     "dedup_clusters",
+    # round-4 additions
+    "docs_novelty_hapax",
+    "text_keyword_search_topk",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

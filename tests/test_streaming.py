@@ -329,3 +329,62 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         final[r.user_id] = (r.n_purchases, r.cents)
     assert len(final) > 0
     assert final == batch
+
+
+def test_tws_recent_k_matches_batch(spark, sf_dir):
+    """ListState TWS (bounded per-user recent-history): final last-3
+    purchases per user equal the batch top-3 by (ts, event_id) desc.
+    State is bounded at k rows per key by construction — the pattern
+    that caps state size at large key cardinality."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        batch_user_recent_k,
+        streaming_user_recent_k_tws,
+    )
+
+    batch = {
+        (r.user_id, r.recency_rank): (r.event_id, r.ts_us)
+        for r in batch_user_recent_k(
+            load_table(spark, sf_dir, "events"), k=3
+        ).collect()
+    }
+    rows = streaming_user_recent_k_tws(
+        spark, sf_dir, k=3, query_name="t_tws_recent_k"
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order; later wins
+        final[(r.user_id, r.recency_rank)] = (r.event_id, r.ts_us)
+    assert len(final) > 0
+    assert final == batch
+
+
+def test_statestore_reader_exposes_tws_state(spark, sf_dir, tmp_path):
+    """The statestore batch reader must surface the TWS ValueState
+    as a DataFrame matching the query's own final output — state is
+    queryable data, not a black box inside the checkpoint."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        read_tws_value_state,
+        streaming_user_totals_tws,
+    )
+
+    ckpt = str(tmp_path / "tws_ckpt")
+    rows = streaming_user_totals_tws(
+        spark, sf_dir, query_name="t_tws_ckpt", checkpoint_dir=ckpt
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order; later wins
+        final[r.user_id] = (r.n_purchases, r.cents)
+
+    state = read_tws_value_state(spark, ckpt, "totals").collect()
+    got = {
+        r.key.user_id: (r.value.n, r.value.cents) for r in state
+    }
+    assert len(got) > 0
+    assert got == final

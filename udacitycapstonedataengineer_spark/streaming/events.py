@@ -417,6 +417,7 @@ def streaming_user_totals_tws(
     spark: SparkSession,
     sf_dir: str,
     query_name: str = "stream_user_totals_tws",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-user running purchase totals via the Spark-4
     ``transformWithStateInPandas`` StatefulProcessor API — the
@@ -492,6 +493,136 @@ def streaming_user_totals_tws(
             outputMode="Update",
             timeMode="None",
         )
+        writer = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir is not None:
+            # a DURABLE checkpoint makes the RocksDB state itself
+            # queryable afterwards via read_tws_value_state
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(query_name)
+
+
+def read_tws_value_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    state_var: str = "totals",
+) -> DataFrame:
+    """Query a transformWithState store OFFLINE with the Spark-4
+    ``statestore`` batch reader: per-key state (here the ValueState of
+    streaming_user_totals_tws) as a plain DataFrame, no stream
+    restart, no state dump job. The ops story at scale: inspect /
+    audit / backfill from live streaming state directly — state is
+    data, not a black box. Returns (key struct, value struct,
+    partition_id)."""
+    return (
+        spark.read.format("statestore")
+        .option("stateVarName", state_var)
+        .load(checkpoint_dir)
+    )
+
+
+def streaming_user_recent_k_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    query_name: str = "stream_user_recent_k_tws",
+) -> DataFrame:
+    """Per-user bounded recent-history via ``transformWithStateInPandas``
+    ListState: keep only the LAST ``k`` purchases per user (by event
+    time), the feature-store pattern that serves "user context" to
+    inference without unbounded state. Complements
+    streaming_user_totals_tws (ValueState) by exercising the second
+    TWS state type end-to-end: ListState.get/put, RocksDB-backed, the
+    state per key bounded at k rows BY CONSTRUCTION — at 100 TB key
+    cardinality that bound, not the watermark, is what caps state size.
+
+    Deterministic contract (batch twin = per-user top-k by
+    (ts, event_id) desc): incoming rows merge with stored state and
+    re-rank by (ts_us, event_id), so arrival order never matters.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("recency_rank", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+
+    class RecentK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState("recent", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            items: list[tuple[int, int]] = [
+                (int(r[0]), int(r[1])) for r in self._recent.get()
+            ]
+            for pdf in rows:
+                items.extend(
+                    zip(
+                        pdf["event_id"].astype("int64"),
+                        pdf["ts_us"].astype("int64"),
+                    )
+                )
+            # newest first; (ts, event_id) is a total order so the
+            # result is arrival-order-independent
+            items.sort(key=lambda it: (it[1], it[0]), reverse=True)
+            items = items[:k]
+            self._recent.put([(eid, ts) for eid, ts in items])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_id": [eid for eid, _ in items],
+                    "ts_us": [ts for _, ts in items],
+                    "recency_rank": list(range(1, len(items) + 1)),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        )
+        out = purchases.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecentK(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
         q = (
             out.writeStream.format("memory")
             .queryName(query_name)
@@ -508,3 +639,17 @@ def streaming_user_totals_tws(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.table(query_name)
+
+
+def batch_user_recent_k(events: DataFrame, k: int = 3) -> DataFrame:
+    """Batch twin of streaming_user_recent_k_tws: per-user top-k
+    purchases by (ts, event_id) desc with a recency rank."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("recency_rank", F.row_number().over(w))
+        .filter(F.col("recency_rank") <= k)
+    )
