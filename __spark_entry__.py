@@ -67,6 +67,7 @@ _PRIORITY = [
     # added in round 4, never driver-checked: rotate into the window
     # in round 5
     "docs_novelty_hapax", "text_keyword_search_topk",
+    "corpus_source_overlap", "cms_point_counts",
 ]
 
 

@@ -58,3 +58,40 @@ def test_theta_per_source_sums_near_exact(spark, sf_dir):
     assert set(per_source) == set(exact)
     for s, est in per_source.items():
         assert abs(est - exact[s]) / max(exact[s], 1) < 0.05
+
+
+def test_cms_merge_equals_whole_and_overestimates(spark, sf_dir):
+    """Count-min sketch contracts: (1) union of per-day partial
+    sketches summed by (i, bucket) == the one-pass sketch (the
+    incremental-rollup algebra); (2) estimates never undercount."""
+    from udacitycapstonedataengineer_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = cms_build(ev.select("user_id"), "user_id")
+    daily_partials = [
+        cms_build(
+            ev.filter(F.dayofmonth("ts") == d).select("user_id"), "user_id"
+        )
+        for d in (r.d for r in ev.select(
+            F.dayofmonth("ts").alias("d")).distinct().collect())
+    ]
+    merged = daily_partials[0]
+    for p in daily_partials[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    a = {(r.i, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.i, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+
+    probe = ev.select("user_id").distinct().limit(50)
+    est = {r.user_id: r.est for r in
+           cms_estimate(whole, probe, "user_id").collect()}
+    exact = {r.user_id: r.n for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert len(est) > 0
+    for uid, e in est.items():
+        assert e >= exact[uid], (uid, e, exact[uid])

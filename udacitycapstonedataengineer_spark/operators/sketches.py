@@ -90,3 +90,64 @@ def theta_distinct_by_source(
         "source",
         F.theta_sketch_estimate("sk").alias("est_distinct"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``depth``×``width`` counters,
+    one row per (i, bucket). Unlike the DataSketches wrappers above,
+    this is PURE native SQL over the engine-portable H60 hash — so the
+    whole sketch (and its estimates) is deterministic, integer-exact,
+    and DuckDB-oracle-checkable bit for bit.
+
+    Mergeable by construction: union partial sketches and
+    ``groupBy(i, bucket).sum(cnt)`` — each day/source/partition
+    contributes one d×w table, rollups never rescan the data. Point
+    estimates via cms_estimate are min over d counters: always an
+    OVERESTIMATE (est >= true count), within eps·N with the usual
+    (d, w) probability bounds."""
+    from .dedup import H60
+
+    salted = f"concat('cms|', i, '|', CAST({key_col} AS STRING))"
+    return (
+        df.select(
+            F.col(key_col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            "i",
+            F.expr(f"{H60.format(x=salted)} % {width}").alias("bucket"),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probe: DataFrame, key_col: str, depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-count estimates for ``probe`` keys against a cms_build
+    sketch: min over the d counters each key hashes to. The probe side
+    explodes to (key, i, bucket) and equi-joins the (tiny, d×w-row)
+    sketch — broadcast, no shuffle of the probe grain."""
+    from .dedup import H60
+
+    salted = f"concat('cms|', i, '|', CAST({key_col} AS STRING))"
+    keyed = probe.select(
+        F.col(key_col),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+    ).select(
+        key_col,
+        "i",
+        F.expr(f"{H60.format(x=salted)} % {width}").alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

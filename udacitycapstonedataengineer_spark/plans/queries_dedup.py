@@ -268,3 +268,41 @@ def _dedup_clusters(spark, t):
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_source_overlap",
+    f"""
+    WITH dt AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    ss AS (SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS shingle
+           FROM dt)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_shingles
+    FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def _corpus_source_overlap(spark, t):
+    # cross-source content-overlap matrix: how many distinct 3-word
+    # shingles each PAIR of corpus sources shares — the governance
+    # measure behind "what does crawl B add over crawl A?" and the
+    # source-grain view of contamination. Plan: (source, shingle)
+    # distinct is one shingle-grain shuffle; the self-equi-join fans
+    # out at most C(|sources|, 2) rows per shingle (sources are tens,
+    # never rows), and the pair aggregate is the only other shuffle.
+    # Never doc×doc, never all-pairs at row grain.
+    sh = (
+        with_shingles(t["documents"])
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )

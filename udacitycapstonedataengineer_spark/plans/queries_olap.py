@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import H60_SQL
 from .registry import query
 
 
@@ -952,3 +953,59 @@ def _quality_expectation_report(spark, t):
         expect("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
     ]
     return expectation_report(li, rules)
+
+
+@query(
+    "cms_point_counts",
+    f"""
+    WITH cms AS (
+        SELECT d.i,
+               {H60_SQL.format(x="'cms|' || CAST(d.i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")} % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(i)
+        GROUP BY 1, 2
+    ),
+    probe AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20),
+    est AS (
+        SELECT p.user_id, min(cms.cnt) AS est
+        FROM probe p
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(i)
+        JOIN cms ON cms.i = d.i
+                AND cms.bucket =
+                    {H60_SQL.format(x="'cms|' || CAST(d.i AS VARCHAR) || '|' || CAST(p.user_id AS VARCHAR)")} % 256
+        GROUP BY 1
+    ),
+    exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+    SELECT user_id, est, n_exact, est >= n_exact AS overestimate_ok
+    FROM est JOIN exact USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def _cms_point_counts(spark, t):
+    # count-min sketch point estimates, FULLY oracled: the sketch is
+    # pure engine-portable integer arithmetic (H60 hash % width), so
+    # unlike the DataSketches wrappers the estimates themselves
+    # hash-match DuckDB bit for bit — no interval assertion needed
+    # (the overestimate invariant est >= exact rides along as a
+    # boolean). Mergeable: partial sketches union + sum by (i,
+    # bucket); 4x256 counters total regardless of key cardinality —
+    # the heavy-hitter/frequency path when even per-key exact counts
+    # are too big to keep.
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = t["events"].select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, width=256)
+    probe = ev.distinct().orderBy("user_id").limit(20)
+    est = cms_estimate(sketch, probe, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).alias("overestimate_ok"),
+        )
+        .orderBy("user_id")
+    )
