@@ -129,3 +129,45 @@ def test_chunk_windows_cover_and_align(spark, texts):
         # overlap-stripped reconstruction: first chunk + tail of the rest
         rebuilt = got[1] + "".join(got[c][50:] for c in range(2, n + 1))
         assert rebuilt == t
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Hash-min label propagation must agree with a reference
+    union-find on arbitrary small graphs — chains, cycles, stars,
+    disconnected mixes, duplicate edges."""
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.comp for r in connected_components(df, max_iter=40).collect()
+    }
+    assert got == want

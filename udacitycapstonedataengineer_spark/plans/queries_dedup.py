@@ -292,10 +292,16 @@ def _corpus_source_overlap(spark, t):
     # out at most C(|sources|, 2) rows per shingle (sources are tens,
     # never rows), and the pair aggregate is the only other shuffle.
     # Never doc×doc, never all-pairs at row grain.
+    # persist the distinct (source, shingle) table before the
+    # self-join — without it Catalyst inlines the whole shingle
+    # pipeline into BOTH join sides and the corpus is scanned (and
+    # shingled) twice; persisted, it's one scan + a few bytes per
+    # distinct (source, shingle)
     sh = (
         with_shingles(t["documents"])
         .select("source", F.explode("shingles").alias("shingle"))
         .distinct()
+        .persist()
     )
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")

@@ -994,7 +994,8 @@ def _cms_point_counts(spark, t):
     # are too big to keep.
     from ..operators.sketches import cms_build, cms_estimate
 
-    ev = t["events"].select("user_id")
+    # one scan feeds sketch + probe + exact (3 scans unpersisted)
+    ev = t["events"].select("user_id").persist()
     sketch = cms_build(ev, "user_id", depth=4, width=256)
     probe = ev.distinct().orderBy("user_id").limit(20)
     est = cms_estimate(sketch, probe, "user_id", depth=4, width=256)

@@ -473,9 +473,11 @@ def _docs_novelty_hapax(spark, t):
         " ELSE transform(sequence(0, size(tok) - 2),"
         "                i -> concat(tok[i], ' ', tok[i + 1])) END)[0]"
     )
+    # persisted: bg feeds both the corpus frequency AND the join-back
+    # side — unpersisted, the scan+explode pipeline runs twice
     bg = t["documents"].select(
         "doc_id", F.explode(F.expr(bigrams)).alias("bigram")
-    )
+    ).persist()
     freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return (
         bg.join(freq, "bigram")
