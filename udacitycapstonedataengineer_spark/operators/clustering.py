@@ -68,7 +68,10 @@ def kmeans(
 ) -> DataFrame:
     """Lloyd's for ``iters`` iterations; returns final (vec_id,
     cluster). Deterministic on any cluster layout (see module doc)."""
-    vectors = _as_double_vec(emb, vec_col)
+    # persisted: consumed by the seed fetch, every iteration's
+    # assign + re-aggregation join, and the final assign — without it
+    # each consumer re-scans (and re-decodes) the embedding parquet
+    vectors = _as_double_vec(emb, vec_col).persist()
     # init = first k vectors by id RANK (not `vec_id < k`, which
     # silently under-seeds on sparse/offset ids — ADVICE r2). One
     # driver action fetches the k×dim seed table, validates the

@@ -168,7 +168,9 @@ def _approx_percentile_price(spark, t):
     # TRUE; a sketch regression flips the boolean and fails the hash.
     # GK guarantees rank error <= 1/accuracy = 1e-4; eps=0.01 is 100x.
     eps = 0.01
-    o = t["orders"].select("o_orderstatus", "o_totalprice")
+    # persisted: the sketch branch and the rank-check join both
+    # consume this projection — one scan, not two
+    o = t["orders"].select("o_orderstatus", "o_totalprice").persist()
     ap = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10_000).alias("m")
     )
@@ -775,13 +777,15 @@ def _sample_stratified_by_status(spark, t):
     frac_col = F.create_map(
         *[F.lit(x) for kv in fractions.items() for x in kv]
     )[F.col("o_orderstatus")]
+    # persisted single-column projection feeds both the sample and
+    # the totals — one scan, not two
+    strata = t["orders"].select("o_orderstatus").persist()
     n_sampled = (
-        t["orders"]
-        .sampleBy("o_orderstatus", fractions, seed=42)
+        strata.sampleBy("o_orderstatus", fractions, seed=42)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
-    n_total = t["orders"].groupBy("o_orderstatus").agg(
+    n_total = strata.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_total")
     )
     rate = F.col("n_sampled").cast("double") / F.col("n_total")
@@ -855,8 +859,10 @@ def _sketch_distinct_users_daily(spark, t):
     # tests/test_sketches.py.
     from ..operators.sketches import hll_daily_distinct
 
-    est = hll_daily_distinct(t["events"]).select("day", "est_distinct")
-    exact = t["events"].groupBy(
+    # persisted projection feeds the sketch AND the exact branch
+    ev = t["events"].select("ts", "user_id").persist()
+    est = hll_daily_distinct(ev).select("day", "est_distinct")
+    exact = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.countDistinct("user_id").alias("n_exact"))
     return exact.join(F.broadcast(est), "day").select(
@@ -888,12 +894,14 @@ def _sketch_value_quantiles(spark, t):
     # in tests/test_sketches.py.
     from ..operators.sketches import kll_value_quantiles
 
-    est = kll_value_quantiles(t["events"]).selectExpr(
+    # persisted projection feeds the KLL sketch AND the rank check
+    ev = t["events"].select("event_type", "value").persist()
+    est = kll_value_quantiles(ev).selectExpr(
         "stack(3, CAST(0.5 AS DOUBLE), q50,"
         " CAST(0.9 AS DOUBLE), q90,"
         " CAST(0.99 AS DOUBLE), q99) AS (q, est)"
     )
-    vals = t["events"].filter(F.col("value").isNotNull()).select("value")
+    vals = ev.filter(F.col("value").isNotNull()).select("value")
     res = (
         vals.crossJoin(F.broadcast(est))
         .groupBy("q")

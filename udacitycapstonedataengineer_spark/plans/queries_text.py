@@ -336,6 +336,8 @@ def _text_tfidf_top_terms(spark, t):
     # tf is one (doc,term) shuffle, df one term shuffle, the join
     # re-uses df's term partitioning, and the per-doc top-3 is a
     # running row_number — no global sort of the token stream.
+    # persisted: tf and df branches both consume the token stream —
+    # unpersisted, the scan+explode pipeline runs twice
     toks = (
         t["documents"]
         .select(
@@ -343,6 +345,7 @@ def _text_tfidf_top_terms(spark, t):
             F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
         )
         .filter(F.col("term") != "")
+        .persist()
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
