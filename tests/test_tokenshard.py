@@ -1,0 +1,81 @@
+"""Packed token-shard sink/source (Python DataSource write path):
+roundtrip through Spark, binary layout verified against the on-disk
+contract byte for byte, commit manifest totals, overwrite semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+from udacitycapstonedataengineer_spark.sources.tokenshard import (
+    register_tokenshard_datasource,
+)
+
+
+def _token_df(spark, sf_dir):
+    # deterministic fake token ids from the document text (the
+    # container has no tokenizer libs; the layout is what's under test)
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("seq_id"),
+        F.expr(
+            "transform(split(lower(text), '\\\\s+'),"
+            " t -> CAST(abs(hash(t)) % 50257 AS INT))"
+        ).alias("token_ids"),
+    )
+
+
+def test_tokenshard_roundtrip_layout_and_manifest(spark, sf_dir, tmp_path):
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards")
+    df = _token_df(spark, sf_dir).repartition(3, "seq_id")
+    df.write.format("tokenshard").mode("overwrite").save(out)
+
+    # manifest is the commit finish line and carries exact totals
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    want_seqs = df.count()
+    want_tokens = df.select(F.sum(F.size("token_ids"))).collect()[0][0]
+    assert manifest["n_seqs"] == want_seqs
+    assert manifest["n_tokens"] == want_tokens
+    assert len(manifest["shards"]) == 3
+
+    # Spark roundtrip: read side reconstructs every sequence exactly
+    back = spark.read.format("tokenshard").load(out)
+    a = {r.seq_id: list(r.token_ids) for r in back.collect()}
+    b = {r.seq_id: list(r.token_ids) for r in df.collect()}
+    assert a == b
+
+    # binary contract: decode one shard with plain struct/file IO —
+    # a data loader must not need Spark (or this repo) to mmap shards
+    shard = manifest["shards"][0]["shard"]
+    with open(os.path.join(out, shard + ".idx"), "rb") as f:
+        recs = list(struct.Struct("<qqq").iter_unpack(f.read()))
+    with open(os.path.join(out, shard + ".bin"), "rb") as f:
+        blob = f.read()
+    assert recs, "first shard unexpectedly empty"
+    running = 0
+    for seq_id, off, n in recs:
+        assert off == running  # contiguous packing
+        toks = list(
+            struct.unpack_from(f"<{n}i", blob, off * 4)
+        )
+        assert toks == b[seq_id]
+        running += n
+    assert running * 4 == len(blob)
+
+
+def test_tokenshard_no_clobber_without_overwrite(spark, sf_dir, tmp_path):
+    import pytest
+
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards2")
+    df = _token_df(spark, sf_dir).limit(10).repartition(1)
+    df.write.format("tokenshard").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="already contains shards"):
+        df.write.format("tokenshard").mode("append").save(out)
+    # and the original data survived the refused write
+    assert spark.read.format("tokenshard").load(out).count() == 10
