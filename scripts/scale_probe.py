@@ -52,6 +52,11 @@ PROBE_QUERIES = [
     "docs_global_dup_spans",
     "events_rolling_7d_active_users",
     "dedup_clusters",
+    # round-4 additions: bigram/shingle-grain and incremental shapes
+    "docs_novelty_hapax",
+    "corpus_source_overlap",
+    "dedup_minhash_incremental",
+    "text_keyword_search_topk",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

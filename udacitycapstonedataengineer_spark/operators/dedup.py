@@ -126,6 +126,76 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
     return with_shingles(docs).withColumn("minhash", F.expr(_sig_expr(num_hashes)))
 
 
+def _band_buckets_from_shingled(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, shingles) table — the
+    LSH index grain. Bucket key = portable 60-bit hash of the band's
+    signature slice: fixed 8-byte shuffle keys (vs variable-length
+    strings) at scale."""
+    rows = num_hashes // bands
+    sigs = sh.select("doc_id", F.expr(_sig_expr(num_hashes)).alias("minhash"))
+    band_slice = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> {H60.format(x=band_slice)})"
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(F.expr(band_expr)).alias("band", "bucket")
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """The persistable LSH index table for ``docs``: (doc_id, band,
+    bucket). In a steady-state pipeline this is written ONCE per
+    ingested batch (a few rows × 16 bytes per doc) and reused by every
+    later incremental dedup — new crawls never re-shingle the corpus."""
+    return _band_buckets_from_shingled(
+        with_shingles(docs).select("doc_id", "shingles"), num_hashes, bands
+    )
+
+
+def _cap_buckets(bk: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` — the
+    standard LSH skew control, applied per side."""
+    return bk.join(
+        bk.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+
+def minhash_candidates_incremental(
+    new_buckets: DataFrame,
+    seen_buckets: DataFrame,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup CANDIDATES of a new batch against an already-indexed
+    corpus: returns distinct (new_doc_id, seen_doc_id) sharing any
+    capped (band, bucket). The incremental twin of
+    ``minhash_candidates`` — the corpus side joins by its PRECOMPUTED
+    index table (minhash_band_buckets), so a daily crawl shuffles only
+    its own buckets; the 100 TB corpus is never re-shingled or
+    re-scanned beyond its index. Skew caps apply per side (a
+    boilerplate bucket in either the batch or the corpus is dropped
+    before the join)."""
+    n = _cap_buckets(new_buckets, max_bucket).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "bucket"
+    )
+    s = _cap_buckets(seen_buckets, max_bucket).select(
+        F.col("doc_id").alias("seen_doc_id"), "band", "bucket"
+    )
+    return (
+        n.join(s, ["band", "bucket"])
+        .select("new_doc_id", "seen_doc_id")
+        .distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -151,20 +221,8 @@ def minhash_candidates(
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
-    rows = num_hashes // bands
     sh = shingled if shingled is not None else with_shingles(docs).select("doc_id", "shingles").persist()
-    sigs = sh.select("doc_id", F.expr(_sig_expr(num_hashes)).alias("minhash"))
-    # bucket key = portable 60-bit hash of the band's signature slice —
-    # fixed 8-byte shuffle keys (vs variable-length strings) at scale
-    band_slice = f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))"
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}),"
-        f" b -> {H60.format(x=band_slice)})"
-    )
-    exploded = (
-        sigs.select("doc_id", F.posexplode(F.expr(band_expr)).alias("band", "bucket"))
-        .persist()
-    )
+    exploded = _band_buckets_from_shingled(sh, num_hashes, bands).persist()
     # skew control: drop degenerate buckets before the self-join
     sized = exploded.join(
         exploded.groupBy("band", "bucket")

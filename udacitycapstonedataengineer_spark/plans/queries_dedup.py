@@ -312,3 +312,62 @@ def _corpus_source_overlap(spark, t):
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+def _minhash_incremental_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, max_bucket: int = 64
+) -> str:
+    """DuckDB twin of the incremental LSH candidate join: same
+    signatures/banding as _minhash_oracle_sql, split into a seen
+    corpus (even doc_id) and a new batch (odd doc_id), each side
+    skew-capped independently, then the cross join on (band, bucket)."""
+    a, b = lcg_coeffs(num_hashes)
+    rows = num_hashes // bands
+    coef_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    hx = H60_SQL.format(x="s")
+    bucket_hash = H60_SQL.format(
+        x=f"array_to_string(minhash[band*{rows}+1 : band*{rows}+{rows}], ',')"
+    )
+    return f"""
+    WITH coef(k, a, b) AS (VALUES {coef_rows}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+    hx AS (SELECT doc_id, {hx} % {P_MOD} AS x
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    mh AS (SELECT doc_id, k, min((a * x + b) % {P_MOD}) AS m
+           FROM hx CROSS JOIN coef GROUP BY doc_id, k),
+    sig AS (SELECT doc_id, list(m ORDER BY k) AS minhash FROM mh GROUP BY doc_id),
+    bk AS (SELECT doc_id, band, {bucket_hash} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+    seen AS (SELECT doc_id, band, bucket FROM bk WHERE doc_id % 2 = 0
+             QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}),
+    new AS (SELECT doc_id, band, bucket FROM bk WHERE doc_id % 2 = 1
+            QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket})
+    SELECT DISTINCT n.doc_id AS new_doc_id, s.doc_id AS seen_doc_id
+    FROM new n JOIN seen s ON n.band = s.band AND n.bucket = s.bucket
+    ORDER BY 1, 2
+    """
+
+
+@query("dedup_minhash_incremental", _minhash_incremental_oracle_sql())
+def _dedup_minhash_incremental(spark, t):
+    # incremental NEAR-dup: a new batch (odd doc_id, standing in for
+    # today's crawl) against the already-indexed corpus (even doc_id).
+    # Production shape: the corpus side is minhash_band_buckets
+    # persisted at ingest — a few (band, bucket) rows per doc — so
+    # daily dedup shuffles only the new batch's buckets and NEVER
+    # re-shingles or re-scans corpus text. Here both indexes are
+    # derived in-query for the oracle; the operator contract is
+    # identical either way. Complements dedup_incremental_anti (the
+    # exact-fingerprint tier of the same steady-state pipeline).
+    from ..operators.dedup import (
+        minhash_band_buckets,
+        minhash_candidates_incremental,
+    )
+
+    docs = t["documents"]
+    new_bk = minhash_band_buckets(docs.filter(F.col("doc_id") % 2 == 1))
+    seen_bk = minhash_band_buckets(docs.filter(F.col("doc_id") % 2 == 0))
+    return minhash_candidates_incremental(new_bk, seen_bk).orderBy(
+        "new_doc_id", "seen_doc_id"
+    )
