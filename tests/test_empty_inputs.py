@@ -1,0 +1,58 @@
+"""Degenerate-input behavior: operators must return EMPTY results (not
+crash) on empty inputs — the shape every incremental pipeline hits on
+a quiet day (no new docs, no new events)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dedup_tiers_on_empty_corpus(spark):
+    from udacitycapstonedataengineer_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_bucket_profile,
+        minhash_band_buckets,
+        minhash_candidates,
+        minhash_candidates_incremental,
+        simhash_near_dups,
+    )
+
+    docs = _empty_docs(spark)
+    assert exact_dedup_groups(docs).count() == 0
+    assert minhash_candidates(docs).count() == 0
+    assert simhash_near_dups(docs).count() == 0
+    assert lsh_bucket_profile(docs).count() == 0
+    empty_bk = minhash_band_buckets(docs)
+    assert minhash_candidates_incremental(empty_bk, empty_bk).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_global_rank_and_cms_on_empty(spark):
+    from udacitycapstonedataengineer_spark.operators.ranking import (
+        with_global_rank,
+    )
+    from udacitycapstonedataengineer_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    empty = spark.createDataFrame([], "v long, k long")
+    assert with_global_rank(empty, ["v", "k"]).count() == 0
+    ev = spark.createDataFrame([], "user_id long")
+    sketch = cms_build(ev, "user_id")
+    assert sketch.count() == 0
+    assert cms_estimate(sketch, ev, "user_id").count() == 0
