@@ -99,3 +99,56 @@ def test_parameterized_sql_named_args(spark, sf_dir):
         .count()
     )
     assert n == expected > 0
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """Spark-4 SQL scripting (BEGIN/DECLARE/WHILE/SET): a scripted
+    two-step maintenance procedure — derive a threshold into a
+    variable, then aggregate against it — must equal the equivalent
+    DataFrame two-step. The surface operations teams use to ship
+    procedural maintenance jobs as pure SQL."""
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    got = {
+        (r.o_orderstatus, r.n_above)
+        for r in spark.sql(
+            """
+            BEGIN
+              DECLARE avg_price DOUBLE;
+              SET avg_price = (SELECT avg(o_totalprice) FROM orders_v);
+              SELECT o_orderstatus, count(*) AS n_above
+              FROM orders_v
+              WHERE o_totalprice > avg_price
+              GROUP BY o_orderstatus;
+            END
+            """
+        ).collect()
+    }
+    avg_price = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    want = {
+        (r.o_orderstatus, r.n_above)
+        for r in orders.filter(F.col("o_totalprice") > avg_price)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .collect()
+    }
+    assert got == want and got
+    # scripted loop: accumulate over a variable (pure control flow)
+    row = spark.sql(
+        """
+        BEGIN
+          DECLARE total INT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 5 DO
+            SET total = total + i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS sum_1_to_5;
+        END
+        """
+    ).collect()[0]
+    assert row.sum_1_to_5 == 15
