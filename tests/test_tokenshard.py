@@ -79,3 +79,27 @@ def test_tokenshard_no_clobber_without_overwrite(spark, sf_dir, tmp_path):
         df.write.format("tokenshard").mode("append").save(out)
     # and the original data survived the refused write
     assert spark.read.format("tokenshard").load(out).count() == 10
+
+
+def test_pack_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """raw docs → quality/lang/dedup chain → packed shards: the
+    committed manifest totals must equal the prepared corpus's chunk
+    count and summed token counts, and the shards must read back."""
+    from udacitycapstonedataengineer_spark.plans.corpus import (
+        pack_corpus_to_shards,
+        prepare_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_shards")
+    metrics = pack_corpus_to_shards(spark, docs, out, shards=2)
+    assert metrics["packed_seqs"] == metrics["chunks"] > 0
+    chunks, _ = prepare_corpus(docs)
+    want_tokens = chunks.select(
+        F.sum(
+            F.size(F.filter(F.split(F.lower("chunk"), r"\s+"), lambda t: t != ""))
+        )
+    ).collect()[0][0]
+    assert metrics["packed_tokens"] == want_tokens
+    back = spark.read.format("tokenshard").load(out)
+    assert back.count() == metrics["chunks"]

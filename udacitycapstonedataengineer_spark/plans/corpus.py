@@ -68,3 +68,47 @@ def prepare_corpus(
     metrics["chunks"] = chunks.count()
     exact.unpersist()
     return chunks, metrics
+
+
+def pack_corpus_to_shards(
+    spark,
+    documents: DataFrame,
+    out_dir: str,
+    shards: int = 4,
+    **prepare_kwargs,
+) -> dict[str, int]:
+    """The FULL last mile: prepare_corpus → deterministic fake
+    tokenization → packed token shards on disk (sources/tokenshard.py)
+    ready for a data loader to mmap. Returns the per-stage metrics
+    plus the sink's committed totals.
+
+    Tokenization is the engine's documented stub (no tokenizer libs in
+    the container): per-token portable hash mod vocab — deterministic,
+    so reprocessing converges byte-identically, which is the property
+    the pipeline contract actually needs; swap in a real BPE via the
+    same (seq_id, token_ids) interface. Shard count = repartition
+    width: each task streams one shard pair, no driver movement."""
+    from ..sources.tokenshard import register_tokenshard_datasource
+
+    register_tokenshard_datasource(spark)
+    chunks, metrics = prepare_corpus(documents, **prepare_kwargs)
+    seqs = chunks.select(
+        # chunk grain: seq_id = doc_id * 10k + chunk_id (disjoint by
+        # construction: chunk_id counts windows of a ≤n_chars text)
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("seq_id"),
+        F.expr(
+            "transform(filter(split(lower(chunk), '\\\\s+'), t -> t != ''),"
+            " t -> CAST(abs(hash(t)) % 50257 AS INT))"
+        ).alias("token_ids"),
+    )
+    seqs.repartition(shards, "seq_id").write.format("tokenshard").mode(
+        "overwrite"
+    ).save(out_dir)
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    metrics["packed_seqs"] = manifest["n_seqs"]
+    metrics["packed_tokens"] = manifest["n_tokens"]
+    return metrics
