@@ -68,7 +68,7 @@ _PRIORITY = [
     # in round 5
     "docs_novelty_hapax", "text_keyword_search_topk",
     "corpus_source_overlap", "cms_point_counts",
-    "dedup_minhash_incremental",
+    "dedup_minhash_incremental", "ann_topk_filtered",
 ]
 
 

@@ -112,10 +112,20 @@ def lsh_bucket_sql(col: str, planes: list[list[float]]) -> str:
 
 
 def brute_force_topk(
-    emb: DataFrame, query_pred: F.Column, k: int = 5
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query side, score map-side,
-    rank per query. Ties broken by candidate id (deterministic)."""
+    rank per query. Ties broken by candidate id (deterministic).
+
+    ``candidates`` restricts the search to a pre-filtered candidate
+    set (same vec_id/embedding schema) — the FILTERED vector-search
+    shape: metadata predicates (language, source, license, date)
+    prune BEFORE scoring, so selective filters cut scoring cost
+    proportionally instead of post-filtering a top-k that may then
+    come back short."""
     from pyspark.sql import Window
 
     q = emb.filter(query_pred).select(
@@ -123,7 +133,7 @@ def brute_force_topk(
         F.col("embedding").alias("q_emb"),
         norm("embedding").alias("q_norm"),
     )
-    c = emb.select(
+    c = (candidates if candidates is not None else emb).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         norm("embedding").alias("c_norm"),

@@ -149,3 +149,44 @@ def _kmeans_clusters(spark, t):
     # DuckDB oracle unrolls the SAME iterations, proving an ITERATIVE
     # algorithm end-to-end, not just one step
     return kmeans(t["embeddings"], k=8, iters=2, dim=64)
+
+
+@query(
+    "ann_topk_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 8),
+         c AS (SELECT e.vec_id AS cand_id, e.embedding AS c_emb
+               FROM embeddings e
+               JOIN documents d ON d.doc_id = e.vec_id
+               WHERE d.lang = 'en'),
+         scored AS (
+            SELECT query_id, cand_id, {cosine_sql('q_emb', 'c_emb')} AS cosine
+            FROM c CROSS JOIN q
+            WHERE query_id <> cand_id
+         )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def _ann_topk_filtered(spark, t):
+    # FILTERED vector search: top-k under a metadata predicate (the
+    # retrieval shape RAG / curation pipelines actually run — "nearest
+    # English docs", "same-license only"). The predicate prunes the
+    # candidate side BEFORE scoring via an equi-join to the metadata
+    # table: with a selective filter the scoring cost drops
+    # proportionally, and the top-k can never come back short the way
+    # post-filtering an unfiltered top-k does. Queries stay unfiltered
+    # (search from any doc into the filtered corpus).
+    cand = t["embeddings"].join(
+        t["documents"]
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    return brute_force_topk(
+        t["embeddings"], _q_pred(), k=5, candidates=cand
+    )
