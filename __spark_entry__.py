@@ -69,6 +69,7 @@ _PRIORITY = [
     "docs_novelty_hapax", "text_keyword_search_topk",
     "corpus_source_overlap", "cms_point_counts",
     "dedup_minhash_incremental", "ann_topk_filtered",
+    "events_mad_outliers", "events_user_streaks",
 ]
 
 

@@ -856,3 +856,139 @@ def _text_inverted_index(spark, t):
         .filter(F.col("df") >= 10)
         .orderBy("term")
     )
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    med AS (SELECT event_type,
+                   quantile_cont(cents, 0.5) AS m
+            FROM c GROUP BY 1),
+    dev AS (SELECT c.event_type, c.cents, med.m,
+                   abs(c.cents - med.m) AS adev
+            FROM c JOIN med USING (event_type)),
+    mad AS (SELECT event_type,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           count(*) AS n_values,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def _events_mad_outliers(spark, t):
+    # robust outlier counts via Median Absolute Deviation — the
+    # heavy-tail-safe twin of events_zscore_outliers (one extreme
+    # value shifts a mean/stddev fence, but not median±3·MAD). Values
+    # go through integer cents, so the only floats are the two
+    # medians — Spark `percentile` and DuckDB quantile_cont share the
+    # linear-interpolation definition bit for bit (the
+    # percentile_by_status precedent), and the 3·MAD comparison uses
+    # those bit-identical doubles on both engines. Two grouped
+    # medians = two shuffles on event_type (5 groups); the join back
+    # is a broadcast of a 5-row table each time.
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", cents.alias("cents"))
+        .persist()
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    dev = (
+        c.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "cents",
+            F.abs(F.col("cents") - F.col("m")).alias("adev"),
+        )
+        .persist()
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_user_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               CAST(day AS DATE) - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_len,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start
+    FROM (
+        SELECT user_id, streak_len, streak_start,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC, streak_start)
+                   AS rn
+        FROM streaks
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def _events_user_streaks(spark, t):
+    # gaps-and-islands: each user's LONGEST run of consecutive active
+    # days (engagement-streak analytics). The classic rewrite — day
+    # minus per-user row_number is constant within a consecutive run —
+    # turns streak detection into a groupBy, all integer date math.
+    # One shuffle on user_id for the window, the rest stays at
+    # (user, anchor) grain. Ties broken by earliest streak.
+    days = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_len",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
