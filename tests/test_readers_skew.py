@@ -191,7 +191,6 @@ def test_csv_corrupt_record_quarantine(spark, tmp_path):
     FAILFAST (the strict alternative) raises instead."""
     import pytest
     from pyspark.sql import types as T
-    from pyspark.sql.utils import PythonException
 
     from udacitycapstonedataengineer_spark.sources.readers import (
         read_csv_quarantine,

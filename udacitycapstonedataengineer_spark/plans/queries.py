@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.dates import sas_date_decode
-from ..functions.exact import money_avg, money_sum
+from ..functions.exact import money_avg
 from ..operators.cleaning import dedup_by_key, drop_nulls, null_profile
 from ..operators.dims import build_calendar_dim, build_dimension
 from .registry import ORACLE, QUERIES, query
