@@ -60,6 +60,12 @@ HEADLINE = [
     # round-4 additions
     "docs_novelty_hapax",
     "text_keyword_search_topk",
+    "corpus_source_overlap",
+    "dedup_minhash_incremental",
+    "cms_point_counts",
+    "events_mad_outliers",
+    "events_user_streaks",
+    "ann_topk_filtered",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
