@@ -151,3 +151,61 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    depth: int = 3,
+) -> DataFrame:
+    """Bloom filter as a DataFrame: the distinct set-bit POSITIONS of
+    ``df``'s keys under ``depth`` salted H60 hashes mod ``m_bits``.
+    Like cms_build, pure portable integer arithmetic — buildable,
+    mergeable (union + distinct), and oracle-checkable in any engine.
+    At most ``m_bits`` rows regardless of key cardinality; the
+    membership contract is one-sided (false positives possible at the
+    standard (m, d, n) rate, false negatives never)."""
+    from .dedup import H60
+
+    salted = f"concat('bloom|', i, '|', CAST({key_col} AS STRING))"
+    return (
+        df.select(
+            F.col(key_col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(F.expr(f"{H60.format(x=salted)} % {m_bits}").alias("position"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    depth: int = 3,
+) -> DataFrame:
+    """(key, claimed_present) for each probe key: present iff ALL
+    ``depth`` bit positions are set. The bits side is at most m_bits
+    rows → broadcast; the probe side never shuffles."""
+    from .dedup import H60
+
+    salted = f"concat('bloom|', i, '|', CAST({key_col} AS STRING))"
+    keyed = probe.select(
+        F.col(key_col),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+    ).select(
+        key_col,
+        F.expr(f"{H60.format(x=salted)} % {m_bits}").alias("position"),
+    )
+    hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
+    return (
+        keyed.join(hit, "position", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth).alias(
+                "claimed_present"
+            )
+        )
+    )

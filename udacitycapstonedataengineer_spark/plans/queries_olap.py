@@ -1018,3 +1018,81 @@ def _cms_point_counts(spark, t):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "bloom_membership_orders",
+    f"""
+    WITH seen AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0),
+    bits AS (
+        SELECT DISTINCT
+               {H60_SQL.format(x="'bloom|' || CAST(d.i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)")} % 4096
+                   AS position
+        FROM seen CROSS JOIN (VALUES (0), (1), (2)) AS d(i)
+    ),
+    probe AS (
+        SELECT probe_key FROM (
+            SELECT DISTINCT o_orderkey AS probe_key FROM orders
+            WHERE o_orderkey % 100 = 0 ORDER BY probe_key LIMIT 20)
+        UNION ALL
+        SELECT probe_key FROM (
+            SELECT DISTINCT o_orderkey AS probe_key FROM orders
+            WHERE o_orderkey % 100 <> 0 ORDER BY probe_key LIMIT 20)
+    ),
+    hits AS (
+        SELECT p.probe_key,
+               SUM(CASE WHEN b.position IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM probe p
+        CROSS JOIN (VALUES (0), (1), (2)) AS d(i)
+        LEFT JOIN bits b
+          ON b.position =
+             {H60_SQL.format(x="'bloom|' || CAST(d.i AS VARCHAR) || '|' || CAST(p.probe_key AS VARCHAR)")} % 4096
+        GROUP BY 1
+    )
+    SELECT probe_key, n_hit = 3 AS claimed_present,
+           probe_key % 100 = 0 AS is_present,
+           (probe_key % 100 <> 0) OR (n_hit = 3) AS no_false_negative
+    FROM hits
+    ORDER BY probe_key
+    """,
+)
+def _bloom_membership_orders(spark, t):
+    # portable Bloom filter, FULLY oracled like cms_point_counts: the
+    # set-bit positions are pure H60 integer arithmetic, so the
+    # membership CLAIMS themselves hash-match DuckDB bit for bit —
+    # including any false positives, which both engines reproduce
+    # identically. The one-sided contract (false negatives NEVER)
+    # rides along as a boolean column. Mergeable: bit sets union.
+    # The seen side here is even orderkeys; probes are the 40 lowest
+    # keys (half present, half absent). At scale: bits ≤ m rows →
+    # broadcast; probes never shuffle; the 100 TB use is pre-filtering
+    # a fact join against a small-side key set (the manual twin of the
+    # runtime bloom pruning session.enable_runtime_bloom turns on).
+    # sizing: seen = keys % 100 == 0 keeps the bit load well under m
+    # at driver scale (bits/key ~ 27 at sf0.01 -> FP rate ~0.1%); a
+    # saturated filter (n*d >> m) trivially claims everything present
+    from ..operators.sketches import bloom_build, bloom_contains
+
+    keys = t["orders"].select("o_orderkey").distinct().persist()
+    seen = keys.filter(F.col("o_orderkey") % 100 == 0)
+    bits = bloom_build(seen, "o_orderkey", m_bits=4096, depth=3)
+    probe = (
+        seen.select(F.col("o_orderkey").alias("probe_key"))
+        .orderBy("probe_key")
+        .limit(20)
+        .unionAll(
+            keys.filter(F.col("o_orderkey") % 100 != 0)
+            .select(F.col("o_orderkey").alias("probe_key"))
+            .orderBy("probe_key")
+            .limit(20)
+        )
+    )
+    claimed = bloom_contains(bits, probe, "probe_key", m_bits=4096, depth=3)
+    return claimed.select(
+        "probe_key",
+        "claimed_present",
+        (F.col("probe_key") % 100 == 0).alias("is_present"),
+        (
+            (F.col("probe_key") % 100 != 0) | F.col("claimed_present")
+        ).alias("no_false_negative"),
+    ).orderBy("probe_key")
