@@ -70,7 +70,7 @@ _PRIORITY = [
     "corpus_source_overlap", "cms_point_counts",
     "dedup_minhash_incremental", "ann_topk_filtered",
     "events_mad_outliers", "events_user_streaks",
-    "bloom_membership_orders",
+    "bloom_membership_orders", "orders_profile_drift",
 ]
 
 

@@ -992,3 +992,99 @@ def _events_user_streaks(spark, t):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "orders_profile_drift",
+    """
+    WITH tagged AS (
+        SELECT o_orderkey % 2 AS snap,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus, o_custkey
+        FROM orders
+    ),
+    prof AS (
+        SELECT snap,
+               count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderstatus) AS n_status,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents,
+               CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents_floor
+        FROM tagged GROUP BY snap
+    )
+    SELECT a.n_rows AS rows_a, b.n_rows AS rows_b,
+           a.n_cust AS cust_a, b.n_cust AS cust_b,
+           a.n_status AS status_a, b.n_status AS status_b,
+           a.min_cents AS min_a, b.min_cents AS min_b,
+           a.max_cents AS max_a, b.max_cents AS max_b,
+           a.mean_cents_floor AS mean_a, b.mean_cents_floor AS mean_b,
+           (abs(a.n_rows - b.n_rows) * 10 > b.n_rows)
+               OR (abs(a.mean_cents_floor - b.mean_cents_floor) * 10
+                   > b.mean_cents_floor)
+               OR (a.n_status <> b.n_status) AS drifted
+    FROM (SELECT * FROM prof WHERE snap = 0) a
+    CROSS JOIN (SELECT * FROM prof WHERE snap = 1) b
+    """,
+)
+def _orders_profile_drift(spark, t):
+    # snapshot drift check — the "did today's load change shape?" gate
+    # a pipeline runs before publishing: row counts, key cardinality,
+    # domain size, and value range/center compared between two
+    # snapshots (stand-ins: even/odd orderkeys), with a drift verdict
+    # at >10% movement on rows or mean, or any domain-size change.
+    # All integer math (floor-mean in cents, basis-point-free 10x
+    # cross-multiplication) so the verdict is engine-exact. One scan:
+    # both snapshot profiles come from a single groupBy(snap) pass;
+    # the final compare is a 1x1-row broadcast crossJoin.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    prof = (
+        t["orders"]
+        .select(
+            (F.col("o_orderkey") % 2).alias("snap"),
+            cents.alias("cents"),
+            "o_orderstatus",
+            "o_custkey",
+        )
+        .groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.expr("SUM(cents) DIV count(*)").alias("mean_cents_floor"),
+        )
+        .persist()
+    )
+    a = prof.filter(F.col("snap") == 0).drop("snap")
+    b = prof.filter(F.col("snap") == 1).drop("snap")
+    a = a.select(*[F.col(c).alias(f"{c}__a") for c in a.columns])
+    b = b.select(*[F.col(c).alias(f"{c}__b") for c in b.columns])
+    joined = a.crossJoin(F.broadcast(b))
+    drifted = (
+        (F.abs(F.col("n_rows__a") - F.col("n_rows__b")) * 10
+         > F.col("n_rows__b"))
+        | (
+            F.abs(
+                F.col("mean_cents_floor__a") - F.col("mean_cents_floor__b")
+            ) * 10
+            > F.col("mean_cents_floor__b")
+        )
+        | (F.col("n_status__a") != F.col("n_status__b"))
+    )
+    return joined.select(
+        F.col("n_rows__a").alias("rows_a"),
+        F.col("n_rows__b").alias("rows_b"),
+        F.col("n_cust__a").alias("cust_a"),
+        F.col("n_cust__b").alias("cust_b"),
+        F.col("n_status__a").alias("status_a"),
+        F.col("n_status__b").alias("status_b"),
+        F.col("min_cents__a").alias("min_a"),
+        F.col("min_cents__b").alias("min_b"),
+        F.col("max_cents__a").alias("max_a"),
+        F.col("max_cents__b").alias("max_b"),
+        F.col("mean_cents_floor__a").alias("mean_a"),
+        F.col("mean_cents_floor__b").alias("mean_b"),
+        drifted.alias("drifted"),
+    )
