@@ -388,3 +388,31 @@ def test_statestore_reader_exposes_tws_state(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == final
+
+
+def test_streaming_hll_rollup_equals_batch_sketch(spark, sf_dir):
+    """Streaming sketch algebra: the per-day HLL estimates from the
+    streaming aggregation (partial sketches merged in micro-batch
+    order) must EXACTLY equal the batch one-pass build — register-max
+    merge is order-insensitive, so equality is exact, not approximate."""
+    from udacitycapstonedataengineer_spark.operators.sketches import (
+        hll_daily_distinct,
+    )
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        streaming_daily_distinct_hll,
+    )
+
+    batch = {
+        r.day: r.est_distinct
+        for r in hll_daily_distinct(load_table(spark, sf_dir, "events"))
+        .select("day", "est_distinct")
+        .collect()
+    }
+    stream = {
+        r.day: r.est_distinct
+        for r in streaming_daily_distinct_hll(
+            spark, sf_dir, query_name="t_stream_hll"
+        ).collect()
+    }
+    assert len(stream) > 0
+    assert stream == batch

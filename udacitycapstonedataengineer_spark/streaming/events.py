@@ -653,3 +653,41 @@ def batch_user_recent_k(events: DataFrame, k: int = 3) -> DataFrame:
         .withColumn("recency_rank", F.row_number().over(w))
         .filter(F.col("recency_rank") <= k)
     )
+
+
+def streaming_daily_distinct_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_daily_hll",
+) -> DataFrame:
+    """Streaming per-day distinct-user ESTIMATES via mergeable HLL
+    sketches — the streaming twin of operators/sketches.py::
+    hll_daily_distinct. The point is the algebra: HLL register-max
+    merge is commutative and associative, so the streaming partial
+    aggregation (arbitrary arrival/merge order across micro-batches)
+    must land on the IDENTICAL sketch — and estimate — as the batch
+    one-pass build. That equality is what makes sketch state safe in
+    long-running streams: no drift, no order sensitivity, bounded
+    bytes per window."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est_distinct")
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "est_distinct",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
