@@ -83,3 +83,17 @@ def scd2_apply(
     return hist.unionByName(kept).unionByName(closed).unionByName(
         reopened
     ).unionByName(brand_new)
+
+
+def scd2_as_of(dim: DataFrame, as_of) -> DataFrame:
+    """Point-in-time read of an SCD2 dimension: the row version valid
+    AT ``as_of`` (valid_from <= as_of < valid_to, open-ended current
+    rows included). The temporal read-side of scd2_apply — joins and
+    reports "as of" any past date reconstruct exactly, which is the
+    reason to carry SCD2 versions at all. Pure filter: predicate
+    pushes to the scan, no shuffle."""
+    d = F.lit(as_of).cast("date")
+    return dim.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )

@@ -1096,3 +1096,73 @@ def _bloom_membership_orders(spark, t):
             (F.col("probe_key") % 100 != 0) | F.col("claimed_present")
         ).alias("no_false_negative"),
     ).orderBy("probe_key")
+
+
+@query(
+    "scd2_point_in_time_read",
+    """
+    WITH cur AS (
+        SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region,
+               DATE '1990-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM nation
+    ),
+    upd AS (
+        SELECT n_nationkey AS k, n_name AS name,
+               (n_regionkey + 1) % 5 AS region,
+               DATE '2000-01-01' AS chg
+        FROM nation WHERE n_nationkey % 3 = 0
+    ),
+    scd AS (
+        SELECT c.k, c.name, c.region, c.valid_from,
+               CASE WHEN u.k IS NOT NULL THEN u.chg END AS valid_to
+        FROM cur c LEFT JOIN upd u ON c.k = u.k
+        UNION ALL
+        SELECT u.k, u.name, u.region, u.chg, CAST(NULL AS DATE)
+        FROM upd u
+    )
+    SELECT as_of, k, name, region FROM (
+        SELECT '1995-06-15' AS as_of, k, name, region FROM scd
+        WHERE valid_from <= DATE '1995-06-15'
+          AND (valid_to IS NULL OR valid_to > DATE '1995-06-15')
+        UNION ALL
+        SELECT '2020-01-01', k, name, region FROM scd
+        WHERE valid_from <= DATE '2020-01-01'
+          AND (valid_to IS NULL OR valid_to > DATE '2020-01-01')
+    )
+    ORDER BY as_of, k
+    """,
+)
+def _scd2_point_in_time_read(spark, t):
+    # the temporal READ-side of SCD2 (operators/scd.py::scd2_as_of):
+    # after the same update scenario as scd2_nation_update, the
+    # dimension reconstructed as of 1995 (pre-change: every key shows
+    # its ORIGINAL region) and as of 2020 (post-change: updated keys
+    # show the new region) — exactly one version per key per as-of
+    # date. Pure filters over the versioned table; this is what makes
+    # "rerun January's report" give January's dimension.
+    from ..operators.scd import scd2_apply, scd2_as_of
+
+    nation = t["nation"]
+    dim = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        ((F.col("n_regionkey") + 1) % 5).alias("region"),
+        F.lit("2000-01-01").cast("date").alias("change_date"),
+    )
+    scd = scd2_apply(dim, updates, ["k"], ["name", "region"]).persist()
+    snaps = [
+        scd2_as_of(scd, d).select(
+            F.lit(d).alias("as_of"), "k", "name", "region"
+        )
+        for d in ("1995-06-15", "2020-01-01")
+    ]
+    return snaps[0].unionByName(snaps[1]).orderBy("as_of", "k")
