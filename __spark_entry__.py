@@ -71,7 +71,7 @@ _PRIORITY = [
     "dedup_minhash_incremental", "ann_topk_filtered",
     "events_mad_outliers", "events_user_streaks",
     "bloom_membership_orders", "orders_profile_drift",
-    "scd2_point_in_time_read",
+    "scd2_point_in_time_read", "basket_part_pairs",
 ]
 
 

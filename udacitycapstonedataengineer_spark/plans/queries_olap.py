@@ -1166,3 +1166,58 @@ def _scd2_point_in_time_read(spark, t):
         for d in ("1995-06-15", "2020-01-01")
     ]
     return snaps[0].unionByName(snaps[1]).orderBy("as_of", "k")
+
+
+@query(
+    "basket_part_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, n_orders, rank FROM (
+        SELECT part_a, part_b, count(*) AS n_orders,
+               row_number() OVER (ORDER BY count(*) DESC, part_a, part_b)
+                   AS rank
+        FROM pairs GROUP BY 1, 2
+    )
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+)
+def _basket_part_pairs(spark, t):
+    # market-basket co-occurrence: the top part pairs ordered together.
+    # The self-join runs at ORDER grain on the distinct (order, part)
+    # set, so fan-out per order is C(parts_in_order, 2) — baskets are
+    # small (TPC-H ~4 lines), never a parts x parts or corpus-wide
+    # blowup; the pair aggregate shuffles on the (part_a, part_b) key
+    # and the global top-20 is per-partition heaps. Deterministic
+    # (count desc, part_a, part_b) tie-break.
+    items = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct().persist()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("part_a", "part_b", "n_orders", "rank")
+        .orderBy("rank")
+    )
