@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_mad_outliers", "events_user_streaks",
     "bloom_membership_orders", "orders_profile_drift",
     "scd2_point_in_time_read", "basket_part_pairs",
+    "events_conversion_latency_stats",
 ]
 
 

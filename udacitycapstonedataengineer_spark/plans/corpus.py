@@ -93,9 +93,11 @@ def pack_corpus_to_shards(
     register_tokenshard_datasource(spark)
     chunks, metrics = prepare_corpus(documents, **prepare_kwargs)
     seqs = chunks.select(
-        # chunk grain: seq_id = doc_id * 10k + chunk_id (disjoint by
-        # construction: chunk_id counts windows of a ≤n_chars text)
-        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("seq_id"),
+        # chunk grain: seq_id = doc_id << 24 | chunk_id — 16M chunks
+        # per doc (a 2.4G-char doc at stride 150) before collision,
+        # and doc_id keeps 39 bits (~550G docs); the shift form makes
+        # the budget explicit where a decimal multiplier hid it
+        F.expr("shiftleft(doc_id, 24) + chunk_id").alias("seq_id"),
         F.expr(
             "transform(filter(split(lower(chunk), '\\\\s+'), t -> t != ''),"
             " t -> CAST(abs(hash(t)) % 50257 AS INT))"

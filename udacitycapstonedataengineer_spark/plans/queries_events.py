@@ -622,3 +622,66 @@ def _events_forward_fill(spark, t):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_conversion_latency_stats",
+    """
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS p_us FROM events
+        WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT c.event_id, MIN(p.p_us - c.c_us) AS latency_us
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.p_us >= c.c_us
+                     AND p.p_us < c.c_us + 3600000000
+        GROUP BY c.event_id
+    )
+    SELECT count(*) AS n_conversions,
+           CAST(MIN(latency_us) AS BIGINT) AS min_us,
+           quantile_cont(latency_us, 0.5) AS median_us,
+           quantile_cont(latency_us, 0.9) AS p90_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_us
+    FROM conv
+    """,
+)
+def _events_conversion_latency_stats(spark, t):
+    # click -> first-purchase-within-1h latency distribution: the
+    # product-analytics companion of the funnel/attribution queries.
+    # Latency in integer epoch-micros; min-per-click makes the
+    # "first purchase" deterministic; the distribution stats are one
+    # tiny aggregate (median/p90 interpolate identically in both
+    # engines on integer inputs — percentile_by_status precedent).
+    # The user-keyed range join is hash-on-user + a bounded time
+    # predicate — per-user event lists are small; the 1h cap bounds
+    # the pair fan-out the same way the stream-stream join's
+    # watermark does.
+    ev = t["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") >= F.col("c_us"))
+            & (F.col("p_us") < F.col("c_us") + 3_600_000_000),
+        )
+        .groupBy("event_id")
+        .agg(F.min(F.col("p_us") - F.col("c_us")).alias("latency_us"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("latency_us").alias("min_us"),
+        F.expr("percentile(latency_us, 0.5)").alias("median_us"),
+        F.expr("percentile(latency_us, 0.9)").alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )
