@@ -66,6 +66,9 @@ HEADLINE = [
     "events_mad_outliers",
     "events_user_streaks",
     "ann_topk_filtered",
+    "basket_part_pairs",
+    "events_conversion_latency_stats",
+    "orders_profile_drift",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

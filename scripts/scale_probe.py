@@ -57,6 +57,9 @@ PROBE_QUERIES = [
     "corpus_source_overlap",
     "dedup_minhash_incremental",
     "text_keyword_search_topk",
+    # round-4b: order-grain self-join and bounded range-join shapes
+    "basket_part_pairs",
+    "events_conversion_latency_stats",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
