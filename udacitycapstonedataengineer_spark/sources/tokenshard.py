@@ -123,6 +123,15 @@ class _TokenShardWriter(DataSourceWriter):
                 toks.tofile(fb)
                 n_seqs += 1
                 n_tokens += len(toks)
+                if n_tokens > 0x7FFFFFFF:
+                    # the Arrow list offsets on the read side are
+                    # int32; a shard past 2^31 tokens (8 GB .bin)
+                    # would read back corrupted — fail the WRITE
+                    # loudly instead. Repartition wider.
+                    raise ValueError(
+                        f"tokenshard: shard {shard} exceeds 2^31 tokens; "
+                        "increase the partition count"
+                    )
         return _ShardCommit(shard=shard, n_seqs=n_seqs, n_tokens=n_tokens)
 
     def commit(self, messages) -> None:
