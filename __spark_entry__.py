@@ -72,7 +72,8 @@ _PRIORITY = [
     "events_mad_outliers", "events_user_streaks",
     "bloom_membership_orders", "orders_profile_drift",
     "scd2_point_in_time_read", "basket_part_pairs",
-    "events_conversion_latency_stats",
+    "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
+    "docs_length_percentiles_by_source",
 ]
 
 

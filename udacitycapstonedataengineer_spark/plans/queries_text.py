@@ -558,3 +558,51 @@ def _text_keyword_search_topk(spark, t):
         .select("doc_id", "total_tf", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "docs_length_percentiles_by_source",
+    r"""
+    WITH n AS (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               s -> s <> '')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.9) AS p90_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM n
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def _docs_length_percentiles_by_source(spark, t):
+    # per-source document-length distribution — the corpus-governance
+    # view behind mixture weighting and length-filter threshold
+    # choices (token BUDGET by source comes from total_tokens).
+    # Integer token counts; medians/p90 interpolate identically
+    # (quantile_cont ≡ percentile precedent). One aggregate at source
+    # grain, no joins, no explode — size() on the split array never
+    # materializes per-token rows.
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda s: s != "")
+    )
+    return (
+        t["documents"]
+        .select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+            F.expr("percentile(n_tokens, 0.9)").alias("p90_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

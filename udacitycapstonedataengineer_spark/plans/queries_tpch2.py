@@ -462,3 +462,50 @@ def _tpch_q22_dormant_customers(spark, t):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "lineitem_shipping_lag_stats",
+    """
+    WITH lag AS (
+        SELECT o.o_orderpriority,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(SUM(lag_days) AS BIGINT) AS lag_days_total,
+           CAST(MAX(lag_days) AS BIGINT) AS lag_days_max,
+           CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_slow,
+           quantile_cont(lag_days, 0.5) AS lag_days_median
+    FROM lag
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def _lineitem_shipping_lag_stats(spark, t):
+    # order-to-ship latency profile per order priority (the reduced
+    # schema has no commit/receipt dates — order date -> ship date is
+    # the available operational lag): totals/max/median and slow-item
+    # (>90 day) counts. Lags are exact integer day differences; the
+    # median interpolates on integers (quantile_cont ≡ percentile
+    # precedent). One orderkey-grain join (the priority column rides
+    # the join), one map-side-combined aggregate at priority grain.
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    joined = t["lineitem"].select("l_orderkey", "l_shipdate").join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("lag_days").cast("long").alias("lag_days_total"),
+            F.max("lag_days").cast("long").alias("lag_days_max"),
+            F.sum((F.col("lag_days") > 90).cast("long")).alias("n_slow"),
+            F.expr("percentile(lag_days, 0.5)").alias("lag_days_median"),
+        )
+        .orderBy("o_orderpriority")
+    )
