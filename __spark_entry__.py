@@ -73,7 +73,8 @@ _PRIORITY = [
     "bloom_membership_orders", "orders_profile_drift",
     "scd2_point_in_time_read", "basket_part_pairs",
     "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
-    "docs_length_percentiles_by_source",
+    "docs_length_percentiles_by_source", "events_power_users_pareto",
+    "orders_monthly_seasonality",
 ]
 
 

@@ -685,3 +685,106 @@ def _events_conversion_latency_stats(spark, t):
         F.expr("percentile(latency_us, 0.9)").alias("p90_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+@query(
+    "events_power_users_pareto",
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+        FROM counts
+    ),
+    tot AS (SELECT count(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
+            FROM counts)
+    SELECT tot.n_users,
+           CAST((tot.n_users + 99) // 100 AS BIGINT) AS n_top,
+           tot.n_events,
+           CAST(SUM(CASE WHEN ranked.rnk <= (tot.n_users + 99) // 100
+                         THEN ranked.n ELSE 0 END) AS BIGINT)
+               AS events_from_top,
+           CAST(SUM(CASE WHEN ranked.rnk <= (tot.n_users + 99) // 100
+                         THEN ranked.n ELSE 0 END) * 10000
+                // tot.n_events AS BIGINT) AS share_bp
+    FROM ranked CROSS JOIN tot
+    GROUP BY tot.n_users, tot.n_events
+    """,
+)
+def _events_power_users_pareto(spark, t):
+    # activity concentration: what share of events the top-1% most
+    # active users produce (the Pareto skew number behind per-user
+    # rate limits and sampling decisions). Ranking uses the
+    # distributed exact ranking (operators/ranking.py — rank by
+    # (-n, user_id), never a no-partitionBy row_number over the user
+    # table); the 1% cutoff is ceil-integer, the share integer basis
+    # points. Totals come from one broadcast 1-row aggregate.
+    counts = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = with_global_rank(counts, ["neg_n", "user_id"], "rnk")
+    tot = F.broadcast(
+        counts.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    joined = ranked.crossJoin(tot)
+    in_top = F.col("rnk") <= F.expr("(n_users + 99) DIV 100")
+    return (
+        joined.groupBy("n_users", "n_events")
+        .agg(
+            F.sum(F.when(in_top, F.col("n")).otherwise(0)).alias(
+                "events_from_top"
+            )
+        )
+        .select(
+            "n_users",
+            F.expr("(n_users + 99) DIV 100").alias("n_top"),
+            "n_events",
+            "events_from_top",
+            F.expr("events_from_top * 10000 DIV n_events").alias("share_bp"),
+        )
+    )
+
+
+@query(
+    "orders_monthly_seasonality",
+    """
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT order_month, n_orders,
+           n_orders - lag(n_orders, 12) OVER (ORDER BY order_month)
+               AS yoy_delta
+    FROM m
+    ORDER BY order_month
+    """,
+)
+def _orders_monthly_seasonality(spark, t):
+    # monthly order volume with year-over-year deltas (lag 12 on the
+    # month series). The lag window is GLOBAL but runs on the
+    # month-grain table — bounded by the calendar (tens of rows
+    # forever), the same exemption as the ranking operator's
+    # per-partition offsets table; the fact-grain work is one
+    # map-side-combined aggregate. Integer counts and deltas.
+    m = (
+        t["orders"]
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("order_month")
+    return (
+        m.withColumn(
+            "yoy_delta", F.col("n_orders") - F.lag("n_orders", 12).over(w)
+        )
+        .orderBy("order_month")
+    )
