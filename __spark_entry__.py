@@ -22,18 +22,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks a fixed-size (~50) prefix of this
-# dict, so ordering is part of the contract. Round-4 rotation
-# (VERDICT r3 #1): the flagship plus one representative per §2 family
-# keeps the reference surface continuously driver-verified;
-# round-4-changed queries must re-earn a green row; and the rest of
-# the window takes the final 29 never-driver-checked queries — the
-# 24 tail queries r01-r03 never reached plus the 5 formerly
-# rows-only approximate/sketch queries, which now carry
-# interval-assertion oracles (exact values hash-compared, accuracy
-# asserted as a boolean both engines must agree on). After this
-# window every registered query has appeared in a driver
-# CORRECTNESS_r*.json. Already-green queries follow after the
-# boundary.
+# dict, so ordering is part of the contract. Round-5 rotation
+# (VERDICT r4 #1): the flagship plus one representative per §2 family
+# keeps the reference surface continuously driver-verified; the 17
+# round-4 queries the driver has never seen (judge-gated only in r4)
+# take the middle of the window so every one of the 152 registered
+# queries has a driver-green CORRECTNESS row; round-5-changed queries
+# (index-routed keyword search, fixed bloom membership) sit inside
+# that set and re-earn their rows; the remaining slots go to queries
+# ADDED in round 5 so they get driver rows immediately.
+# Already-green queries follow after the boundary.
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
@@ -42,30 +40,9 @@ _PRIORITY = [
     "country_dim", "join_string_keys", "join_dedup", "groupby_avg",
     "global_counts", "calendar_dim", "sas_date_decode",
     "initcap_labels", "sas_labels_decode",
-    # changed this round — must re-earn a driver-green row
-    "tpch_q15_top_supplier", "dedup_clusters",
-    # never driver-checked before round 4: the 24-query tail ...
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-    "text_quality_score", "docs_chunk_windows",
-    "grouped_median_dev", "grouped_median_dev_native",
-    "sql_fact_dim_join", "sql_qualified_star",
-    "text_tfidf_top_terms", "text_fuzzy_pairs_levenshtein",
-    "text_pseudonymize_sha2", "docs_pack_sequences",
-    "corpus_mixture_sample", "ml_split_assignment",
-    "orders_price_histogram", "orders_outlier_iqr",
-    "events_debounce", "orders_winsorized_sum",
-    "events_zscore_outliers", "orders_snapshot_diff",
-    "orders_column_profile", "events_mode_value_per_type",
-    "text_inverted_index",
-    # ... plus the 5 newly-oracled approximate/sketch queries
-    "approx_percentile_price", "approx_distinct_users",
-    "sample_stratified_by_status", "sketch_distinct_users_daily",
-    "sketch_value_quantiles",
-    # heavy round-3 shapes kept warm in the remaining slots
-    "orders_equidepth_deciles", "events_rolling_7d_active_users",
-    # ---- ~50-row driver window boundary ----
-    # added in round 4, never driver-checked: rotate into the window
-    # in round 5
+    # round-4-new, never driver-checked (judge-gated in r4); includes
+    # the two round-5-changed queries (text_keyword_search_topk,
+    # bloom_membership_orders) which must re-earn their rows
     "docs_novelty_hapax", "text_keyword_search_topk",
     "corpus_source_overlap", "cms_point_counts",
     "dedup_minhash_incremental", "ann_topk_filtered",
@@ -75,6 +52,37 @@ _PRIORITY = [
     "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
     "docs_length_percentiles_by_source", "events_power_users_pareto",
     "orders_monthly_seasonality",
+    # round-5 additions — new queries earn driver rows immediately
+    "customer_rfm_segments", "docs_quality_gate_funnel",
+    "supplier_lead_time_trend", "events_first_touch_attribution",
+    "referential_integrity_audit", "events_hourly_heatmap",
+    "orders_open_backlog_daily", "docs_shingle_containment",
+    # remaining slots keep heavy earlier shapes warm
+    "tpch_q15_top_supplier", "dedup_clusters",
+    "ann_topk_bruteforce", "text_tfidf_top_terms",
+    "docs_pack_sequences", "corpus_mixture_sample",
+    "orders_snapshot_diff", "orders_equidepth_deciles",
+    # ---- ~50-row driver window boundary ----
+    # driver-green in r01-r04, kept registered below
+    "ann_topk_lsh", "ann_topk_ivf",
+    "text_quality_score", "docs_chunk_windows",
+    "sql_fact_dim_join",
+    "orders_outlier_iqr", "events_debounce",
+    "sketch_distinct_users_daily",
+    "grouped_median_dev", "grouped_median_dev_native",
+    "sql_qualified_star",
+    "text_fuzzy_pairs_levenshtein",
+    "text_pseudonymize_sha2",
+    "ml_split_assignment",
+    "orders_price_histogram",
+    "orders_winsorized_sum",
+    "events_zscore_outliers",
+    "orders_column_profile", "events_mode_value_per_type",
+    "text_inverted_index",
+    "approx_percentile_price", "approx_distinct_users",
+    "sample_stratified_by_status",
+    "sketch_value_quantiles",
+    "events_rolling_7d_active_users",
 ]
 
 

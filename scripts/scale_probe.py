@@ -60,6 +60,13 @@ PROBE_QUERIES = [
     # round-4b: order-grain self-join and bounded range-join shapes
     "basket_part_pairs",
     "events_conversion_latency_stats",
+    # round-5: remaining round-4 shapes with no sf1-eq datapoint
+    # (VERDICT r4 #5)
+    "bloom_membership_orders",
+    "cms_point_counts",
+    "events_power_users_pareto",
+    "events_user_streaks",
+    "orders_profile_drift",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

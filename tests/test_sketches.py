@@ -95,3 +95,26 @@ def test_cms_merge_equals_whole_and_overestimates(spark, sf_dir):
     assert len(est) > 0
     for uid, e in est.items():
         assert e >= exact[uid], (uid, e, exact[uid])
+
+
+def test_bloom_no_false_negatives_with_duplicate_probe_keys(spark):
+    """ADVICE r4: a key probed twice must still be claimed present —
+    presence is a universal min-check over distinct probe keys, not a
+    position count (which double-counted duplicate rows)."""
+    from udacitycapstonedataengineer_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = spark.range(0, 50).selectExpr("CAST(id AS BIGINT) AS k")
+    bits = bloom_build(members, "k", m_bits=1024, depth=3)
+    # probe every member THREE times plus some certain non-members
+    probe = members.unionAll(members).unionAll(members).unionAll(
+        spark.range(100000, 100020).selectExpr("CAST(id AS BIGINT) AS k")
+    )
+    got = {
+        r.k: r.claimed_present
+        for r in bloom_contains(bits, probe, "k", m_bits=1024, depth=3).collect()
+    }
+    assert len(got) == 70  # one row per DISTINCT probe key
+    assert all(got[k] for k in range(50)), "false negative on duplicate probe"

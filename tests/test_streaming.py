@@ -416,3 +416,90 @@ def test_streaming_hll_rollup_equals_batch_sketch(spark, sf_dir):
     }
     assert len(stream) > 0
     assert stream == batch
+
+
+def test_tws_session_timeout_timers_match_batch(spark, sf_dir, tmp_path):
+    """MapState + event-time timers (the last two TWS primitives):
+    timer-driven gap sessionization equals the batch twin exactly —
+    session bounds, event counts, DISTINCT-TYPE counts (MapState), and
+    the close reason ('event' for sessions superseded by later
+    activity, 'timer' for each user's final session, fired when the
+    watermark passed last_event + gap)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        batch_session_timeout,
+        streaming_session_timeout_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # a sliver of users keeps the memory-sink result small while still
+    # producing multi-session users at the 2-minute gap
+    ev = events.filter(F.col("user_id") % 97 == 0)
+    pdf = (
+        ev.select("event_id", "user_id", "event_type", "ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) > 50
+    # time-ordered chunks -> one micro-batch each, so the watermark
+    # advances between batches and timers actually fire; two far-future
+    # sentinel chunks push the final watermark past every real expiry
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    n_chunks = 4
+    per = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = pdf.iloc[i * per : (i + 1) * per]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(chunk_dir / f"chunk-{i:03d}.parquet"),
+        )
+    t_max = pdf["ts"].max()
+    for j, days in enumerate((10, 20)):
+        sentinel = pd.DataFrame(
+            {
+                "event_id": [10**9 + j],
+                "user_id": [-1],
+                "event_type": ["sentinel"],
+                "ts": [t_max + pd.Timedelta(days=days)],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(sentinel, preserve_index=False),
+            str(chunk_dir / f"chunk-{n_chunks + j:03d}.parquet"),
+        )
+
+    rows = streaming_session_timeout_tws(
+        spark, str(chunk_dir), gap_minutes=2, query_name="t_tws_sessions"
+    ).collect()
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            r.n_types,
+            r.closed_by,
+        )
+        for r in rows
+        if r.user_id != -1
+    }
+    want = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            r.n_types,
+            r.closed_by,
+        )
+        for r in batch_session_timeout(ev, gap_minutes=2).collect()
+    }
+    assert len(want) > 5
+    assert got == want
+    # both close paths must actually be exercised
+    reasons = {v[3] for v in got.values()}
+    assert reasons == {"event", "timer"}, reasons

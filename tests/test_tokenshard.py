@@ -23,7 +23,7 @@ def _token_df(spark, sf_dir):
         F.col("doc_id").alias("seq_id"),
         F.expr(
             "transform(split(lower(text), '\\\\s+'),"
-            " t -> CAST(abs(hash(t)) % 50257 AS INT))"
+            " t -> CAST(pmod(hash(t), 50257) AS INT))"
         ).alias("token_ids"),
     )
 
@@ -103,3 +103,74 @@ def test_pack_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert metrics["packed_tokens"] == want_tokens
     back = spark.read.format("tokenshard").load(out)
     assert back.count() == metrics["chunks"]
+
+
+def test_tokenshard_rollover_splits_at_budget(spark, sf_dir, tmp_path):
+    """maxTokensPerShard rolls a partition over to new shard pairs
+    before the budget is exceeded; totals still reconcile and every
+    sequence reads back intact."""
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards_roll")
+    df = _token_df(spark, sf_dir).repartition(2, "seq_id")
+    df.write.format("tokenshard").mode("overwrite").option(
+        "maxTokensPerShard", 5000
+    ).save(out)
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["shards"]) > 2, "budget produced no rollover"
+    assert all(s["n_tokens"] <= 5000 for s in manifest["shards"])
+    assert manifest["n_seqs"] == df.count()
+    assert (
+        manifest["n_tokens"]
+        == df.select(F.sum(F.size("token_ids"))).collect()[0][0]
+    )
+    back = spark.read.format("tokenshard").load(out)
+    a = {r.seq_id: list(r.token_ids) for r in back.collect()}
+    b = {r.seq_id: list(r.token_ids) for r in df.collect()}
+    assert a == b
+    # no attempt temps survive a committed write
+    assert not [p for p in os.listdir(out) if p.endswith(".tmp")]
+
+
+def test_tokenshard_sequence_larger_than_budget_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards_toolong")
+    df = _token_df(spark, sf_dir).limit(5).repartition(1)
+    with pytest.raises(Exception, match="never span shards"):
+        df.write.format("tokenshard").mode("overwrite").option(
+            "maxTokensPerShard", 3
+        ).save(out)
+
+
+def test_tokenshard_overwrite_is_commit_swapped(spark, sf_dir, tmp_path):
+    """Overwriting with a narrower write removes the stale shards of
+    the previous write only at commit time, and the manifest matches
+    the surviving shard set exactly."""
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards_swap")
+    df = _token_df(spark, sf_dir)
+    df.repartition(4, "seq_id").write.format("tokenshard").mode(
+        "overwrite"
+    ).save(out)
+    assert len(glob_shards(out)) == 8  # 4 pairs
+    df.limit(20).repartition(1).write.format("tokenshard").mode(
+        "overwrite"
+    ).save(out)
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    names = {s["shard"] for s in manifest["shards"]}
+    on_disk = glob_shards(out)
+    assert {p.rsplit(".", 1)[0] for p in on_disk} == names
+    assert spark.read.format("tokenshard").load(out).count() == 20
+
+
+def glob_shards(out):
+    return [
+        p
+        for p in os.listdir(out)
+        if p.startswith("shard-") and not p.endswith(".tmp")
+    ]

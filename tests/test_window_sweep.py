@@ -1,0 +1,103 @@
+"""Registry-wide unpartitioned-window gate (VERDICT r4 #3).
+
+A ``windowspecdefinition`` with no PARTITION BY funnels its whole
+input through one task — the classic Spark scale trap. Every site in
+this repo is bounded by construction, but until this test that was a
+convention; now it's a gate: a future registered query that adds an
+unbounded global-order window over fact-grain data FAILS here.
+
+A global window is accepted only when one of these holds:
+
+1. a Limit/TakeOrdered sits BELOW it in the plan tree (rank-stamping
+   a top-k after ``.limit(k)``);
+2. it orders by the synthetic ``__pid`` column — the distributed
+   exact-ranking offset scheme (operators/ranking.py), whose input is
+   one row per shuffle partition;
+3. the query is in the explicit allowlist of known-bounded inputs
+   (small-dim surrogate keys, calendar-bounded spines), each with a
+   stated reason.
+"""
+
+from __future__ import annotations
+
+import re
+
+from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+# queries whose global windows run over inputs that are small by
+# construction — the window input grain is the reason
+ALLOWED_BOUNDED_INPUT = {
+    # row_number surrogate ids over .distinct() of low-cardinality
+    # dimension columns (operators/dims.py): priorities (5), languages
+    # (handful), distinct order dates (calendar-bounded)
+    "priority_dim": "surrogate id over 5 distinct order priorities",
+    "fact_orders": "surrogate id over 5 distinct order priorities",
+    "sql_fact_dim_join": "surrogate id over 5 distinct order priorities",
+    "join_string_keys": "surrogate id over distinct language codes",
+    "calendar_dim": "surrogate id over distinct dates (calendar-bounded)",
+    # lag-12 seasonality over the month spine — rows = months in range
+    "orders_monthly_seasonality": "lag window over month-grain spine",
+    # ±1-delta running sum over the DAY-grain backlog table — rows =
+    # days in the order/ship calendar (~2.4k), never fact grain
+    "orders_open_backlog_daily": "running sum over day-grain spine",
+}
+
+
+def _indent(line: str) -> int:
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else 0
+
+
+def _unpartitioned_windows(lines: list[str]) -> list[int]:
+    """Line indexes whose windowspecdefinition has no partition cols
+    (first argument is an ORDER expression, i.e. carries ASC/DESC)."""
+    out = []
+    for i, line in enumerate(lines):
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", line):
+            first = m.group(1).split(",")[0].strip()
+            if re.search(r"(ASC|DESC) NULLS", first):
+                out.append(i)
+                break
+    return out
+
+
+def _has_limit_below(lines: list[str], i: int) -> bool:
+    d = _indent(lines[i])
+    for j in range(i + 1, len(lines)):
+        if _indent(lines[j]) <= d:
+            break  # popped out of this node's subtree
+        if "Limit" in lines[j] or "TakeOrdered" in lines[j]:
+            return True
+    return False
+
+
+def _orders_by_pid(line: str) -> bool:
+    m = re.search(r"windowspecdefinition\(([^,)]*)", line)
+    return bool(m) and m.group(1).strip().startswith("__pid")
+
+
+def test_no_unbounded_global_window_in_any_registered_query(spark, sf_dir):
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    violations: dict[str, list[str]] = {}
+    seen_allowlisted: set[str] = set()
+    for name, q in QUERIES.items():
+        plan = q(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        for i in _unpartitioned_windows(lines):
+            if _has_limit_below(lines, i):
+                continue
+            if _orders_by_pid(lines[i]):
+                continue
+            if name in ALLOWED_BOUNDED_INPUT:
+                seen_allowlisted.add(name)
+                continue
+            violations.setdefault(name, []).append(lines[i].strip()[:160])
+    assert not violations, (
+        "unbounded global-order window(s) in registered queries — either "
+        "rewrite via operators/ranking.py or justify in "
+        f"ALLOWED_BOUNDED_INPUT: {violations}"
+    )
+    # the allowlist must not go stale: every entry still exists and
+    # still exercises a global window
+    stale = set(ALLOWED_BOUNDED_INPUT) - seen_allowlisted
+    assert not stale, f"allowlist entries no longer needed: {stale}"

@@ -33,9 +33,24 @@ def ensure_protobuf_runtime() -> bool:
     spec.loader.exec_module(mod)  # runs bootstrap_protobuf() at import
     ok = mod.bootstrap_protobuf()
     if ok:
+        # The process-wide export is deliberate: in local mode the
+        # Python worker daemon is forked from the driver JVM, which
+        # inherits THIS process's environment — spark.executorEnv.*
+        # is ignored by the local master, so scoping the shim to it
+        # would break the only deployment this sandbox can test. The
+        # leak into unrelated subprocesses is bounded by design: the
+        # shim's sitecustomize is a no-op wherever a real protobuf
+        # install exists or no vendored runtime is found. Cluster
+        # deployments additionally get the scoped form via
+        # spark.executorEnv.PYTHONPATH in session.get_spark.
         current = os.environ.get("PYTHONPATH", "")
         if _PBSHIM_DIR not in current.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
                 _PBSHIM_DIR + (os.pathsep + current if current else "")
             )
     return ok
+
+
+def pbshim_dir() -> str:
+    """Shim directory for spark.executorEnv.PYTHONPATH scoping."""
+    return _PBSHIM_DIR

@@ -186,25 +186,36 @@ def bloom_contains(
     m_bits: int = 4096,
     depth: int = 3,
 ) -> DataFrame:
-    """(key, claimed_present) for each probe key: present iff ALL
+    """(key, claimed_present) per distinct probe key: present iff ALL
     ``depth`` bit positions are set. The bits side is at most m_bits
-    rows → broadcast; the probe side never shuffles."""
+    rows → broadcast; the probe side never shuffles.
+
+    The probe is deduplicated and presence is aggregated as a
+    universal check (``min(__set) == 1``), not a count: a counted
+    ``sum == depth`` breaks the one-sided no-false-negative contract
+    as soon as a key appears twice in the probe (each duplicate row
+    explodes to ``depth`` more position rows)."""
     from .dedup import H60
 
     salted = f"concat('bloom|', i, '|', CAST({key_col} AS STRING))"
-    keyed = probe.select(
-        F.col(key_col),
-        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
-    ).select(
-        key_col,
-        F.expr(f"{H60.format(x=salted)} % {m_bits}").alias("position"),
+    keyed = (
+        probe.select(key_col)
+        .distinct()
+        .select(
+            F.col(key_col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            key_col,
+            F.expr(f"{H60.format(x=salted)} % {m_bits}").alias("position"),
+        )
     )
     hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
     return (
         keyed.join(hit, "position", "left")
         .groupBy(key_col)
         .agg(
-            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth).alias(
+            (F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias(
                 "claimed_present"
             )
         )

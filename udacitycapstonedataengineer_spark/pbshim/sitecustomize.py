@@ -5,8 +5,14 @@ transformWithStateInPandas speaks a protobuf protocol between the
 Python worker and the JVM state server
 (pyspark/sql/streaming/proto/StateMessage_pb2.py). This container
 ships no ``protobuf`` distribution, but a pure-python runtime is
-present on disk (vendored by google-cloud-sdk, Apache-2.0); the
-``pb/google/protobuf`` symlink next to this file points at it.
+present on disk (vendored by google-cloud-sdk, Apache-2.0). The
+runtime's location is PROBED at bootstrap time from a short list of
+known install roots (override with ``PBSHIM_RUNTIME_ROOT``) and
+exposed through a ``pb/google/protobuf`` symlink materialized next
+to this file — nothing machine-specific is committed to the repo. If
+the symlink cannot be created (read-only install), the probed root
+itself is appended to ``sys.path`` instead (coarser: it exposes the
+vendor's whole ``google`` namespace, not just protobuf).
 
 This module is auto-imported by the ``site`` module in EVERY Python
 process whose PYTHONPATH contains this directory — which is exactly
@@ -37,6 +43,55 @@ import re
 import sys
 
 _PB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pb")
+
+# Known roots whose <root>/google/protobuf is a pure-python runtime.
+# Probed in order; PBSHIM_RUNTIME_ROOT (if set) wins.
+_RUNTIME_ROOTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    "/usr/local/google-cloud-sdk/platform/google_appengine",
+    os.path.expanduser("~/google-cloud-sdk/platform/google_appengine"),
+)
+
+
+def _probe_runtime_root() -> str | None:
+    """First root shipping a real pure-python protobuf runtime."""
+    env = os.environ.get("PBSHIM_RUNTIME_ROOT")
+    for root in ((env,) if env else ()) + _RUNTIME_ROOTS:
+        if os.path.isfile(
+            os.path.join(root, "google", "protobuf", "descriptor.py")
+        ):
+            return root
+    return None
+
+
+def _ensure_vendor_on_path() -> bool:
+    """Make the vendored protobuf importable via ``_PB_DIR``.
+
+    Prefers materializing the ``pb/google/protobuf`` symlink (scopes
+    the import surface to protobuf only); races between concurrently
+    bootstrapping workers are benign (FileExistsError → re-check).
+    Falls back to appending the probed root itself when the package
+    dir is not writable."""
+    link = os.path.join(_PB_DIR, "google", "protobuf")
+    if os.path.isfile(os.path.join(link, "descriptor.py")):
+        return True
+    root = _probe_runtime_root()
+    if root is None:
+        return False
+    target = os.path.join(root, "google", "protobuf")
+    try:
+        if os.path.islink(link):  # dangling/stale link from elsewhere
+            os.remove(link)
+        os.makedirs(os.path.dirname(link), exist_ok=True)
+        os.symlink(target, link)
+    except FileExistsError:
+        pass  # another worker won the race
+    except OSError:
+        # read-only install: coarser fallback, vendor root directly
+        if root not in sys.path:
+            sys.path.append(root)
+        return True
+    return os.path.isfile(os.path.join(link, "descriptor.py"))
 
 
 def _protobuf_importable() -> bool:
@@ -107,8 +162,8 @@ def bootstrap_protobuf() -> bool:
     (natively or via the vendored runtime) afterwards."""
     if _protobuf_importable():
         return True  # real install present: stay out of the way
-    if not os.path.isdir(os.path.join(_PB_DIR, "google", "protobuf")):
-        return False  # symlink target absent on this machine
+    if not _ensure_vendor_on_path():
+        return False  # no vendored runtime on this machine
     if _PB_DIR not in sys.path:
         sys.path.append(_PB_DIR)  # append: never shadow real packages
     _purge_poisoned_namespace()

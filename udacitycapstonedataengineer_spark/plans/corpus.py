@@ -100,7 +100,7 @@ def pack_corpus_to_shards(
         F.expr("shiftleft(doc_id, 24) + chunk_id").alias("seq_id"),
         F.expr(
             "transform(filter(split(lower(chunk), '\\\\s+'), t -> t != ''),"
-            " t -> CAST(abs(hash(t)) % 50257 AS INT))"
+            " t -> CAST(pmod(hash(t), 50257) AS INT))"
         ).alias("token_ids"),
     )
     seqs.repartition(shards, "seq_id").write.format("tokenshard").mode(

@@ -5,6 +5,8 @@ the scan, fully codegen'd."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -528,13 +530,23 @@ def _text_keyword_search_topk(spark, t):
     # boolean-retrieval primitive over the same token stream as the
     # inverted index. Ranking stays in integers (total term frequency,
     # doc_id tie-break) per the no-libm discipline; BM25's idf/log
-    # factor is deliberately out of the compared output. Plan: the
-    # IN-list filter lands at the scan (only matching tokens survive
-    # the explode), one (doc,term) shuffle, the AND check is
-    # count-distinct==|terms| per doc, and the global top-10 is
-    # TakeOrderedAndProject (per-partition heaps), never a full sort.
+    # factor is deliberately out of the compared output. Plan: a
+    # conjunctive substring pre-filter (a strict SUPERSET of the
+    # token-equality match, so results are unchanged) runs in the
+    # scan stage so the explode fans out over candidate docs only —
+    # at 100 TB the corpus-wide tokenize is the cost, not the
+    # aggregate; then the IN-list filter drops non-query tokens, one
+    # (doc,term) shuffle, the AND check is count-distinct==|terms|
+    # per doc, and the global top-10 is TakeOrderedAndProject
+    # (per-partition heaps), never a full sort. Standing-index
+    # retrieval (no corpus scan at all) is operators/retrieval.py;
+    # this registered twin stays scan-shaped so DuckDB can oracle it.
     terms = ["scan", "join", "hash"]
-    toks = t["documents"].select(
+    lt = F.lower(F.col("text"))
+    candidates = t["documents"].filter(
+        reduce(lambda a, b: a & b, [lt.contains(term) for term in terms])
+    )
+    toks = candidates.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
     ).filter(F.col("term").isin(terms))

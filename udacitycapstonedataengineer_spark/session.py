@@ -48,9 +48,9 @@ def get_spark(
     # before the JVM starts: protobuf bootstrap for TWS (exports
     # PYTHONPATH to the python workers; no-op where protobuf is
     # properly installed — see compat.py)
-    from .compat import ensure_protobuf_runtime
+    from .compat import ensure_protobuf_runtime, pbshim_dir
 
-    ensure_protobuf_runtime()
+    pb_ok = ensure_protobuf_runtime()
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -60,6 +60,16 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if pb_ok and not master.startswith("local"):
+        # cluster executors don't inherit the driver's environment;
+        # ship the shim dir the SCOPED way (executor env only) there.
+        # Local mode relies on the process-env export in compat.py.
+        conf.setdefault(
+            "spark.executorEnv.PYTHONPATH",
+            pbshim_dir()
+            + os.pathsep
+            + "{{PWD}}",  # keep YARN's default expansion intact
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -9,23 +9,47 @@ This module implements that hop natively in Spark — completing the
 engine's Python DataSource surface with the WRITE side (the SAS
 reader in sas_datasource.py is the read side).
 
-Layout (all little-endian, one shard pair per Spark partition):
+Layout (all little-endian, one or more shard pairs per Spark
+partition):
 
-- ``shard-NNNNN.bin`` — the partition's token ids concatenated, int32
-- ``shard-NNNNN.idx`` — one (seq_id: int64, offset: int64,
+- ``shard-NNNNN-KKK.bin`` — a slice of the partition's token ids
+  concatenated, int32 (``NNNNN`` = partition id, ``KKK`` = rollover
+  index within the partition)
+- ``shard-NNNNN-KKK.idx`` — one (seq_id: int64, offset: int64,
   n_tokens: int64) triple per sequence; ``offset`` indexes TOKENS
   (not bytes) into the shard's .bin
 - ``manifest.json`` — written on driver COMMIT (atomic finish line):
   shard list + per-shard and total sequence/token counts. Readers
   treat a directory without a manifest as an aborted write.
 
-Scale notes: each task writes only its own partition's pair —
+Committer protocol (mirrors the Hadoop/parquet pattern): each task
+ATTEMPT writes to attempt-unique temp names
+(``shard-NNNNN-KKK.bin.<attemptId>.tmp``), so a retried or
+speculative second attempt of the same partition never interleaves
+bytes with a still-running first attempt. The driver's ``commit()``
+renames only the WINNING attempts' files into place, removes stale
+shards from a previous write (overwrite is commit-swapped, not
+destructive-first: an overwrite job that dies mid-write leaves the
+old shard set and manifest fully intact), sweeps losing-attempt
+temps, and finally replaces ``manifest.json`` atomically. ``abort()``
+sweeps all temp files and leaves any previous committed write
+untouched.
+
+Shard rollover: ``maxTokensPerShard`` (default and hard cap
+2^31 - 1 — the read side materializes a shard as one Arrow int32
+list array, whose offsets overflow past 2^31 tokens / 8 GB .bin)
+rolls a partition over to a new shard pair before the budget is
+exceeded, so a 100-TB pack job bounds shard size by option rather
+than by partition-count tuning. A single sequence longer than the
+budget fails loudly — sequences never span shards.
+
+Scale notes: each task writes only its own partition's pairs —
 sequential appends, no shuffle, no driver data movement; the commit
-message carries counts only. Random access needs no token offsets
-table in memory beyond the O(#sequences) idx. Writes land on the
-task's local view of the target path (local disk / NFS / fuse mount
-in this sandbox); an object-store deployment would wrap the same
-layout in the cloud committer pattern session.py documents for
+message carries names and counts only. Random access needs no token
+offsets table in memory beyond the O(#sequences) idx. Writes land on
+the task's local view of the target path (local disk / NFS / fuse
+mount in this sandbox); an object-store deployment would wrap the
+same layout in the cloud committer pattern session.py documents for
 parquet.
 
 Usage::
@@ -53,13 +77,14 @@ from pyspark.sql.datasource import (
 
 _IDX_REC = struct.Struct("<qqq")  # seq_id, token offset, n_tokens
 _SCHEMA = "seq_id bigint, token_ids array<int>"
+_MAX_TOKENS_PER_SHARD = 0x7FFFFFFF  # Arrow int32 list-offset bound
 
 
 @dataclass
 class _ShardCommit(WriterCommitMessage):
-    shard: str
-    n_seqs: int
-    n_tokens: int
+    # one winning attempt's shards: [{"shard", "n_seqs", "n_tokens"}]
+    shards: list
+    attempt: int
 
 
 @dataclass
@@ -84,65 +109,124 @@ class TokenShardDataSource(DataSource):
                 "tokenshard expects columns (seq_id bigint, token_ids "
                 f"array<int>), got {schema.simpleString()}"
             )
-        return _TokenShardWriter(self.options["path"], overwrite)
+        budget = int(
+            self.options.get("maxtokenspershard", _MAX_TOKENS_PER_SHARD)
+        )
+        return _TokenShardWriter(self.options["path"], overwrite, budget)
 
     def reader(self, schema):
         return _TokenShardReader(self.options["path"])
 
 
 class _TokenShardWriter(DataSourceWriter):
-    def __init__(self, path: str, overwrite: bool) -> None:
+    def __init__(self, path: str, overwrite: bool, budget: int) -> None:
         self.path = path
-        # driver-side: prepare the directory before tasks launch
+        if not 0 < budget <= _MAX_TOKENS_PER_SHARD:
+            raise ValueError(
+                "tokenshard: maxTokensPerShard must be in "
+                f"(0, 2^31 - 1], got {budget}"
+            )
+        self.budget = budget
+        # driver-side: check for conflicts before tasks launch, but
+        # DELETE nothing yet — overwrite is commit-swapped in
+        # commit(), so a failed overwrite job leaves the previous
+        # write intact.
         os.makedirs(path, exist_ok=True)
-        stale = glob.glob(os.path.join(path, "shard-*")) + glob.glob(
-            os.path.join(path, "manifest.json")
-        )
-        if stale and not overwrite:
+        if not overwrite and (
+            glob.glob(os.path.join(path, "shard-*"))
+            or os.path.exists(os.path.join(path, "manifest.json"))
+        ):
             raise FileExistsError(
                 f"tokenshard: {path} already contains shards; "
                 "use mode('overwrite')"
             )
-        for f in stale:
-            os.remove(f)
 
     def write(self, iterator) -> _ShardCommit:
         from array import array
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        shard = f"shard-{pid:05d}"
-        bin_path = os.path.join(self.path, shard + ".bin")
-        idx_path = os.path.join(self.path, shard + ".idx")
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        shards, k = [], 0
+        fb = fi = None
         n_seqs = n_tokens = 0
-        with open(bin_path, "wb") as fb, open(idx_path, "wb") as fi:
+
+        def _open_pair(k):
+            shard = f"shard-{pid:05d}-{k:03d}"
+            fb = open(
+                os.path.join(self.path, f"{shard}.bin.{attempt}.tmp"), "wb"
+            )
+            fi = open(
+                os.path.join(self.path, f"{shard}.idx.{attempt}.tmp"), "wb"
+            )
+            return shard, fb, fi
+
+        def _close_pair():
+            fb.close()
+            fi.close()
+            shards.append(
+                {"shard": shard, "n_seqs": n_seqs, "n_tokens": n_tokens}
+            )
+
+        shard, fb, fi = _open_pair(k)
+        try:
             for row in iterator:
                 toks = array("i", row.token_ids or [])
+                if len(toks) > self.budget:
+                    raise ValueError(
+                        f"tokenshard: sequence {row.seq_id} has "
+                        f"{len(toks)} tokens, more than maxTokensPerShard="
+                        f"{self.budget}; sequences never span shards"
+                    )
+                if n_tokens + len(toks) > self.budget and n_seqs > 0:
+                    # roll over BEFORE the budget is exceeded
+                    _close_pair()
+                    k += 1
+                    n_seqs = n_tokens = 0
+                    shard, fb, fi = _open_pair(k)
                 fi.write(_IDX_REC.pack(row.seq_id, n_tokens, len(toks)))
                 toks.tofile(fb)
                 n_seqs += 1
                 n_tokens += len(toks)
-                if n_tokens > 0x7FFFFFFF:
-                    # the Arrow list offsets on the read side are
-                    # int32; a shard past 2^31 tokens (8 GB .bin)
-                    # would read back corrupted — fail the WRITE
-                    # loudly instead. Repartition wider.
-                    raise ValueError(
-                        f"tokenshard: shard {shard} exceeds 2^31 tokens; "
-                        "increase the partition count"
-                    )
-        return _ShardCommit(shard=shard, n_seqs=n_seqs, n_tokens=n_tokens)
+        except BaseException:
+            fb.close()
+            fi.close()
+            raise
+        _close_pair()
+        return _ShardCommit(shards=shards, attempt=attempt)
+
+    def _sweep_temps(self) -> None:
+        for p in glob.glob(os.path.join(self.path, "shard-*.tmp")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def commit(self, messages) -> None:
-        shards = sorted(
-            (
-                {"shard": m.shard, "n_seqs": m.n_seqs, "n_tokens": m.n_tokens}
-                for m in messages
-                if m is not None
-            ),
-            key=lambda s: s["shard"],
-        )
+        shards = []
+        # rename only the WINNING attempts' temp files into place
+        for m in messages:
+            if m is None:
+                continue
+            for s in m.shards:
+                for ext in (".bin", ".idx"):
+                    os.replace(
+                        os.path.join(
+                            self.path, f"{s['shard']}{ext}.{m.attempt}.tmp"
+                        ),
+                        os.path.join(self.path, s["shard"] + ext),
+                    )
+                shards.append(s)
+        shards.sort(key=lambda s: s["shard"])
+        # commit-swap: drop previous-write shards not re-used by this
+        # write, then losing-attempt temps, then publish the manifest
+        keep = {s["shard"] + ext for s in shards for ext in (".bin", ".idx")}
+        for p in glob.glob(os.path.join(self.path, "shard-*")):
+            name = os.path.basename(p)
+            if name not in keep and not name.endswith(".tmp"):
+                os.remove(p)
+        self._sweep_temps()
         manifest = {
             "format": "tokenshard-v1",
             "dtype": "int32",
@@ -156,13 +240,10 @@ class _TokenShardWriter(DataSourceWriter):
         os.replace(tmp, os.path.join(self.path, "manifest.json"))
 
     def abort(self, messages) -> None:
-        for m in messages or []:
-            if m is None:
-                continue
-            for ext in (".bin", ".idx"):
-                p = os.path.join(self.path, m.shard + ext)
-                if os.path.exists(p):
-                    os.remove(p)
+        # sweep ALL attempt temps (including failed attempts that
+        # never returned a commit message); committed files from a
+        # previous write are never touched
+        self._sweep_temps()
 
 
 class _TokenShardReader(DataSourceReader):

@@ -691,3 +691,239 @@ def streaming_daily_distinct_hll(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_session_timeout_tws(
+    spark: SparkSession,
+    chunk_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "stream_session_timeout_tws",
+) -> DataFrame:
+    """Timer-driven gap sessionization via ``transformWithStateInPandas``
+    — the last two TWS primitives this engine hadn't exercised:
+    **MapState** (per-session event-type counts, a keyed sub-map per
+    grouping key) and **event-time timers** (``registerTimer`` /
+    ``handleExpiredTimer``), on top of ValueState for the open
+    session. Completes the Spark-4 stateful surface next to
+    streaming_user_totals_tws (ValueState) and
+    streaming_user_recent_k_tws (ListState).
+
+    Semantics (the batch twin ``batch_session_timeout`` computes the
+    same thing from ``sessionize``): a user's session closes when
+
+    - a LATER event of the same user arrives past the gap
+      (``closed_by='event'`` — detected inline in handleInputRows), or
+    - the event-time watermark passes ``last_event + gap``
+      (``closed_by='timer'`` — the registered timer fires in
+      handleExpiredTimer). A stale timer (one superseded by newer
+      events that extended the session) re-checks expiry against
+      current state and is ignored.
+
+    ``chunk_dir`` holds time-ordered parquet chunks; the stream
+    processes them one file per micro-batch (``maxFilesPerTrigger=1``)
+    so the watermark actually ADVANCES between batches — the condition
+    under which timers fire at all. At scale the same operator runs
+    unchanged on a kafka/file landing stream; state is RocksDB-backed
+    so open-session cardinality is a disk, not heap, bound.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from ..sources.readers import _arrow_field_to_spark
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_types", T.LongType()),
+            T.StructField("closed_by", T.StringType()),
+        ]
+    )
+    sess_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    type_key_schema = T.StructType([T.StructField("event_type", T.StringType())])
+    type_val_schema = T.StructType([T.StructField("cnt", T.LongType())])
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", sess_schema)
+            self._by_type = handle.getMapState(
+                "by_type", type_key_schema, type_val_schema
+            )
+
+        def _emit(self, key, closed_by: str):
+            start_us, last_us, n = self._sess.get()
+            n_types = sum(1 for _ in self._by_type.keys())
+            self._sess.clear()
+            self._by_type.clear()
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [int(start_us)],
+                    "session_end_us": [int(last_us)],
+                    "n_events": [int(n)],
+                    "n_types": [int(n_types)],
+                    "closed_by": [closed_by],
+                }
+            )
+
+        def _bump_type(self, event_type: str, by: int) -> None:
+            prev = 0
+            if self._by_type.containsKey((event_type,)):
+                prev = int(self._by_type.getValue((event_type,))[0])
+            self._by_type.updateValue((event_type,), (prev + by,))
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+            if self._sess.exists():
+                start_us, last_us, n = (int(x) for x in self._sess.get())
+            else:
+                start_us = last_us = -1
+                n = 0
+            for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                ts_us = int(ts_us)
+                if n > 0 and ts_us - last_us > gap_us:
+                    # same-user event past the gap closes the session
+                    # inline — no timer round-trip needed
+                    self._sess.update((start_us, last_us, n))
+                    yield self._emit(key, "event")
+                    n = 0
+                if n == 0:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+                self._bump_type(str(etype), 1)
+            self._sess.update((start_us, last_us, n))
+            # one live timer per key: re-arm at the new expiry
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_us // 1000 + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            _, last_us, _ = (int(x) for x in self._sess.get())
+            # stale-timer guard: only close if this timer is the
+            # session's CURRENT expiry (newer events re-armed later)
+            if expiredTimerInfo.getExpiryTimeInMs() >= last_us // 1000 + gap_ms:
+                yield self._emit(key, "timer")
+
+        def close(self) -> None:
+            pass
+
+    first_chunk = sorted(
+        f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+    )[0]
+    footer = pq.read_schema(os.path.join(chunk_dir, first_chunk))
+    fields, ns_cols = [], []
+    for f in footer:
+        dt, fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if fix:
+            ns_cols.append(f.name)
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            spark.readStream.schema(T.StructType(fields))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(chunk_dir)
+        )
+        for c in ns_cols:
+            ev = ev.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+        ev = (
+            ev.withWatermark("ts", "0 seconds")
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                "ts",
+            )
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=SessionTimeout(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(query_name)
+
+
+def batch_session_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin of streaming_session_timeout_tws: gap sessions with
+    distinct-type counts and the deterministic close reason — a
+    session followed by a later session of the same user closed on
+    that event's arrival ('event'); each user's final session closed
+    on watermark expiry ('timer')."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    per_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .withColumn("prev_us", F.lag("ts_us").over(per_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > gap_us)
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(per_user))
+    )
+    sessions = marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    last_seq = Window.partitionBy("user_id")
+    return sessions.withColumn(
+        "closed_by",
+        F.when(
+            F.col("session_seq") == F.max("session_seq").over(last_seq),
+            F.lit("timer"),
+        ).otherwise(F.lit("event")),
+    ).drop("session_seq")
