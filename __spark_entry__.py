@@ -57,12 +57,18 @@ _PRIORITY = [
     "supplier_lead_time_trend", "events_first_touch_attribution",
     "referential_integrity_audit", "events_hourly_heatmap",
     "orders_open_backlog_daily", "docs_shingle_containment",
-    # remaining slots keep heavy earlier shapes warm
-    "tpch_q15_top_supplier", "dedup_clusters",
+    "orders_hot_keys_skew", "orders_interorder_gap_stats",
+    "events_dau_mau_stickiness", "nation_revenue_share",
+    "events_churn_buckets", "events_type_weekday_chisq",
+    "docs_token_rarity",
+    # last slot keeps one heavy earlier shape warm
+    "tpch_q15_top_supplier",
+    # ---- ~50-row driver window boundary ----
+    # driver-green in r04, rotated out to make room (still registered)
+    "dedup_clusters",
     "ann_topk_bruteforce", "text_tfidf_top_terms",
     "docs_pack_sequences", "corpus_mixture_sample",
     "orders_snapshot_diff", "orders_equidepth_deciles",
-    # ---- ~50-row driver window boundary ----
     # driver-green in r01-r04, kept registered below
     "ann_topk_lsh", "ann_topk_ivf",
     "text_quality_score", "docs_chunk_windows",

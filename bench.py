@@ -82,6 +82,10 @@ HEADLINE = [
     "orders_open_backlog_daily",
     "docs_shingle_containment",
     "referential_integrity_audit",
+    # round-5b: engagement/diagnostics — the non-trivial shapes
+    "events_dau_mau_stickiness",
+    "docs_token_rarity",
+    "orders_interorder_gap_stats",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
