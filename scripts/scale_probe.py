@@ -67,6 +67,14 @@ PROBE_QUERIES = [
     "events_power_users_pareto",
     "events_user_streaks",
     "orders_profile_drift",
+    # round-5/5b: new heavy shapes — shingle self-join, ±1-delta
+    # backlog, 30-anchor engagement fan-out, term-grain rarity
+    "docs_shingle_containment",
+    "orders_open_backlog_daily",
+    "events_dau_mau_stickiness",
+    "docs_token_rarity",
+    "customer_rfm_segments",
+    "supplier_lead_time_trend",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -317,7 +317,9 @@ def _events_type_weekday_chisq(spark, t):
     # call) so it is bit-identical across engines; the total, which
     # WOULD depend on summation order, is deliberately left to the
     # consumer. Marginals are dim-sized broadcasts; the one shuffle is
-    # the cell-grain count.
+    # the cell-grain count. The cell table feeds FOUR consumers
+    # (marginals, total, output) — persisted, since caching 35 rows to
+    # avoid three extra fact scans is the trade that always wins.
     c = (
         t["events"]
         .select(
@@ -326,6 +328,7 @@ def _events_type_weekday_chisq(spark, t):
         )
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
     )
     rt = c.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     ct = c.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
