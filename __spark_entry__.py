@@ -35,9 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
+    # (three same-family seconds — join_string_keys, join_dedup,
+    # distinct_rows, all r04-green — yield their slots this round so
+    # every never-checked query fits the 50-row window)
     "priority_dim", "cast_types", "dropna_rows", "null_profile",
-    "distinct_rows", "dedup_by_key", "join_left_broadcast",
-    "country_dim", "join_string_keys", "join_dedup", "groupby_avg",
+    "dedup_by_key", "join_left_broadcast",
+    "country_dim", "groupby_avg",
     "global_counts", "calendar_dim", "sas_date_decode",
     "initcap_labels", "sas_labels_decode",
     # round-4-new, never driver-checked (judge-gated in r4); includes
@@ -61,10 +64,12 @@ _PRIORITY = [
     "events_dau_mau_stickiness", "nation_revenue_share",
     "events_churn_buckets", "events_type_weekday_chisq",
     "docs_token_rarity",
-    # last slot keeps one heavy earlier shape warm
-    "tpch_q15_top_supplier",
+    "text_vocab_coverage", "events_session_duration_stats",
+    "docs_dedup_savings_by_source", "graph_pagerank_eventtypes",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "join_string_keys", "join_dedup", "distinct_rows",
+    "tpch_q15_top_supplier",
     "dedup_clusters",
     "ann_topk_bruteforce", "text_tfidf_top_terms",
     "docs_pack_sequences", "corpus_mixture_sample",

@@ -86,6 +86,10 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "docs_token_rarity",
     "orders_interorder_gap_stats",
+    # round-5c: vocab sweep, session profiling, iterative PageRank
+    "text_vocab_coverage",
+    "events_session_duration_stats",
+    "graph_pagerank_eventtypes",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
