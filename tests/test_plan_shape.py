@@ -200,3 +200,47 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     # and the result only reflects the F partition
     rows = joined.collect()
     assert len(rows) == 1 and rows[0].label == "closed"
+
+
+def test_vocab_coverage_ranks_terms_distributed_and_caches_tf(
+    spark, sf_dir
+):
+    """text_vocab_coverage must rank the term table with the
+    distributed exact ranking (range partition + __pid windows), never
+    a global-order window — term cardinality at 100 TB is itself huge.
+    And the term table must be cached: unpersisted, the corpus
+    tokenize+explode ran three times (ranking uses it twice, the total
+    once)."""
+    plan = _plan(QUERIES["text_vocab_coverage"](spark, sf_dir))
+    assert "SPARK_PARTITION_ID" in plan, plan[:1200]
+    assert "rangepartitioning" in plan.lower(), plan[:1200]
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "__pid", m.group(0)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1200]
+
+
+def test_chisq_scans_fact_once_via_cached_cells(spark, sf_dir):
+    """events_type_weekday_chisq derives marginals, total, and output
+    from the ~35-row cell aggregate; all four consumers must read the
+    persisted cell table instead of re-scanning the fact."""
+    plan = _plan(QUERIES["events_type_weekday_chisq"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 4, plan[:1200]
+
+
+def test_pagerank_iterates_on_cached_edge_and_node_tables(spark, sf_dir):
+    """graph_pagerank_eventtypes runs 3 iterations; every iteration
+    must join the PERSISTED edge-probability and node tables (the fact
+    is scanned only to build them once). No sort-merge joins anywhere
+    — all iterative joins are node-grain broadcasts."""
+    plan = _plan(QUERIES["graph_pagerank_eventtypes"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 6, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_dau_mau_fanout_is_equi_join(spark, sf_dir):
+    """The 30-day trailing fan-out must be an exploded equi-join on
+    the anchor day, never a range-predicate nested loop (the
+    rolling-7d precedent at 30 anchors)."""
+    plan = _plan(QUERIES["events_dau_mau_stickiness"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "Generate explode" in plan

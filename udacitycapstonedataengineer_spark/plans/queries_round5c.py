@@ -78,7 +78,11 @@ def _text_vocab_coverage(spark, t):
             )
         ).alias("tok")
     )
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # the term table feeds the ranking (twice — ranked rows + offsets)
+    # AND the total; unpersisted, the corpus tokenize+explode runs
+    # three times. Terms are the right grain to cache: orders of
+    # magnitude below token grain.
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     ranked = with_global_rank(
         tf.withColumn("neg_tf", -F.col("tf")), ["neg_tf", "tok"], "rnk"
     )
