@@ -35,14 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
-    # (three same-family seconds — join_string_keys, join_dedup,
-    # distinct_rows, all r04-green — yield their slots this round so
+    # (same-family seconds — join_string_keys, join_dedup,
+    # distinct_rows, cast_types, country_dim, global_counts,
+    # initcap_labels, all r04-green — yield their slots this round so
     # every never-checked query fits the 50-row window)
-    "priority_dim", "cast_types", "dropna_rows", "null_profile",
-    "dedup_by_key", "join_left_broadcast",
-    "country_dim", "groupby_avg",
-    "global_counts", "calendar_dim", "sas_date_decode",
-    "initcap_labels", "sas_labels_decode",
+    "priority_dim", "dropna_rows", "null_profile",
+    "dedup_by_key", "join_left_broadcast", "groupby_avg",
+    "calendar_dim", "sas_date_decode", "sas_labels_decode",
     # round-4-new, never driver-checked (judge-gated in r4); includes
     # the two round-5-changed queries (text_keyword_search_topk,
     # bloom_membership_orders) which must re-earn their rows
@@ -66,8 +65,11 @@ _PRIORITY = [
     "docs_token_rarity",
     "text_vocab_coverage", "events_session_duration_stats",
     "docs_dedup_savings_by_source", "graph_pagerank_eventtypes",
+    "nation_top_customers_concat", "orders_daily_status_spine",
+    "events_activity_bitmap", "embeddings_label_centroid",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "cast_types", "country_dim", "global_counts", "initcap_labels",
     "join_string_keys", "join_dedup", "distinct_rows",
     "tpch_q15_top_supplier",
     "dedup_clusters",

@@ -90,6 +90,9 @@ HEADLINE = [
     "text_vocab_coverage",
     "events_session_duration_stats",
     "graph_pagerank_eventtypes",
+    # round-5d: bitmap aggregate, quantized centroids
+    "events_activity_bitmap",
+    "embeddings_label_centroid",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
