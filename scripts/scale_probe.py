@@ -75,6 +75,14 @@ PROBE_QUERIES = [
     "docs_token_rarity",
     "customer_rfm_segments",
     "supplier_lead_time_trend",
+    # round-5c/5d: term ranking, sessionization rollup, iterative
+    # PageRank, fingerprint savings, bitmap aggregate, centroids
+    "text_vocab_coverage",
+    "events_session_duration_stats",
+    "graph_pagerank_eventtypes",
+    "docs_dedup_savings_by_source",
+    "events_activity_bitmap",
+    "embeddings_label_centroid",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -171,3 +171,82 @@ def test_connected_components_matches_union_find(spark, edges):
         r.node: r.comp for r in connected_components(df, max_iter=40).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=1, max_value=31),  # day of month
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_activity_bitmap_popcount_equals_distinct_days(spark, pairs):
+    """popcount(bit_or(1 << day-1)) must equal count(DISTINCT day) —
+    the identity that lets the bitmap replace the distinct set — and
+    the bitmap must reconstruct the exact day set."""
+    from udacitycapstonedataengineer_spark.plans.queries_round5d import (
+        _events_activity_bitmap,
+    )
+
+    rows = [
+        (u, dt.datetime(2024, 1, d, 12, 0, 0), i)
+        for i, (u, d) in enumerate(pairs)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    out = {
+        r["user_id"]: r
+        for r in _events_activity_bitmap.__wrapped__(spark, {"events": events}).collect()
+    }
+    expected: dict[int, set[int]] = {}
+    for u, d in pairs:
+        expected.setdefault(u, set()).add(d)
+    assert set(out) == set(expected)
+    for u, days in expected.items():
+        r = out[u]
+        assert r["active_days"] == len(days)
+        assert r["activity_bitmap"] == sum(1 << (d - 1) for d in days)
+        assert r["first_day"] == min(days) and r["last_day"] == max(days)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.sampled_from(["a", "b", "c", "d"]),          # event type
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_pagerank_mass_is_bounded_and_positive(spark, seq):
+    """Fixed-point PageRank invariants on arbitrary event sequences:
+    every rank >= the teleport base, and total mass never exceeds the
+    fixed-point SCALE (truncating division only leaks mass; dangling
+    nodes leak by design)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round5c import (
+        _PR_SCALE,
+        _graph_pagerank_eventtypes,
+    )
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 0, 0, i), i, typ)
+        for i, (u, typ) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    ranks = [
+        r["rank_e12"]
+        for r in _graph_pagerank_eventtypes.__wrapped__(spark, {"events": events}).collect()
+    ]
+    n = len(ranks)
+    base = (15 * _PR_SCALE) // (100 * n)
+    assert all(r >= base for r in ranks)
+    assert sum(ranks) <= _PR_SCALE

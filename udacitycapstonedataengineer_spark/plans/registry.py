@@ -32,6 +32,7 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, load_tables(spark, sf_dir))
 
         wrapped.__name__ = f"query_{name}"
+        wrapped.__wrapped__ = fn  # raw (spark, tables) fn for tests
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
