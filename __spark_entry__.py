@@ -37,11 +37,12 @@ _PRIORITY = [
     # one driver-green representative per §2 family, every round
     # (same-family seconds — join_string_keys, join_dedup,
     # distinct_rows, cast_types, country_dim, global_counts,
-    # initcap_labels, all r04-green — yield their slots this round so
-    # every never-checked query fits the 50-row window)
-    "priority_dim", "dropna_rows", "null_profile",
+    # initcap_labels, dropna_rows, sas_date_decode, all r04-green —
+    # yield their slots this round so every never-checked query fits
+    # the 50-row window)
+    "priority_dim", "null_profile",
     "dedup_by_key", "join_left_broadcast", "groupby_avg",
-    "calendar_dim", "sas_date_decode", "sas_labels_decode",
+    "calendar_dim", "sas_labels_decode",
     # round-4-new, never driver-checked (judge-gated in r4); includes
     # the two round-5-changed queries (text_keyword_search_topk,
     # bloom_membership_orders) which must re-earn their rows
@@ -67,8 +68,10 @@ _PRIORITY = [
     "docs_dedup_savings_by_source", "graph_pagerank_eventtypes",
     "nation_top_customers_concat", "orders_daily_status_spine",
     "events_activity_bitmap", "embeddings_label_centroid",
+    "dedup_threshold_sweep", "docs_pack_budget_sweep",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "dropna_rows", "sas_date_decode",
     "cast_types", "country_dim", "global_counts", "initcap_labels",
     "join_string_keys", "join_dedup", "distinct_rows",
     "tpch_q15_top_supplier",

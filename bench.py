@@ -93,6 +93,9 @@ HEADLINE = [
     # round-5d: bitmap aggregate, quantized centroids
     "events_activity_bitmap",
     "embeddings_label_centroid",
+    # round-5e: parameter sweeps
+    "dedup_threshold_sweep",
+    "docs_pack_budget_sweep",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
