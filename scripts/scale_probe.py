@@ -83,6 +83,9 @@ PROBE_QUERIES = [
     "docs_dedup_savings_by_source",
     "events_activity_bitmap",
     "embeddings_label_centroid",
+    # round-5e sweeps
+    "dedup_threshold_sweep",
+    "docs_pack_budget_sweep",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

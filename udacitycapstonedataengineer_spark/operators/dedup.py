@@ -79,6 +79,45 @@ def with_shingles(docs: DataFrame, out: str = "shingles") -> DataFrame:
     return docs.withColumn(out, F.expr(SHINGLES_EXPR.format(t=TOKENS)))
 
 
+def shingle_pair_counts(
+    docs: DataFrame, max_df: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Exact shared-shingle pair counts WITHOUT a doc×doc join: explode
+    to shingle grain, drop ubiquitous shingles (df > ``max_df`` — the
+    measured skew cap: one boilerplate shingle shared by n docs alone
+    fans out n² pairs; such text is exact-dedup material anyway), then
+    a shingle-grain self-equi-join aggregated to pair grain.
+
+    Returns ``(pairs, sizes)``: ``pairs(doc_a < doc_b, n_inter)`` and
+    ``sizes(doc_id, n_sh)`` — counted AFTER the df cap so containment/
+    Jaccard ratios are consistent with the candidate set. Shared by
+    docs_shingle_containment and dedup_threshold_sweep."""
+    sh = with_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    shf = sh.join(rare.select("shingle"), "shingle")
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shf.alias("a"), shf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return pairs, sizes
+
+
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """One row per distinct normalized text: canonical id + copy count."""
     return (

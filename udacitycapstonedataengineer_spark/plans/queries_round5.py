@@ -505,34 +505,12 @@ def _docs_shingle_containment(spark, t):
     # asymmetric near-dup: CONTAINMENT |A∩B| / min(|A|,|B|) catches a
     # document embedded inside a larger one — the quote/boilerplate
     # case symmetric Jaccard under-scores (union grows with the big
-    # doc). Shingle-grain equi-join (never doc×doc): ubiquitous
-    # shingles (df > 64) are dropped first — the same measured skew
-    # cap as the LSH bucket cap, since a boilerplate shingle shared
-    # by n docs alone would fan out n² pairs. Threshold and score in
-    # integer cross-multiply / basis points.
-    from ..operators.dedup import with_shingles
+    # doc). Shingle-grain equi-join (never doc×doc) with the measured
+    # df≤64 skew cap, via the shared shingle_pair_counts operator.
+    # Threshold and score in integer cross-multiply / basis points.
+    from ..operators.dedup import shingle_pair_counts
 
-    sh = with_shingles(t["documents"]).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 64
-    )
-    shf = sh.join(rare.select("shingle"), "shingle")
-    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = shf.alias("a"), shf.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter, sizes = shingle_pair_counts(t["documents"], max_df=64)
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import with_shingles
+from ..operators.dedup import shingle_pair_counts
 from .queries_dedup import _SHINGLES_SQL, _TOKS_SQL
 from .registry import query
 
@@ -72,29 +72,7 @@ def _dedup_threshold_sweep(spark, t):
     # the sweep costs one pair-grain fan-out ×3, not three passes.
     # Jaccard crosses as basis points (|A∩B| / |A∪B| by
     # inclusion-exclusion on exact counts).
-    sh = with_shingles(t["documents"]).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 64)
-    )
-    shf = sh.join(rare.select("shingle"), "shingle")
-    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = shf.alias("a"), shf.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter, sizes = shingle_pair_counts(t["documents"], max_df=64)
     pairs = (
         inter.join(
             sizes.select(
