@@ -91,7 +91,13 @@ def shingle_pair_counts(
     Returns ``(pairs, sizes)``: ``pairs(doc_a < doc_b, n_inter)`` and
     ``sizes(doc_id, n_sh)`` — counted AFTER the df cap so containment/
     Jaccard ratios are consistent with the candidate set. Shared by
-    docs_shingle_containment and dedup_threshold_sweep."""
+    docs_shingle_containment and dedup_threshold_sweep.
+
+    The capped shingle table feeds THREE consumers (sizes + both
+    self-join sides) and AQE does not reuse the exchange across them
+    (measured: 9 corpus explodes per query unpersisted), so it is
+    persisted — the docs_novelty_hapax precedent: cache the
+    shingle-grain intermediate, not the corpus."""
     sh = with_shingles(docs).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
@@ -100,7 +106,7 @@ def shingle_pair_counts(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
     )
-    shf = sh.join(rare.select("shingle"), "shingle")
+    shf = sh.join(rare.select("shingle"), "shingle").persist()
     sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shf.alias("a"), shf.alias("b")
     pairs = (
