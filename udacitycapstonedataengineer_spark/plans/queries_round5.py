@@ -72,6 +72,8 @@ def _customer_rfm_segments(spark, t):
     # downstream bucketing is unchanged.
     o = t["orders"]
     max_od = o.agg(F.max("o_orderdate").alias("mx"))
+    # customer-grain metric table feeds the quartile agg AND the
+    # scoring join — persisted so the fact scan+agg runs once
     m = (
         o.crossJoin(F.broadcast(max_od))
         .groupBy("o_custkey")
@@ -82,6 +84,7 @@ def _customer_rfm_segments(spark, t):
                 "m_cents"
             ),
         )
+        .persist()
     )
     q = m.agg(
         *[
@@ -442,6 +445,8 @@ def _orders_open_backlog_daily(spark, t):
     # table — calendar-bounded rows (~2.4k days), allowlisted in
     # tests/test_window_sweep.py, never an interval×day fan-out or a
     # fact-grain window.
+    # order-grain interval table feeds both delta branches —
+    # persisted so the orders⋈lineitem join runs once
     bounds = (
         t["orders"]
         .select("o_orderkey", "o_orderdate")
@@ -451,6 +456,7 @@ def _orders_open_backlog_daily(spark, t):
         )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.max("l_shipdate").alias("end_day"))
+        .persist()
     )
     deltas = bounds.select(
         F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")

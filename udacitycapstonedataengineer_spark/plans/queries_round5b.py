@@ -138,10 +138,13 @@ def _events_dau_mau_stickiness(spark, t):
     # would nested-loop. Fan-out is 30× of the day×user grain, not of
     # the fact table. Stickiness crosses as basis points (truncating
     # integer division over two exact distinct-counts).
+    # the day×user table feeds the anchor dimension AND the fan-out —
+    # persisted so the fact scan + distinct shuffle run once
     du = (
         t["events"]
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
+        .persist()
     )
     days = du.select(F.col("day").alias("anchor")).distinct()
     fanout = du.select(
@@ -260,10 +263,13 @@ def _events_churn_buckets(spark, t):
     # user-grain aggregate (map-side combinable max), a broadcast
     # 1-row corpus max, then a 4-bucket count. Integer day arithmetic
     # only — bucket edges cannot ulp-flip.
+    # user-grain recency table feeds the corpus max AND the bucketing
+    # — persisted so the fact scan+agg runs once
     last = (
         t["events"]
         .groupBy("user_id")
         .agg(F.max(F.to_date("ts")).alias("last_day"))
+        .persist()
     )
     mx = last.agg(F.max("last_day").alias("mxd"))
     idle = F.datediff("mxd", "last_day")

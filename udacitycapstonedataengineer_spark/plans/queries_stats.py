@@ -384,10 +384,13 @@ def _events_rolling_7d_active_users(spark, t):
     # anchors that exist in the data (matching the oracle's `days`
     # dimension). `day` is emitted as an ISO string so both engines
     # agree on the output type (the repo's date-output discipline).
+    # the day×user table feeds the anchor dimension AND the fan-out —
+    # persisted so the fact scan + distinct shuffle run once
     du = (
         t["events"]
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
+        .persist()
     )
     days = du.select(F.col("day").alias("anchor")).distinct()
     fanout = du.select(
