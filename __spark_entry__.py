@@ -35,14 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
-    # (same-family seconds — join_string_keys, join_dedup,
-    # distinct_rows, cast_types, country_dim, global_counts,
-    # initcap_labels, dropna_rows, sas_date_decode, all r04-green —
-    # yield their slots this round so every never-checked query fits
-    # the 50-row window)
-    "priority_dim", "null_profile",
-    "dedup_by_key", "join_left_broadcast", "groupby_avg",
-    "calendar_dim", "sas_labels_decode",
+    # (all §2 family reps are r04-green; most yield their slots this
+    # round so every never-checked query fits the 50-row window —
+    # four core reps stay, the rest return next round)
+    "priority_dim", "join_left_broadcast", "groupby_avg",
+    "calendar_dim",
     # round-4-new, never driver-checked (judge-gated in r4); includes
     # the two round-5-changed queries (text_keyword_search_topk,
     # bloom_membership_orders) which must re-earn their rows
@@ -69,8 +66,11 @@ _PRIORITY = [
     "nation_top_customers_concat", "orders_daily_status_spine",
     "events_activity_bitmap", "embeddings_label_centroid",
     "dedup_threshold_sweep", "docs_pack_budget_sweep",
+    "orders_first_vs_repeat_revenue", "events_new_vs_returning_daily",
+    "part_brand_supplier_hhi",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "null_profile", "dedup_by_key", "sas_labels_decode",
     "dropna_rows", "sas_date_decode",
     "cast_types", "country_dim", "global_counts", "initcap_labels",
     "join_string_keys", "join_dedup", "distinct_rows",

@@ -96,6 +96,9 @@ HEADLINE = [
     # round-5e: parameter sweeps
     "dedup_threshold_sweep",
     "docs_pack_budget_sweep",
+    # round-5f: growth/concentration
+    "orders_first_vs_repeat_revenue",
+    "part_brand_supplier_hhi",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
