@@ -86,6 +86,10 @@ PROBE_QUERIES = [
     # round-5e sweeps
     "dedup_threshold_sweep",
     "docs_pack_budget_sweep",
+    # round-5f growth/concentration
+    "orders_first_vs_repeat_revenue",
+    "events_new_vs_returning_daily",
+    "part_brand_supplier_hhi",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
