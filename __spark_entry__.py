@@ -35,11 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
-    # (all §2 family reps are r04-green; most yield their slots this
+    # (all §2 family reps are r04-green; they yield their slots this
     # round so every never-checked query fits the 50-row window —
-    # four core reps stay, the rest return next round)
-    "priority_dim", "join_left_broadcast", "groupby_avg",
-    "calendar_dim",
+    # one core rep stays, the rest return next round)
+    "priority_dim",
     # round-4-new, never driver-checked (judge-gated in r4); includes
     # the two round-5-changed queries (text_keyword_search_topk,
     # bloom_membership_orders) which must re-earn their rows
@@ -68,8 +67,11 @@ _PRIORITY = [
     "dedup_threshold_sweep", "docs_pack_budget_sweep",
     "orders_first_vs_repeat_revenue", "events_new_vs_returning_daily",
     "part_brand_supplier_hhi",
+    "docs_langid_agreement", "lineitem_discount_band_revenue",
+    "customer_segment_value_profile",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "join_left_broadcast", "groupby_avg", "calendar_dim",
     "null_profile", "dedup_by_key", "sas_labels_decode",
     "dropna_rows", "sas_date_decode",
     "cast_types", "country_dim", "global_counts", "initcap_labels",

@@ -99,6 +99,8 @@ HEADLINE = [
     # round-5f: growth/concentration
     "orders_first_vs_repeat_revenue",
     "part_brand_supplier_hhi",
+    # round-5g: lang-id audit (per-row model expr over the corpus)
+    "docs_langid_agreement",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
