@@ -36,9 +36,8 @@ _PRIORITY = [
     "star_revenue_by_region_year",
     # one driver-green representative per §2 family, every round
     # (all §2 family reps are r04-green; they yield their slots this
-    # round so every never-checked query fits the 50-row window —
-    # one core rep stays, the rest return next round)
-    "priority_dim",
+    # round so the never-checked queries fill the 50-row window and
+    # return next round)
     # round-4-new, never driver-checked (judge-gated in r4); includes
     # the two round-5-changed queries (text_keyword_search_topk,
     # bloom_membership_orders) which must re-earn their rows
@@ -69,8 +68,10 @@ _PRIORITY = [
     "part_brand_supplier_hhi",
     "docs_langid_agreement", "lineitem_discount_band_revenue",
     "customer_segment_value_profile",
+    "orders_value_gini", "docs_char_class_profile",
     # ---- ~50-row driver window boundary ----
     # driver-green in r04, rotated out to make room (still registered)
+    "priority_dim",
     "join_left_broadcast", "groupby_avg", "calendar_dim",
     "null_profile", "dedup_by_key", "sas_labels_decode",
     "dropna_rows", "sas_date_decode",

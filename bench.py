@@ -101,6 +101,8 @@ HEADLINE = [
     "part_brand_supplier_hhi",
     # round-5g: lang-id audit (per-row model expr over the corpus)
     "docs_langid_agreement",
+    # round-5h: ranking-path Gini
+    "orders_value_gini",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
