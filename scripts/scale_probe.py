@@ -90,6 +90,9 @@ PROBE_QUERIES = [
     "orders_first_vs_repeat_revenue",
     "events_new_vs_returning_daily",
     "part_brand_supplier_hhi",
+    # round-5g/5h: per-row model exprs + ranking-path Gini
+    "docs_langid_agreement",
+    "orders_value_gini",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

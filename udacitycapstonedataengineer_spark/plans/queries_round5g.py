@@ -47,14 +47,6 @@ def _docs_langid_agreement(spark, t):
     cells = pred.groupBy("declared", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("declared")
-    agree = F.sum(
-        F.when(F.col("declared") == F.col("predicted"), F.col("n_docs"))
-        .otherwise(0)
-    ).over(w)
-    total = F.sum("n_docs").over(w)
     return cells.select(
         "declared",
         "predicted",

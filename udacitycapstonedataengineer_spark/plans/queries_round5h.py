@@ -28,7 +28,7 @@ from .registry import query
     )
     SELECT count(*) AS n_orders,
            CAST(sum(c) AS BIGINT) AS total_cents,
-           CAST(sum(rnk * c) AS BIGINT) AS rank_weighted_cents,
+           CAST(sum(rnk * c) AS DOUBLE) AS rank_weighted_cents,
            CAST(2 * sum(rnk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
                / CAST(count(*) * sum(c) AS DOUBLE) AS gini
     FROM ranked
@@ -41,24 +41,27 @@ def _orders_value_gini(spark, t):
     # ranking provides (range partition + per-partition row_number +
     # broadcast offsets; the oracle's global row_number is the
     # single-task shape the operator exists to avoid). The closed
-    # form G = (2·Σrank·x − (n+1)·Σx) / (n·Σx) aggregates in exact
-    # BIGINTs; the ratio is ONE deterministic IEEE division of two
-    # exactly-converted integers (< 2⁵³ at test scale), so it is
-    # bit-identical across engines. Deterministic tie-break on
-    # (cents, orderkey). At 100-TB cardinalities the rank·cents sums
-    # need DECIMAL(38) accumulators — the formula is unchanged.
+    # form G = (2·Σrank·x − (n+1)·Σx) / (n·Σx) aggregates the
+    # rank-weighted sum in a DECIMAL(38,0) accumulator (Σrank·cents
+    # is ~n²·c̄/2 — already past int64 at the ×10 probe; DuckDB's sum
+    # widens to HUGEINT on its own), then the ratio is ONE
+    # deterministic conversion+division: the exact decimal/int128
+    # values round to the same nearest double in both engines.
+    # Deterministic tie-break on (cents, orderkey).
     cents = t["orders"].select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
     ranked = with_global_rank(cents, ["c", "o_orderkey"], "rnk")
+    src = "sum(cast(rnk * c as decimal(38,0)))"
+    sc = "cast(sum(c) as decimal(38,0))"
     return ranked.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("c").alias("total_cents"),
-        F.sum(F.col("rnk") * F.col("c")).alias("rank_weighted_cents"),
+        F.expr(f"CAST({src} AS DOUBLE)").alias("rank_weighted_cents"),
         F.expr(
-            "CAST(2 * sum(rnk * c) - (count(1) + 1) * sum(c) AS DOUBLE)"
-            " / CAST(count(1) * sum(c) AS DOUBLE)"
+            f"CAST(2 * {src} - (count(1) + 1) * {sc} AS DOUBLE)"
+            f" / CAST(count(1) * {sc} AS DOUBLE)"
         ).alias("gini"),
     )
 
