@@ -70,6 +70,8 @@ _PRIORITY = [
     "customer_segment_value_profile",
     "orders_value_gini", "docs_char_class_profile",
     # ---- ~50-row driver window boundary ----
+    # round-5 late additions: first in line for round-6 driver rows
+    "supplier_nation_trade_matrix", "docs_source_lang_mix",
     # driver-green in r04, rotated out to make room (still registered)
     "priority_dim",
     "join_left_broadcast", "groupby_avg", "calendar_dim",

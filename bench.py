@@ -103,6 +103,8 @@ HEADLINE = [
     "docs_langid_agreement",
     # round-5h: ranking-path Gini
     "orders_value_gini",
+    # round-5i: five-way star grid
+    "supplier_nation_trade_matrix",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
