@@ -21,58 +21,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["star_revenue_by_region_year"](spark, SF_SMOKE)
 
 
-# The correctness driver checks a fixed-size (~50) prefix of this
-# dict, so ordering is part of the contract. Round-5 rotation
-# (VERDICT r4 #1): the flagship plus one representative per §2 family
-# keeps the reference surface continuously driver-verified; the 17
-# round-4 queries the driver has never seen (judge-gated only in r4)
-# take the middle of the window so every one of the 152 registered
-# queries has a driver-green CORRECTNESS row; round-5-changed queries
-# (index-routed keyword search, fixed bloom membership) sit inside
-# that set and re-earn their rows; the remaining slots go to queries
-# ADDED in round 5 so they get driver rows immediately.
-# Already-green queries follow after the boundary.
-_PRIORITY = [
-    "star_revenue_by_region_year",
-    # one driver-green representative per §2 family, every round
-    # (all §2 family reps are r04-green; they yield their slots this
-    # round so the never-checked queries fill the 50-row window and
-    # return next round)
-    # round-4-new, never driver-checked (judge-gated in r4); includes
-    # the two round-5-changed queries (text_keyword_search_topk,
-    # bloom_membership_orders) which must re-earn their rows
-    "docs_novelty_hapax", "text_keyword_search_topk",
-    "corpus_source_overlap", "cms_point_counts",
-    "dedup_minhash_incremental", "ann_topk_filtered",
-    "events_mad_outliers", "events_user_streaks",
-    "bloom_membership_orders", "orders_profile_drift",
-    "scd2_point_in_time_read", "basket_part_pairs",
-    "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
-    "docs_length_percentiles_by_source", "events_power_users_pareto",
-    "orders_monthly_seasonality",
-    # round-5 additions — new queries earn driver rows immediately
-    "customer_rfm_segments", "docs_quality_gate_funnel",
-    "supplier_lead_time_trend", "events_first_touch_attribution",
-    "referential_integrity_audit", "events_hourly_heatmap",
-    "orders_open_backlog_daily", "docs_shingle_containment",
-    "orders_hot_keys_skew", "orders_interorder_gap_stats",
-    "events_dau_mau_stickiness", "nation_revenue_share",
-    "events_churn_buckets", "events_type_weekday_chisq",
-    "docs_token_rarity",
-    "text_vocab_coverage", "events_session_duration_stats",
-    "docs_dedup_savings_by_source", "graph_pagerank_eventtypes",
-    "nation_top_customers_concat", "orders_daily_status_spine",
-    "events_activity_bitmap", "embeddings_label_centroid",
-    "dedup_threshold_sweep", "docs_pack_budget_sweep",
-    "orders_first_vs_repeat_revenue", "events_new_vs_returning_daily",
-    "part_brand_supplier_hhi",
-    "docs_langid_agreement", "lineitem_discount_band_revenue",
-    "customer_segment_value_profile",
-    "orders_value_gini", "docs_char_class_profile",
-    # ---- ~50-row driver window boundary ----
-    # round-5 late additions: first in line for round-6 driver rows
-    "supplier_nation_trade_matrix", "docs_source_lang_mix",
-    # driver-green in r04, rotated out to make room (still registered)
+# The correctness driver checks a fixed-size 50-row prefix of this
+# dict, so ordering is part of the contract. ADVICE r5 found the
+# round-5 boundary comment had drifted to slot 51 (dropping
+# docs_char_class_profile), so the window is now an explicit
+# constant: _DRIVER_WINDOW = the first 50 of the pool below, and
+# tests/test_entry_contract.py asserts (a) the window is exactly 50,
+# (b) every query in the must-check tiers lands inside it, and
+# (c) every registered query is either driver-green in a committed
+# CORRECTNESS_r*.json or inside the window — rotations can't silently
+# starve a query again.
+#
+# Round-6 tiers, in order:
+#   1. flagship
+#   2. never driver-checked (ADVICE r5: the r5 window miscount)
+#   3. changed this round — must re-earn their rows
+#   4. new round-6 queries — earn rows immediately
+#   5. returning §2 family reps (r01-r04 green, rotated out in r5)
+_NEVER_CHECKED = [
+    "docs_char_class_profile",
+    "supplier_nation_trade_matrix",
+    "docs_source_lang_mix",
+]
+_REEARN_R6 = [
+    # de-broadcast SF-proportional customer (ADVICE r5)
+    "nation_revenue_share",
+    # chisq factors now cast to double pre-multiply (ADVICE r5)
+    "events_type_weekday_chisq",
+]
+_NEW_R6: list[str] = []
+_RETURNING_REPS = [
     "priority_dim",
     "join_left_broadcast", "groupby_avg", "calendar_dim",
     "null_profile", "dedup_by_key", "sas_labels_decode",
@@ -84,7 +62,36 @@ _PRIORITY = [
     "ann_topk_bruteforce", "text_tfidf_top_terms",
     "docs_pack_sequences", "corpus_mixture_sample",
     "orders_snapshot_diff", "orders_equidepth_deciles",
-    # driver-green in r01-r04, kept registered below
+]
+# driver-green in earlier rounds, kept registered after the window
+_GREEN_BACKLOG = [
+    "docs_novelty_hapax", "text_keyword_search_topk",
+    "corpus_source_overlap", "cms_point_counts",
+    "dedup_minhash_incremental", "ann_topk_filtered",
+    "events_mad_outliers", "events_user_streaks",
+    "bloom_membership_orders", "orders_profile_drift",
+    "scd2_point_in_time_read", "basket_part_pairs",
+    "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
+    "docs_length_percentiles_by_source", "events_power_users_pareto",
+    "orders_monthly_seasonality",
+    "customer_rfm_segments", "docs_quality_gate_funnel",
+    "supplier_lead_time_trend", "events_first_touch_attribution",
+    "referential_integrity_audit", "events_hourly_heatmap",
+    "orders_open_backlog_daily", "docs_shingle_containment",
+    "orders_hot_keys_skew", "orders_interorder_gap_stats",
+    "events_dau_mau_stickiness",
+    "events_churn_buckets",
+    "docs_token_rarity",
+    "text_vocab_coverage", "events_session_duration_stats",
+    "docs_dedup_savings_by_source", "graph_pagerank_eventtypes",
+    "nation_top_customers_concat", "orders_daily_status_spine",
+    "events_activity_bitmap", "embeddings_label_centroid",
+    "dedup_threshold_sweep", "docs_pack_budget_sweep",
+    "orders_first_vs_repeat_revenue", "events_new_vs_returning_daily",
+    "part_brand_supplier_hhi",
+    "docs_langid_agreement", "lineitem_discount_band_revenue",
+    "customer_segment_value_profile",
+    "orders_value_gini",
     "ann_topk_lsh", "ann_topk_ivf",
     "text_quality_score", "docs_chunk_windows",
     "sql_fact_dim_join",
@@ -105,6 +112,17 @@ _PRIORITY = [
     "sketch_value_quantiles",
     "events_rolling_7d_active_users",
 ]
+
+_PRIORITY = (
+    ["star_revenue_by_region_year"]
+    + _NEVER_CHECKED
+    + _REEARN_R6
+    + _NEW_R6
+    + _RETURNING_REPS
+    + _GREEN_BACKLOG
+)
+# the driver's correctness gate reads exactly this prefix
+_DRIVER_WINDOW = _PRIORITY[:50]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -20,10 +20,44 @@ def test_driver_window_is_exactly_50_and_oracled():
     """The checked prefix must stay exactly 50 entries, every one
     oracled — an unoracled query in the window burns a slot on a
     rows-only check."""
-    window = E._PRIORITY[:50]
+    window = E._DRIVER_WINDOW
     assert len(window) == 50
+    assert window == E._PRIORITY[:50]
     unoracled = [n for n in window if n not in ORACLE]
     assert not unoracled, unoracled
+
+
+def test_must_check_tiers_fit_inside_window():
+    """ADVICE r5: the round-5 boundary comment drifted to slot 51 and
+    silently dropped a query from driver verification. The never-
+    checked / re-earn / new-this-round tiers must ALL land inside the
+    50-row window — if they outgrow it, the rotation must split across
+    rounds explicitly, not truncate silently."""
+    must = E._NEVER_CHECKED + E._REEARN_R6 + E._NEW_R6
+    window = set(E._DRIVER_WINDOW)
+    dropped = [n for n in must if n not in window]
+    assert not dropped, f"must-check queries outside driver window: {dropped}"
+
+
+def test_no_registered_query_starves():
+    """Every registered query is either already driver-green in a
+    committed CORRECTNESS_r*.json or sits inside this round's window —
+    the invariant the round-5 miscount broke."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(f)).items():
+            if row.get("rows_match") and row.get("schema_match"):
+                green.add(name)
+    if not green:  # fresh clone without driver artifacts
+        return
+    window = set(E._DRIVER_WINDOW)
+    starved = [n for n in QUERIES if n not in green and n not in window]
+    assert not starved, f"never-checked and outside window: {starved}"
 
 
 def test_queries_covers_every_registered_query():

@@ -244,3 +244,22 @@ def test_dau_mau_fanout_is_equi_join(spark, sf_dir):
     plan = _plan(QUERIES["events_dau_mau_stickiness"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
     assert "Generate explode" in plan
+
+
+def test_customer_joins_are_shuffled_never_broadcast(spark, sf_dir):
+    """customer is SF-proportional (~150k rows/SF — billions at the
+    100-TB target), so it must arrive via a pinned shuffle join, never
+    a broadcast build (ADVICE r5; the q21 probe saw an SF-proportional
+    broadcast OOM at the ×10 probe). Broadcast stays reserved for the
+    fixed-size nation/region and supplier-scale dims."""
+    for name in ["supplier_nation_trade_matrix", "nation_revenue_share"]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        # the o_custkey ⋈ c_custkey edge is a shuffled hash join
+        assert re.search(
+            r"ShuffledHashJoin \[o_custkey#\d+L?\], \[c_custkey#\d+L?\]", plan
+        ), f"{name}: customer join not shuffled\n{plan[:1500]}"
+        # and no broadcast build anywhere reads the customer file
+        for frag in plan.split("BroadcastExchange")[1:]:
+            assert "customer.parquet" not in frag.split("ShuffledHashJoin")[0], (
+                f"{name}: customer scanned under a broadcast exchange"
+            )

@@ -200,12 +200,16 @@ def _nation_revenue_share(spark, t):
     # The fact scan aggregates to nation grain FIRST (25 rows), so the
     # share window runs partitioned over a dim-sized table — the
     # window is an output-grain formality, not a data-movement step.
-    # Dims broadcast onto the fact; the one real shuffle is the
-    # nation-grain aggregate with map-side combine.
+    # customer is SF-proportional, so it joins via a pinned
+    # SHUFFLE_HASH on o_custkey (ADVICE r5; q8/q21 precedent) — only
+    # the fixed-size nation/region dims broadcast; the other real
+    # shuffle is the nation-grain aggregate with map-side combine.
     rev = (
         t["orders"]
         .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            t["customer"].select("c_custkey", "c_nationkey").hint(
+                "shuffle_hash"
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -302,9 +306,12 @@ def _events_churn_buckets(spark, t):
     n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM c)
     SELECT c.event_type, c.dow, CAST(c.obs AS BIGINT) AS obs,
            rt.row_tot, ct.col_tot, n.n_total,
-           CAST(n.n_total * c.obs - rt.row_tot * ct.col_tot AS DOUBLE)
-             * CAST(n.n_total * c.obs - rt.row_tot * ct.col_tot AS DOUBLE)
-             / CAST(n.n_total * rt.row_tot * ct.col_tot AS DOUBLE)
+           (CAST(n.n_total AS DOUBLE) * CAST(c.obs AS DOUBLE)
+              - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+             * (CAST(n.n_total AS DOUBLE) * CAST(c.obs AS DOUBLE)
+                  - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+             / (CAST(n.n_total AS DOUBLE) * CAST(rt.row_tot AS DOUBLE)
+                  * CAST(ct.col_tot AS DOUBLE))
                AS chisq_contrib
     FROM c
     JOIN rt USING (event_type)
@@ -318,12 +325,15 @@ def _events_type_weekday_chisq(spark, t):
     # independence screen behind "does behavior vary by day?". Output
     # is the CELL grain (|types|×7 rows): observed count, marginals,
     # and the per-cell chi² contribution. The contribution is the one
-    # double in the group, and it is a single deterministic IEEE
-    # expression over exact BIGINTs ((N·obs − r·c)² / (N·r·c), no libm
-    # call) so it is bit-identical across engines; the total, which
-    # WOULD depend on summation order, is deliberately left to the
-    # consumer. Marginals are dim-sized broadcasts; the one shuffle is
-    # the cell-grain count. The cell table feeds FOUR consumers
+    # double in the group: each BIGINT factor is cast to double BEFORE
+    # any multiply (ADVICE r5 — n_total·row_tot·col_tot grows ~n³ in
+    # event count, so an int64 product would silently wrap in Spark
+    # with ANSI off while DuckDB raises; IEEE products/differences in
+    # the same association order are still bit-identical across
+    # engines). The total, which WOULD depend on summation order, is
+    # deliberately left to the consumer. Marginals are dim-sized
+    # broadcasts; the one shuffle is the cell-grain count. The cell
+    # table feeds FOUR consumers
     # (marginals, total, output) — persisted, since caching 35 rows to
     # avoid three extra fact scans is the trade that always wins.
     c = (
@@ -339,8 +349,13 @@ def _events_type_weekday_chisq(spark, t):
     rt = c.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     ct = c.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
     n = c.agg(F.sum("obs").alias("n_total"))
-    num = F.col("n_total") * F.col("obs") - F.col("row_tot") * F.col("col_tot")
-    den = F.col("n_total") * F.col("row_tot") * F.col("col_tot")
+    nt_d = F.col("n_total").cast("double")
+    num = nt_d * F.col("obs").cast("double") - F.col("row_tot").cast(
+        "double"
+    ) * F.col("col_tot").cast("double")
+    den = nt_d * F.col("row_tot").cast("double") * F.col("col_tot").cast(
+        "double"
+    )
     return (
         c.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
@@ -352,9 +367,7 @@ def _events_type_weekday_chisq(spark, t):
             "row_tot",
             "col_tot",
             "n_total",
-            (
-                num.cast("double") * num.cast("double") / den.cast("double")
-            ).alias("chisq_contrib"),
+            (num * num / den).alias("chisq_contrib"),
         )
         .orderBy("event_type", "dow")
     )

@@ -32,24 +32,21 @@ from .registry import query
 )
 def _supplier_nation_trade_matrix(spark, t):
     # full nation×nation trade matrix — Q7 without its two-nation
-    # filter, as the ≤625-row reporting grid. One orderkey shuffle
-    # (lineitem⋈orders, bucketing co-locates it at scale); customer,
-    # supplier, and both nation sides broadcast; revenue in per-row
-    # integer cents rounded before aggregation.
+    # filter, as the ≤625-row reporting grid. customer is
+    # SF-proportional (~150k rows/SF — billions at 100 TB), so it
+    # arrives via a pinned SHUFFLE_HASH join on o_custkey, never a
+    # broadcast (ADVICE r5; same rule as q8/q21). The orders side is
+    # first reduced to (orderkey, cust_nation) so the big
+    # lineitem⋈orders orderkey shuffle carries one string, not the
+    # customer row; supplier-scale and nation dims broadcast; revenue
+    # in per-row integer cents rounded before aggregation.
     n = t["nation"].select("n_nationkey", "n_name")
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    return (
-        t["lineitem"]
-        .join(
-            t["orders"].select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
+    cust = (
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
         .join(
             F.broadcast(
                 n.select(
@@ -58,6 +55,23 @@ def _supplier_nation_trade_matrix(spark, t):
                 )
             ),
             F.col("c_nationkey") == F.col("ck"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders_nat = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            cust.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            orders_nat.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
