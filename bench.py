@@ -7,6 +7,15 @@ Prints ONE JSON line:
 
 Each query is executed with the no-op sink so we time the full plan
 (scan → shuffle → agg) without driver-side result serialization.
+
+The driver records only the LAST 2000 chars of stdout (BENCH_r05.json
+has "parsed": null because the round-5 line outgrew that buffer), so
+the printed line is kept under the buffer: per-query timings are
+included heaviest-first until the line would overflow, the rest are
+summarized by count, and the FULL per-query map is written to
+BENCH_DETAIL_after_r{N}.json (N = newest committed BENCH_r*, so the
+driver's end-of-round run lands in a file the next round can pair
+with its BENCH_r{N+1}.json when rebuilding the baseline).
 """
 
 from __future__ import annotations
@@ -113,24 +122,6 @@ HEADLINE = [
 # comparison is informational: queries >1.5× over baseline are listed
 # in the "regressions" field for A/B follow-up within one session, not
 # auto-failed.
-def _latest_bench_file() -> str | None:
-    """Newest driver-committed BENCH_r{N}.json — the regression
-    reference rolls forward each round."""
-    import glob
-    import re
-
-    files = glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
-    best, best_n = None, -1
-    for f in files:
-        m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = f, int(m.group(1))
-    return best
-
-
-BASELINE_BENCH = _latest_bench_file()
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -162,8 +153,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
     }
-    baseline = _load_baseline()
+    baseline, baseline_src = _load_baseline()
     if baseline:
         # round-over-round on the SHARED query set (VERDICT r4 #8):
         # machine-readable so the judge reads the ratio instead of
@@ -178,7 +170,7 @@ def main() -> None:
             out["prev_shared_total"] = prev
             out["shared_ratio"] = round(cur / prev, 3)
             out["shared_n"] = len(shared)
-            out["prev_bench"] = os.path.basename(BASELINE_BENCH)
+            out["prev_bench"] = baseline_src
         regressions = {
             n: {"sec": t, "baseline_sec": baseline[n]}
             for n, t in timings.items()
@@ -186,20 +178,119 @@ def main() -> None:
         }
         if regressions:
             out["regressions"] = regressions
-    print(json.dumps(out))
+    _write_detail(out)
+    print(json.dumps(_fit_line(out)))
     spark.stop()
 
 
-def _load_baseline() -> dict[str, float]:
-    if not BASELINE_BENCH:
-        return {}
+# the driver's stdout tail buffer; the printed line must stay under it
+_TAIL_BUDGET = 1900
+
+
+def _fit_line(out: dict) -> dict:
+    """Shrink the printed line under the driver's 2000-char tail
+    capture: keep totals/ratios/regressions, then per-query timings
+    heaviest-first until the budget is reached."""
+    compact = dict(out)
+    if len(json.dumps(compact)) <= _TAIL_BUDGET:
+        return compact
+    compact["detail"] = os.path.basename(_detail_path())
+    # regressions stay (they're the actionable part); trim queries
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    compact["queries"] = kept
+    compact["queries_omitted"] = len(ranked)
+    for name, sec in ranked:
+        kept[name] = sec
+        compact["queries_omitted"] = len(ranked) - len(kept)
+        if len(json.dumps(compact)) > _TAIL_BUDGET:
+            del kept[name]
+            compact["queries_omitted"] = len(ranked) - len(kept)
+            break
+    return compact
+
+
+def _newest_round() -> int:
+    import re
+
+    n = -1
+    for f in __import__("glob").glob(
+        os.path.join(os.path.dirname(__file__), "BENCH_r*.json")
+    ):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            n = max(n, int(m.group(1)))
+    return n
+
+
+def _detail_path() -> str:
+    return os.path.join(
+        os.path.dirname(__file__),
+        f"BENCH_DETAIL_after_r{_newest_round():02d}.json",
+    )
+
+
+def _write_detail(out: dict) -> None:
     try:
-        with open(BASELINE_BENCH) as f:
-            data = json.load(f)
-        parsed = data.get("parsed", data)
-        return dict(parsed.get("queries", {}))
-    except (OSError, ValueError):
-        return {}
+        with open(_detail_path(), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _load_baseline() -> tuple[dict[str, float], str]:
+    """Previous-round per-query baseline, rebuilt from (a) the full
+    detail file the previous round's bench run wrote and (b) the
+    driver-committed BENCH_r{N}.json parsed line (authoritative where
+    present, possibly a heaviest-first subset), falling back through
+    older rounds for names neither covers."""
+    import glob
+    import re
+
+    root = os.path.dirname(__file__)
+    merged: dict[str, float] = {}
+    src = []
+    n = _newest_round()
+    if n >= 0:
+        detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
+        try:
+            with open(detail) as f:
+                merged.update(json.load(f).get("queries", {}))
+            src.append(os.path.basename(detail))
+        except (OSError, ValueError):
+            pass
+    # newest-first driver files: authoritative where parsed
+    files = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda f: -int(re.search(r"BENCH_r(\d+)", f).group(1)),
+    )
+    for i, f in enumerate(files):
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+            parsed = data.get("parsed", data)
+            qs = dict(parsed.get("queries", {})) if parsed else {}
+            if not qs:
+                # truncated line (r05): salvage "name": sec pairs
+                # from the recorded tail, skipping scalar meta keys
+                meta = {
+                    "value", "sf", "n_queries", "shared_total",
+                    "prev_shared_total", "shared_ratio", "shared_n",
+                    "sec", "baseline_sec", "queries_omitted",
+                }
+                for m2 in re.finditer(
+                    r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', data.get("tail", "")
+                ):
+                    if m2.group(1) not in meta:
+                        qs[m2.group(1)] = float(m2.group(2))
+        except (OSError, ValueError):
+            continue
+        fresh = {k: v for k, v in qs.items() if i == 0 or k not in merged}
+        if fresh:
+            merged.update(fresh)
+            src.append(os.path.basename(f))
+    return merged, "+".join(src) if src else ""
 
 
 if __name__ == "__main__":
