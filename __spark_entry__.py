@@ -49,7 +49,14 @@ _REEARN_R6 = [
     # chisq factors now cast to double pre-multiply (ADVICE r5)
     "events_type_weekday_chisq",
 ]
-_NEW_R6: list[str] = []
+_NEW_R6: list[str] = [
+    "orders_cohort_ltv",
+    "orders_daily_autocorr",
+    "orders_monthly_price_bands",
+    "text_bigram_pmi",
+    "events_linear_attribution",
+    "events_heavy_hitters",
+]
 _RETURNING_REPS = [
     "priority_dim",
     "join_left_broadcast", "groupby_avg", "calendar_dim",

@@ -114,6 +114,12 @@ HEADLINE = [
     "orders_value_gini",
     # round-5i: five-way star grid
     "supplier_nation_trade_matrix",
+    # round-6: cohort/collocation/attribution — the non-trivial shapes
+    "orders_cohort_ltv",
+    "text_bigram_pmi",
+    "events_linear_attribution",
+    "orders_monthly_price_bands",
+    "events_heavy_hitters",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

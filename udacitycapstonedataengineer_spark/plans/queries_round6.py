@@ -1,0 +1,418 @@
+"""Round-6 query group: cohort economics, time-series diagnostics,
+exact grouped quantile bands, collocation mining, and multi-touch
+attribution.
+
+Reference provenance: the reference pipeline (etl.py:47-96) stops at
+star-schema loads; these are the reporting/analysis layers a consumer
+of those tables runs next, built to the same conventions as every
+group (plans/registry.py): exact integer accumulation, single shared
+IEEE expressions for any compared double, dim broadcasts only for
+fixed-size dims, fact-side shuffles on explicit keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query
+
+# whitespace tokenizer — twin of the DuckDB expression used in every
+# text oracle (queries_dedup._TOKS_SQL)
+_TOKS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), s -> s != '')"
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH first AS (
+        SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort_year
+        FROM orders GROUP BY 1
+    )
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           count(DISTINCT o.o_custkey) AS n_active,
+           count(*) AS n_orders,
+           CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def _orders_cohort_ltv(spark, t):
+    # customer-lifetime-value triangle: customers cohorted by first-
+    # order year, revenue and active-customer counts per (cohort,
+    # order year). The retention/LTV report every subscription and
+    # marketplace team reads. Plan: one custkey-grain aggregate for
+    # the cohort stamp, then a custkey shuffle join back onto orders
+    # (both sides SF-proportional — pinned SHUFFLE_HASH, never a
+    # broadcast), then the ≤|years|² cell aggregate; count(DISTINCT
+    # custkey) partial-aggregates on the custkey partitioning it
+    # already rides. Exact integer cents.
+    first = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).alias("cohort_year"))
+        .withColumnRenamed("o_custkey", "f_custkey")
+    )
+    return (
+        t["orders"]
+        .join(
+            first.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("f_custkey"),
+        )
+        .groupBy(
+            "cohort_year", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("cohort_year", "order_year")
+    )
+
+
+@query(
+    "orders_daily_autocorr",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (7), (28)) AS t(lag_days)),
+    pairs AS (
+        SELECT l.lag_days, a.n AS x, b.n AS y
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag_days
+    ),
+    m AS (
+        SELECT lag_days, count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(x::HUGEINT * y) AS sxy,
+               sum(x::HUGEINT * x) AS sxx,
+               sum(y::HUGEINT * y) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT lag_days, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS autocorr
+    FROM m
+    ORDER BY lag_days
+    """,
+)
+def _orders_daily_autocorr(spark, t):
+    # lag-{1,7,28} autocorrelation of the daily order-count series —
+    # the seasonality detector behind orders_monthly_seasonality
+    # (weekly/monthly rhythm shows up as high lag-7/lag-28 r). The
+    # fact collapses to a date-grain series FIRST (≤ a few thousand
+    # rows at any SF), so the lag self-join and the five exact moments
+    # run on a dim-sized table; moments accumulate as exact integers
+    # (decimal cross-products — the stats_corr_exact pattern) and ONE
+    # shared IEEE formula produces the double on both engines.
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    lags = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (7,), (28,)], "lag_days int"
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("n").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("bd") == F.expr("date_add(d, lag_days)"),
+        )
+        .select("lag_days", F.col("n").alias("x"), "y")
+    )
+    m = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return m.select("lag_days", "n_pairs", corr.alias("autocorr")).orderBy(
+        "lag_days"
+    )
+
+
+@query(
+    "orders_monthly_price_bands",
+    """
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS ym,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT ym, cents,
+               row_number() OVER (PARTITION BY ym
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY ym) AS n
+        FROM o
+    )
+    SELECT ym, CAST(max(n) AS BIGINT) AS n_orders,
+           max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+               AS p99_cents
+    FROM r GROUP BY ym ORDER BY ym
+    """,
+)
+def _orders_monthly_price_bands(spark, t):
+    # exact P50/P90/P99 order-value bands per month — the SLO-style
+    # percentile report, discrete (type-1) quantiles so every value is
+    # an actual order amount and every band is an exact BIGINT (no
+    # interpolation, no float drift). Rank extraction: row_number
+    # within each month (a value-partitioned window — per-month sort
+    # is spill-backed at scale) + the partition count, then one cell
+    # aggregate picks the ceil(p·n) ranks via integer arithmetic.
+    # Month count is bounded (~84 here), so the output is dim-sized.
+    o = t["orders"].select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("ym").orderBy("cents", "o_orderkey")
+    r = o.select(
+        "ym",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("ym")).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("cents"))
+    )
+    return (
+        r.groupBy("ym")
+        .agg(
+            F.max("n").alias("n_orders"),
+            pick("(n + 1) DIV 2").alias("p50_cents"),
+            pick("(9 * n + 9) DIV 10").alias("p90_cents"),
+            pick("(99 * n + 99) DIV 100").alias("p99_cents"),
+        )
+        .orderBy("ym")
+    )
+
+
+@query(
+    "text_bigram_pmi",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           s -> s <> '') AS tk
+        FROM documents
+    ),
+    big AS (
+        SELECT tk[u.i] AS t1, tk[u.i + 1] AS t2
+        FROM toks, unnest(range(1, len(tk))) AS u(i)
+    ),
+    p AS (SELECT t1, t2, count(*) AS n_xy FROM big GROUP BY 1, 2),
+    s AS (SELECT t1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM p GROUP BY 1),
+    e AS (SELECT t2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM p GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM p)
+    SELECT p.t1, p.t2, p.n_xy, s.n_x, e.n_y, tot.n_total,
+           (CAST(p.n_xy AS DOUBLE) * CAST(tot.n_total AS DOUBLE))
+           / (CAST(s.n_x AS DOUBLE) * CAST(e.n_y AS DOUBLE)) AS lift
+    FROM p JOIN s USING (t1) JOIN e USING (t2) CROSS JOIN tot
+    WHERE p.n_xy >= 5
+    ORDER BY t1, t2
+    """,
+)
+def _text_bigram_pmi(spark, t):
+    # collocation mining: corpus bigram counts with marginals and the
+    # PMI-monotone lift n₍xy₎·N / (n₍x·₎·n₍·y₎) — the screen for
+    # multi-word expressions ("new york") before tokenizer training.
+    # Lift rather than log-PMI keeps the compared double ONE shared
+    # IEEE expression (ranking is identical; consumers can log it).
+    # Plan: narrow per-doc bigram explode, ONE bigram-grain shuffle to
+    # pair counts (persisted — three consumers), marginals and the
+    # total derived from the pair table (never re-tokenizing), min-
+    # count 5 keeps output at the collocation grain. Marginal tables
+    # are vocabulary-sized: they join back via bigram-side shuffles at
+    # scale (AQE broadcasts them when small).
+    big = (
+        t["documents"]
+        .select(F.expr(_TOKS_SPARK).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS t1, "
+                    "element_at(tk, i + 1) AS t2))"
+                )
+            ).alias("b")
+        )
+        .select("b.t1", "b.t2")
+    )
+    p = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_xy")).persist()
+    s = p.groupBy("t1").agg(F.sum("n_xy").alias("n_x"))
+    e = p.groupBy("t2").agg(F.sum("n_xy").alias("n_y"))
+    tot = p.agg(F.sum("n_xy").alias("n_total"))
+    lift = (
+        F.col("n_xy").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    return (
+        p.filter(F.col("n_xy") >= 5)
+        .join(s, "t1")
+        .join(e, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select("t1", "t2", "n_xy", "n_x", "n_y", "n_total",
+                lift.alias("lift"))
+        .orderBy("t1", "t2")
+    )
+
+
+@query(
+    "events_linear_attribution",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    purch AS (
+        SELECT event_id AS pid, user_id, ts AS pts, vc
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT p.pid, p.vc, e.event_type
+        FROM purch p
+        JOIN ev e ON e.user_id = p.user_id
+                 AND e.ts < p.pts
+                 AND e.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    cnt AS (SELECT pid, count(*) AS n_t FROM touch GROUP BY 1),
+    split AS (
+        SELECT t.event_type, t.vc // c.n_t AS share
+        FROM touch t JOIN cnt c USING (pid)
+    ),
+    direct AS (
+        SELECT 'direct' AS event_type, p.vc AS share
+        FROM purch p LEFT JOIN cnt c ON c.pid = p.pid
+        WHERE c.pid IS NULL
+    ),
+    unioned AS (
+        SELECT * FROM split UNION ALL SELECT * FROM direct
+    )
+    SELECT event_type, count(*) AS n_attributions,
+           CAST(sum(share) AS BIGINT) AS attributed_cents
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def _events_linear_attribution(spark, t):
+    # linear multi-touch attribution: each purchase's value is split
+    # equally (integer floor division — remainders documented as
+    # dropped, identically in both engines) across the user's touches
+    # in the trailing 7 days; purchases with no prior touch attribute
+    # whole to 'direct'. Plan: the touch fan-out is a USER-equi-join
+    # with a time-range filter — per-user weekly event counts are
+    # bounded, so fan-out is O(purchases · touches/week), never
+    # user×user; the per-purchase touch table persists (it feeds the
+    # count AND the split); everything else is exact-integer
+    # aggregation at the event_type grain.
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            "vc",
+        )
+    )
+    touch = (
+        purch.join(
+            ev.select("user_id", "ts", F.col("event_type").alias("t_type")),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("pid", "vc", F.col("t_type").alias("event_type"))
+        .persist()
+    )
+    cnt = touch.groupBy("pid").agg(F.count(F.lit(1)).alias("n_t"))
+    split = touch.join(cnt, "pid").select(
+        "event_type", F.expr("vc DIV n_t").alias("share")
+    )
+    direct = (
+        purch.join(cnt, purch.pid == cnt.pid, "left_anti")
+        .select(F.lit("direct").alias("event_type"), F.col("vc").alias("share"))
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributions"),
+            F.sum("share").alias("attributed_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_heavy_hitters",
+    """
+    WITH ev AS (
+        SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                   AS item
+        FROM events
+    ),
+    tot AS (SELECT count(*) AS n_total FROM ev),
+    c AS (SELECT item, count(*) AS n FROM ev GROUP BY 1)
+    SELECT c.item, c.n, t.n_total
+    FROM c CROSS JOIN tot t
+    WHERE c.n * 10000 >= 105 * t.n_total
+    ORDER BY item
+    """,
+)
+def _events_heavy_hitters(spark, t):
+    # frequent-items over an open-ended key (the JSON prop value):
+    # two-pass Misra-Gries — per-partition bounded summaries (no
+    # shuffle, ≤capacity rows each) give a guaranteed candidate
+    # superset of every item at ≥1.05% share; pass 2 exact-counts the
+    # candidates only, so the item-grain shuffle never materializes
+    # the full key space. Output is EXACT (the sketch only prunes
+    # work), hence the plain HAVING-style oracle. At 100 TB this is
+    # the shape for URL/user-agent/n-gram hot-key discovery where
+    # groupBy-the-world is the bottleneck.
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        t["events"],
+        F.get_json_object("props", "$.k").cast("long").cast("string"),
+        share_bp=105,
+    ).orderBy("item")
