@@ -93,6 +93,15 @@ PROBE_QUERIES = [
     # round-5g/5h: per-row model exprs + ranking-path Gini
     "docs_langid_agreement",
     "orders_value_gini",
+    # round-5i re-probe: de-broadcast customer (ADVICE r5)
+    "supplier_nation_trade_matrix",
+    # round-6: bigram-grain shuffle, trailing-window fan-out,
+    # MG candidates + exact verify, custkey cohort join
+    "text_bigram_pmi",
+    "events_linear_attribution",
+    "events_heavy_hitters",
+    "orders_cohort_ltv",
+    "orders_monthly_price_bands",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
@@ -153,13 +162,24 @@ def main() -> None:
     QUERIES[PROBE_QUERIES[0]](spark, out_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # optional subset for round-incremental probing:
+    #   SPARK_GRAFT_PROBE_ONLY="q1,q2" python scripts/scale_probe.py
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    names = (
+        [n for n in only.split(",") if n] if only else PROBE_QUERIES
+    )
     timings = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, out_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries persist() intermediates sized to THEIR run; at ×10
+        # those caches are big enough to evict/spill the next query's
+        # working set, which showed up as 3-7× run-order-dependent
+        # swings — isolate each datapoint
+        spark.catalog.clearCache()
     print(json.dumps({
         "metric": "scale_probe_total",
         "value": round(sum(timings.values()), 3),

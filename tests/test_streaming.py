@@ -503,3 +503,55 @@ def test_tws_session_timeout_timers_match_batch(spark, sf_dir, tmp_path):
     # both close paths must actually be exercised
     reasons = {v[3] for v in got.values()}
     assert reasons == {"event", "timer"}, reasons
+
+
+def test_tws_mg_candidates_superset_and_exact_verify(spark, sf_dir):
+    """Streaming MG shards must (a) stay bounded, (b) be a candidate
+    superset of every ≥1.05%-share item, and (c) reproduce the batch
+    two-pass heavy-hitter output exactly after the verify pass."""
+    from udacitycapstonedataengineer_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        streaming_heavy_hitter_candidates_tws,
+    )
+
+    shards, capacity = 8, 128
+    cand = streaming_heavy_hitter_candidates_tws(
+        spark, sf_dir, shards=shards, capacity=capacity,
+        query_name="t_mg_candidates",
+    )
+    cand_items = {r["item"] for r in cand.collect()}
+    assert cand.count() <= shards * capacity
+
+    events = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long").cast("string")
+    exact = (
+        events.select(item.alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    n_total = events.count()
+    heavy = {
+        r["item"]
+        for r in exact.filter(F.col("n") * 10000 >= 105 * n_total).collect()
+    }
+    assert heavy, "degenerate fixture: no heavy items at 1.05%"
+    assert heavy <= cand_items
+
+    # verify pass over the streaming candidates == batch two-pass
+    verified = {
+        (r["item"], r["n"])
+        for r in exact.filter(F.col("item").isin(list(cand_items)))
+        .filter(F.col("n") * 10000 >= 105 * n_total)
+        .collect()
+    }
+    batch = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact(
+            events, item, share_bp=105
+        ).collect()
+    }
+    assert verified == batch

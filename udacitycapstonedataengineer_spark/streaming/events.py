@@ -927,3 +927,115 @@ def batch_session_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             F.lit("timer"),
         ).otherwise(F.lit("event")),
     ).drop("session_seq")
+
+
+def streaming_heavy_hitter_candidates_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    shards: int = 8,
+    capacity: int = 128,
+    query_name: str = "stream_mg_candidates_tws",
+) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance — the streaming twin
+    of ``operators/heavyhitters.mg_partition_candidates``.
+
+    Items shard by a hash of the item (each item lives in exactly ONE
+    shard), and each shard keeps a ``capacity``-bounded MG summary in
+    TWS ListState. The guarantee composes exactly as in batch: an item
+    with global share ≥ θ has share ≥ θ in at least one shard, so with
+    capacity+1 > 1/θ the union of shard summaries is a SUPERSET of the
+    θ-heavy items at every point in the stream. Downstream, the same
+    two-pass recipe applies — exact-count the candidates, never the
+    full key space. State is bounded at shards·capacity rows total BY
+    CONSTRUCTION, independent of key cardinality — the property that
+    makes this viable where a streaming ``groupBy(item).count()``
+    would hold every key ever seen.
+
+    Returns (shard, item, cnt_lb) — cnt_lb is the MG residual count, a
+    LOWER bound on the item's true shard count (undercount ≤
+    N_shard/(capacity+1)); exactness comes from the verify pass, not
+    from this number.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt_lb", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    class MGShard(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._summ = handle.getListState("summ", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            summary: dict[str, int] = {
+                str(r[0]): int(r[1]) for r in self._summ.get()
+            }
+            for pdf in rows:
+                for item, cnt in pdf["item"].value_counts().items():
+                    summary[item] = summary.get(item, 0) + int(cnt)
+                if len(summary) > capacity:
+                    dec = sorted(summary.values(), reverse=True)[capacity]
+                    summary = {
+                        i: c - dec for i, c in summary.items() if c > dec
+                    }
+            self._summ.put(list(summary.items()))
+            items = sorted(summary.items())
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]] * len(items),
+                    "item": [i for i, _ in items],
+                    "cnt_lb": [c for _, c in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        items = _events_stream(spark, sf_dir).select(
+            F.get_json_object("props", "$.k")
+            .cast("long")
+            .cast("string")
+            .alias("item")
+        ).withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(shards)))
+        out = items.groupBy("shard").transformWithStateInPandas(
+            statefulProcessor=MGShard(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(query_name)
