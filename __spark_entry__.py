@@ -56,6 +56,7 @@ _NEW_R6: list[str] = [
     "text_bigram_pmi",
     "events_linear_attribution",
     "events_heavy_hitters",
+    "events_linear_attribution_daygrain",
 ]
 _RETURNING_REPS = [
     "priority_dim",

@@ -120,6 +120,7 @@ HEADLINE = [
     "events_linear_attribution",
     "orders_monthly_price_bands",
     "events_heavy_hitters",
+    "events_linear_attribution_daygrain",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     # MG candidates + exact verify, custkey cohort join
     "text_bigram_pmi",
     "events_linear_attribution",
+    "events_linear_attribution_daygrain",
     "events_heavy_hitters",
     "orders_cohort_ltv",
     "orders_monthly_price_bands",

@@ -1,0 +1,138 @@
+"""plans/doctor.py — the reusable plan screen.
+
+Two layers: unit tests pin each rule against a known-bad plan, and a
+registry sweep asserts (a) no registered query ever produces a FATAL
+finding and (b) every WARN is in the pinned allowlist below with a
+stated reason — a new query that pins a fact broadcast or adds an
+unbounded nested-loop join fails here before it ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.plans.doctor import diagnose
+from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+from .test_window_sweep import ALLOWED_BOUNDED_INPUT
+
+# queries whose WARN findings encode a deliberate, bounded-by-
+# construction design the static rule cannot see — each with the bound
+JUSTIFIED_WARNS = {
+    # ANN family: the broadcast/cross side is the QUERY-VECTOR set,
+    # bounded by a selective predicate (≤16 probe vectors)
+    "ann_topk_bruteforce": "predicate-bounded query-vector set",
+    "ann_topk_lsh": "predicate-bounded query-vector set",
+    "ann_topk_ivf": "predicate-bounded query set + centroid table (k rows)",
+    "ann_topk_filtered": "predicate-bounded query-vector set",
+    # sketch/membership builds: the broadcast is the sketch itself
+    # (CMS/Bloom bit arrays — fixed size by construction)
+    "bloom_membership_orders": "fixed-size Bloom bit array",
+    # candidate sets bounded by the operator's own capacity guarantee
+    "events_heavy_hitters": "MG candidates ≤ capacity × partitions",
+    # eval/benchmark slices bounded by a selective source predicate
+    "docs_contamination_check": "eval-set slice (selective source filter)",
+    # calendar-bounded anchor/spine tables
+    "events_rolling_7d_active_users": "7 day-anchor explode (calendar)",
+    "events_dau_mau_stickiness": "30 day-anchor explode (calendar)",
+    "orders_daily_status_spine": "days × statuses distinct sets",
+    # low-cardinality distinct-derived dims (5 priorities, langs)
+    "fact_orders": "surrogate dim over 5 distinct priorities",
+    "join_string_keys": "surrogate dim over distinct language codes",
+    # self-join shapes whose compared side is cell/parameter-grain
+    "ngram_jaccard_pairs": "capped shingle-bucket pair join",
+    "dedup_threshold_sweep": "3-row threshold parameter dim",
+    "orders_profile_drift": "two snapshot profile rows per column",
+    "text_vocab_coverage": "3-row vocab-budget parameter dim",
+}
+
+
+def test_global_window_is_fatal(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_totalprice"))
+    )
+    rules = {f.rule: f.severity for f in diagnose(df)}
+    assert rules.get("global-window") == "fatal"
+
+
+def test_partitioned_window_is_clean(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+        ),
+    )
+    assert not [f for f in diagnose(df) if f.rule == "global-window"]
+
+
+def test_pinned_fact_broadcast_warns(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    df = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert any(
+        f.rule == "broadcast-of-fact" and f.severity == "warn"
+        for f in diagnose(df)
+    )
+
+
+def test_collapsed_broadcast_is_clean(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    df = o.crossJoin(F.broadcast(mx))
+    assert not [f for f in diagnose(df) if f.severity != "info"]
+
+
+def test_grouped_aggregate_broadcast_is_info(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    df = o.join(F.broadcast(per_status), "o_orderstatus")
+    found = [f for f in diagnose(df) if f.rule == "broadcast-of-fact"]
+    assert found and all(f.severity == "info" for f in found)
+
+
+def test_unhinted_join_is_clean(spark, sf_dir):
+    # no explicit hint: whatever AQE picks at toy scale adapts at 100 TB
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey)
+    assert not [f for f in diagnose(df) if f.rule == "broadcast-of-fact"]
+
+
+def test_fact_cross_join_flagged(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    df = o.crossJoin(e)
+    assert any(f.rule == "nested-loop-join" for f in diagnose(df))
+
+
+def test_literal_dim_cross_join_is_clean(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    dims = spark.createDataFrame([(1,), (7,), (28,)], "lag_days int")
+    df = o.crossJoin(F.broadcast(dims))
+    assert not [f for f in diagnose(df) if f.rule == "nested-loop-join"]
+
+
+def test_registry_sweep_no_fatals_and_warns_pinned(spark, sf_dir):
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    fatals: dict[str, list[str]] = {}
+    warned: set[str] = set()
+    for name, q in QUERIES.items():
+        fs = diagnose(
+            q(spark, sf_dir),
+            assume_bounded=name in ALLOWED_BOUNDED_INPUT,
+        )
+        for f in fs:
+            if f.severity == "fatal":
+                fatals.setdefault(name, []).append(f"{f.rule}: {f.detail}")
+            elif f.severity == "warn":
+                warned.add(name)
+    assert not fatals, fatals
+    unpinned = warned - set(JUSTIFIED_WARNS)
+    assert not unpinned, (
+        "new scale-hazard warnings — restructure the plan or add a "
+        f"justified bound here: {sorted(unpinned)}"
+    )
+    stale = set(JUSTIFIED_WARNS) - warned
+    assert not stale, f"allowlist entries no longer warranted: {sorted(stale)}"

@@ -6,7 +6,9 @@ this repo is bounded by construction, but until this test that was a
 convention; now it's a gate: a future registered query that adds an
 unbounded global-order window over fact-grain data FAILS here.
 
-A global window is accepted only when one of these holds:
+The detection logic lives in ``plans/doctor.py`` (the reusable plan
+screen); this test runs its global-window rule over every registered
+query. A global window is accepted only when one of these holds:
 
 1. a Limit/TakeOrdered sits BELOW it in the plan tree (rank-stamping
    a top-k after ``.limit(k)``);
@@ -20,8 +22,11 @@ A global window is accepted only when one of these holds:
 
 from __future__ import annotations
 
-import re
-
+from udacitycapstonedataengineer_spark.plans.doctor import (
+    has_limit_below,
+    orders_by_pid,
+    unpartitioned_windows,
+)
 from udacitycapstonedataengineer_spark.plans.queries import QUERIES
 
 # queries whose global windows run over inputs that are small by
@@ -43,39 +48,6 @@ ALLOWED_BOUNDED_INPUT = {
 }
 
 
-def _indent(line: str) -> int:
-    m = re.search(r"[+:]-", line)
-    return m.start() if m else 0
-
-
-def _unpartitioned_windows(lines: list[str]) -> list[int]:
-    """Line indexes whose windowspecdefinition has no partition cols
-    (first argument is an ORDER expression, i.e. carries ASC/DESC)."""
-    out = []
-    for i, line in enumerate(lines):
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)", line):
-            first = m.group(1).split(",")[0].strip()
-            if re.search(r"(ASC|DESC) NULLS", first):
-                out.append(i)
-                break
-    return out
-
-
-def _has_limit_below(lines: list[str], i: int) -> bool:
-    d = _indent(lines[i])
-    for j in range(i + 1, len(lines)):
-        if _indent(lines[j]) <= d:
-            break  # popped out of this node's subtree
-        if "Limit" in lines[j] or "TakeOrdered" in lines[j]:
-            return True
-    return False
-
-
-def _orders_by_pid(line: str) -> bool:
-    m = re.search(r"windowspecdefinition\(([^,)]*)", line)
-    return bool(m) and m.group(1).strip().startswith("__pid")
-
-
 def test_no_unbounded_global_window_in_any_registered_query(spark, sf_dir):
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     violations: dict[str, list[str]] = {}
@@ -83,10 +55,10 @@ def test_no_unbounded_global_window_in_any_registered_query(spark, sf_dir):
     for name, q in QUERIES.items():
         plan = q(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
         lines = plan.splitlines()
-        for i in _unpartitioned_windows(lines):
-            if _has_limit_below(lines, i):
+        for i in unpartitioned_windows(lines):
+            if has_limit_below(lines, i):
                 continue
-            if _orders_by_pid(lines[i]):
+            if orders_by_pid(lines[i]):
                 continue
             if name in ALLOWED_BOUNDED_INPUT:
                 seen_allowlisted.add(name)

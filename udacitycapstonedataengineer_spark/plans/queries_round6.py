@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import query
+from .registry import ORACLE, query
 
 # whitespace tokenizer — twin of the DuckDB expression used in every
 # text oracle (queries_dedup._TOKS_SQL)
@@ -416,3 +416,133 @@ def _events_heavy_hitters(spark, t):
         F.get_json_object("props", "$.k").cast("long").cast("string"),
         share_bp=105,
     ).orderBy("item")
+
+
+# the day-grain rewrite shares events_linear_attribution's oracle —
+# two formulations, one truth
+_ATTRIBUTION_ORACLE = ORACLE["events_linear_attribution"]
+
+
+@query("events_linear_attribution_daygrain", _ATTRIBUTION_ORACLE)
+def _events_linear_attribution_daygrain(spark, t):
+    # the BOUNDED-fan-out rewrite of events_linear_attribution (same
+    # oracle — results are identical by construction). The naive shape
+    # joins every purchase to every touch event in its trailing 7
+    # days: fan-out O(purchases · per-user weekly density), quadratic
+    # in density (the ×10 probe artifact). This rewrite splits the
+    # window per the rolling-7d trick:
+    #   interior days (fully inside the window) come from a DAY-GRAIN
+    #   (user, day, type) count table — ≤6 anchor rows per purchase
+    #   regardless of density;
+    #   the two BOUNDARY days (window start, purchase day) join at
+    #   event grain with the exact ts predicates.
+    # Per-purchase math then runs at (purchase, type) grain: every
+    # touch of a purchase gets the same floor share, so
+    # cnt_type·(vc DIV n_t) is exactly the row-grain sum.
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            (F.col("ts") - F.expr("INTERVAL 7 DAY")).alias("wstart"),
+            F.col("day").alias("p_day"),
+            F.to_date(F.col("ts") - F.expr("INTERVAL 7 DAY")).alias("w_day"),
+            "vc",
+        )
+        .persist()
+    )
+    # day-grain type counts — the table a real deployment maintains
+    # incrementally
+    du = (
+        ev.groupBy("user_id", "day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    # interior anchors: days strictly between w_day and p_day
+    # (≤6 rows/purchase, independent of event density)
+    interior = (
+        purch.filter(F.expr("datediff(p_day, w_day) >= 2"))
+        .select(
+            "pid",
+            "p_user",
+            # sequence() reverses when stop < start, hence the ≥2
+            # guard above
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, datediff(p_day, w_day) - 1), "
+                    "i -> date_add(w_day, i))"
+                )
+            ).alias("a_day"),
+        )
+        .join(
+            du,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("day") == F.col("a_day")),
+        )
+        .select("pid", "event_type", "cnt")
+    )
+    # boundary days at event grain: window-start day (ts >= wstart)
+    # and purchase day (ts < pts) — for SUB-7-day spans where
+    # w_day == p_day, only the double-bounded purchase-day branch may
+    # apply, and the start-day branch must not double-count
+    bnd_start = (
+        purch.filter(F.col("w_day") != F.col("p_day"))
+        .join(
+            ev.select("user_id", "ts", "day", "event_type"),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("day") == F.col("w_day"))
+            & (F.col("ts") >= F.col("wstart"))
+            & (F.col("ts") < F.col("pts")),
+        )
+        .select("pid", "event_type", F.lit(1).alias("cnt"))
+    )
+    bnd_end = purch.join(
+        ev.select("user_id", "ts", "day", "event_type"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("day") == F.col("p_day"))
+        & (F.col("ts") >= F.col("wstart"))
+        & (F.col("ts") < F.col("pts")),
+    ).select("pid", "event_type", F.lit(1).alias("cnt"))
+    touch_t = (
+        interior.unionByName(bnd_start)
+        .unionByName(bnd_end)
+        .groupBy("pid", "event_type")
+        .agg(F.sum("cnt").alias("cnt_type"))
+        .persist()
+    )
+    n_t = touch_t.groupBy("pid").agg(F.sum("cnt_type").alias("n_t"))
+    split = (
+        touch_t.join(n_t, "pid")
+        .join(purch.select("pid", "vc"), "pid")
+        .select(
+            "event_type",
+            "cnt_type",
+            (F.col("cnt_type") * F.expr("vc DIV n_t")).alias("cents"),
+        )
+    )
+    direct = (
+        purch.join(n_t, purch.pid == n_t.pid, "left_anti")
+        .select(
+            F.lit("direct").alias("event_type"),
+            F.lit(1).alias("cnt_type"),
+            F.col("vc").alias("cents"),
+        )
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_type").alias("n_attributions"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("event_type")
+    )
