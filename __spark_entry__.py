@@ -57,6 +57,7 @@ _NEW_R6: list[str] = [
     "events_linear_attribution",
     "events_heavy_hitters",
     "events_linear_attribution_daygrain",
+    "orders_cohort_ltv_incremental",
 ]
 _RETURNING_REPS = [
     "priority_dim",

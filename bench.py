@@ -121,6 +121,7 @@ HEADLINE = [
     "orders_monthly_price_bands",
     "events_heavy_hitters",
     "events_linear_attribution_daygrain",
+    "orders_cohort_ltv_incremental",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

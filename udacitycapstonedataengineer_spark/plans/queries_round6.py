@@ -546,3 +546,98 @@ def _events_linear_attribution_daygrain(spark, t):
         )
         .orderBy("event_type")
     )
+
+
+_LTV_ORACLE = ORACLE["orders_cohort_ltv"]
+
+
+@query("orders_cohort_ltv_incremental", _LTV_ORACLE)
+def _orders_cohort_ltv_incremental(spark, t):
+    # incremental maintenance of the LTV triangle — same oracle as
+    # orders_cohort_ltv, so the driver proves delta-merge ≡ full
+    # recompute. The hard part of incrementalizing this report is
+    # n_active: count(DISTINCT custkey) per cell is NOT mergeable from
+    # cell aggregates, so the maintained state is
+    #   - cust_first: custkey → cohort_year   (customer-grain)
+    #   - presence:   distinct (cohort, year, custkey)  (the exact-
+    #     distinct state a production pipeline keeps as a bucketed
+    #     table; HLL is the approximate alternative)
+    #   - cells:      additive n_orders / revenue per (cohort, year)
+    # A date-split delta (here: orders from 1999-01-01) can only ADD
+    # orders after the base window, so an existing customer's cohort
+    # never changes — new customers cohort at their first delta year.
+    # Every merge is a custkey- or cell-grain shuffle; the fact is
+    # scanned once per side.
+    split = "1999-01-01"
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderdate") < F.lit(split))
+    delta = o.filter(F.col("o_orderdate") >= F.lit(split))
+
+    cust_first_base = base.groupBy("o_custkey").agg(
+        F.min("yr").alias("cohort_year")
+    )
+    # new-in-delta customers cohort at their first delta year
+    delta_first = delta.groupBy("o_custkey").agg(
+        F.min("yr").alias("delta_first")
+    )
+    cust_first = (
+        cust_first_base.join(
+            delta_first.withColumnRenamed("o_custkey", "d_custkey"),
+            F.col("o_custkey") == F.col("d_custkey"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("o_custkey", "d_custkey").alias("o_custkey"),
+            F.coalesce("cohort_year", "delta_first").alias("cohort_year"),
+        )
+        .persist()
+    )
+
+    def presence(side):
+        return (
+            side.select("o_custkey", "yr")
+            .distinct()
+            .join(cust_first.hint("shuffle_hash"), "o_custkey")
+            .select("cohort_year", "yr", "o_custkey")
+        )
+
+    presence_all = presence(base).unionByName(presence(delta)).distinct()
+    n_active = presence_all.groupBy("cohort_year", "yr").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+    def cells(side):
+        return (
+            side.join(cust_first.hint("shuffle_hash"), "o_custkey")
+            .groupBy("cohort_year", "yr")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    merged = (
+        cells(base)
+        .unionByName(cells(delta))
+        .groupBy("cohort_year", "yr")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    return (
+        merged.join(n_active, ["cohort_year", "yr"])
+        .select(
+            "cohort_year",
+            F.col("yr").alias("order_year"),
+            "n_active",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("cohort_year", "order_year")
+    )
