@@ -56,3 +56,14 @@ def test_global_rank_and_cms_on_empty(spark):
     sketch = cms_build(ev, "user_id")
     assert sketch.count() == 0
     assert cms_estimate(sketch, ev, "user_id").count() == 0
+
+
+def test_heavy_hitters_on_empty(spark):
+    from udacitycapstonedataengineer_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+        mg_partition_candidates,
+    )
+
+    empty = spark.createDataFrame([], "item string")
+    assert mg_partition_candidates(empty, "item", capacity=8).count() == 0
+    assert heavy_hitters_exact(empty, F.col("item"), share_bp=100).count() == 0

@@ -250,3 +250,41 @@ def test_pagerank_mass_is_bounded_and_positive(spark, seq):
     base = (15 * _PR_SCALE) // (100 * n)
     assert all(r >= base for r in ranks)
     assert sum(ranks) <= _PR_SCALE
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"i{k}" for k in range(30)]),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_mg_two_pass_heavy_hitters_always_exact(spark, items, capacity):
+    """For ANY input distribution and ANY capacity honoring the
+    superset bound (capacity+1 > 1/θ), the two-pass output equals the
+    brute-force exact answer — the guarantee that lets the sketch
+    prune work without touching correctness. θ chosen from capacity:
+    share_bp = ceil(10000/(capacity+1)) + 1 ensures the bound holds."""
+    from udacitycapstonedataengineer_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    share_bp = -(-10_000 // (capacity + 1)) + 1
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(3)
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact(
+            df, F.col("item"), share_bp=share_bp, capacity=capacity
+        ).collect()
+    }
+    n_total = len(items)
+    from collections import Counter
+
+    brute = {
+        (k, c)
+        for k, c in Counter(items).items()
+        if c * 10_000 >= share_bp * n_total
+    }
+    assert got == brute
