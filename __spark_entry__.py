@@ -58,6 +58,8 @@ _NEW_R6: list[str] = [
     "events_heavy_hitters",
     "events_linear_attribution_daygrain",
     "orders_cohort_ltv_incremental",
+    "corpus_sample_exact_counts",
+    "lineitem_selfjoin_fanout_profile",
 ]
 _RETURNING_REPS = [
     "priority_dim",

@@ -122,6 +122,8 @@ HEADLINE = [
     "events_heavy_hitters",
     "events_linear_attribution_daygrain",
     "orders_cohort_ltv_incremental",
+    "corpus_sample_exact_counts",
+    "lineitem_selfjoin_fanout_profile",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

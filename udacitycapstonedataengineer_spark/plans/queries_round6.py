@@ -641,3 +641,115 @@ def _orders_cohort_ltv_incremental(spark, t):
         )
         .orderBy("cohort_year", "order_year")
     )
+
+
+@query(
+    "corpus_sample_exact_counts",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('smp|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM ranked
+    WHERE rn <= 40
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def _corpus_sample_exact_counts(spark, t):
+    # exact-count reproducible sampling: take EXACTLY k docs per
+    # source (not a rate — a count), chosen by ranking on a keyed md5
+    # so the selected set is a pure function of doc ids: stable across
+    # runs, engines, partitionings, and appends of UNSELECTED docs.
+    # This is the quota-sampling counterpart of corpus_mixture_sample
+    # (rate-based): mixture hits a ratio in expectation, this hits a
+    # budget exactly — the "give me 1M docs per source for the
+    # ablation" op. Plan: one per-source window over the md5 rank
+    # (source-partitioned — spill-backed per group at scale; for very
+    # few giant sources route through operators/ranking.py instead).
+    # Output summarizes the selected set (count + id aggregates) so
+    # the oracle proves the SAME docs were chosen, not just as many.
+    k = 40
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "lineitem_selfjoin_fanout_profile",
+    """
+    WITH c AS (
+        SELECT l_partkey, count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    b AS (
+        -- length(bin(x))-1 == floor(log2(x)) in EXACT integer terms
+        -- (libm log2 can ulp-flip at powers of two across engines)
+        SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+               cnt
+        FROM c
+    )
+    SELECT bucket,
+           count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_selfjoin_pairs
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def _lineitem_selfjoin_fanout_profile(spark, t):
+    # join fan-out profiler — the skew-planning diagnostic run BEFORE
+    # a self-equi-join: per log2 key-frequency bucket, how many keys,
+    # rows, and C(cnt,2) pair comparisons a self-join on l_partkey
+    # would generate. Σ pairs is the exact cost of the naive join; the
+    # bucket tail shows whether a skew cap / salting is needed (the
+    # number the LSH max_bucket cap and operators/skew.py act on).
+    # One key-grain count with map-side combine, then a ≤64-row bucket
+    # rollup. All integer: the log2 bucket comes from length(bin(cnt))
+    # (libm log2 can ulp-flip at exact powers of two across engines)
+    # and the pair count uses integer division; per-key pairs stay in
+    # BIGINT for any cnt ≤ ~4.3B — past that the profile's answer is
+    # "don't run this join".
+    c = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.select(
+            F.expr("CAST(length(bin(cnt)) - 1 AS INT)").alias("bucket"),
+            "cnt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.expr("cnt * (cnt - 1) DIV 2")
+            ).alias("n_selfjoin_pairs"),
+        )
+        .orderBy("bucket")
+    )
