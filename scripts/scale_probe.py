@@ -103,6 +103,9 @@ PROBE_QUERIES = [
     "events_heavy_hitters",
     "orders_cohort_ltv",
     "orders_monthly_price_bands",
+    "orders_cohort_ltv_incremental",
+    "corpus_sample_exact_counts",
+    "lineitem_selfjoin_fanout_profile",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
