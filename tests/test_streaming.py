@@ -555,3 +555,54 @@ def test_tws_mg_candidates_superset_and_exact_verify(spark, sf_dir):
         ).collect()
     }
     assert verified == batch
+
+
+def test_tws_state_ttl_expires_and_retains(spark, sf_dir, tmp_path):
+    """State TTL end-to-end across a checkpoint restart: with a short
+    TTL, users seen in batch 1 read as NEW again in a batch delivered
+    after the TTL elapsed (the store forgot them on its own); with a
+    long TTL the same replay reads as returning. Margins are wide
+    (0.5 s TTL vs 2 s sleep vs 1 h TTL) so the assertion is about
+    SEMANTICS, not timing precision."""
+    import shutil
+    import time
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        streaming_seen_users_ttl_tws,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    cases = {"short": 500, "long": 3_600_000}
+    landing = {}
+    for tag in cases:
+        d = tmp_path / f"landing_{tag}"
+        d.mkdir()
+        shutil.copy(src, d / "batch1.parquet")
+        landing[tag] = d
+
+    # batch 1: everyone is new under either TTL
+    for tag, ttl in cases.items():
+        rows = streaming_seen_users_ttl_tws(
+            spark, str(landing[tag]), ttl,
+            query_name=f"t_ttl_{tag}_b1",
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            out_dir=str(tmp_path / f"out_{tag}_b1"),
+        ).collect()
+        assert rows and all(r["is_new"] for r in rows), tag
+
+    time.sleep(2.0)  # >> short TTL, << long TTL
+
+    # batch 2: same users arrive again on the SAME checkpoint
+    for tag, ttl in cases.items():
+        shutil.copy(src, landing[tag] / "batch2.parquet")
+        rows = streaming_seen_users_ttl_tws(
+            spark, str(landing[tag]), ttl,
+            query_name=f"t_ttl_{tag}_b2",
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            out_dir=str(tmp_path / f"out_{tag}_b2"),
+        ).collect()
+        assert rows, tag
+        if tag == "short":
+            assert all(r["is_new"] for r in rows), "short TTL must expire"
+        else:
+            assert not any(r["is_new"] for r in rows), "long TTL must retain"

@@ -1039,3 +1039,152 @@ def streaming_heavy_hitter_candidates_tws(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.table(query_name)
+
+
+def streaming_seen_users_ttl_tws(
+    spark: SparkSession,
+    landing_dir: str,
+    ttl_ms: int,
+    query_name: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> DataFrame:
+    """Per-user "seen before?" state with a TTL — the last TWS state
+    primitive (state TTL) after ValueState/ListState/MapState/timers.
+
+    The pattern is the bounded-memory membership window behind
+    streaming dedup and attribution: remember a key for ``ttl_ms`` of
+    processing time, then the store forgets it on its own — state size
+    tracks the ACTIVE key set, not every key ever seen, which is the
+    difference between bounded and unbounded state at 100 TB key
+    cardinality (the TTL does at the store level what watermarks do at
+    the operator level). Emits one row per user per batch:
+    ``is_new`` = no live state when the batch arrived.
+
+    Reads a parquet landing directory as a file stream (new files =
+    new batches) so tests can deliver multiple batches across restarts
+    of the same checkpoint; sinks via foreachBatch parquet-append
+    (the memory sink cannot recover a checkpoint, foreachBatch can)
+    and returns the rows written to ``out_dir`` by THIS run.
+    """
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from ..sources.readers import _arrow_field_to_spark
+
+    sample = sorted(_glob.glob(f"{landing_dir}/*.parquet"))[0]
+    footer = pq.read_schema(sample)
+    fields, ns_cols = [], []
+    for f in footer:
+        dt, fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if fix:
+            ns_cols.append(f.name)
+    stream = (
+        spark.readStream.schema(T.StructType(fields)).parquet(landing_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("is_new", T.BooleanType()),
+            T.StructField("n_in_batch", T.LongType()),
+        ]
+    )
+
+    class SeenWithTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # the TTL rides on the state itself: the store drops the
+            # value ttl_ms after its last update, no operator code
+            self._seen = handle.getValueState(
+                "seen", "n long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            is_new = not self._seen.exists()
+            prev = 0 if is_new else int(self._seen.get()[0])
+            self._seen.update((prev + n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "is_new": [is_new],
+                    "n_in_batch": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.select("user_id").groupBy(
+            "user_id"
+        ).transformWithStateInPandas(
+            statefulProcessor=SeenWithTTL(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",  # TTL requires a clock
+        )
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow + ProcessingTime timeMode does NOT self-
+        # terminate: after the data batches the engine keeps running
+        # empty "no new data but cleaning up state" maintenance
+        # batches while any un-expired TTL state remains (hours, for
+        # long TTLs). Drain the DATA explicitly — wait until the
+        # source reports nothing available and ≥1 batch ran — then
+        # stop; TTL eviction is the store's job, not this query's.
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            if q.recentProgress and not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception as exc:  # noqa: BLE001
+            # stopping mid-maintenance can interrupt an empty cleanup
+            # batch's state commit (CANNOT_COMMIT) — benign by
+            # construction here: the DATA batches committed before the
+            # drain loop released (isDataAvailable went false), and a
+            # lost cleanup batch only defers TTL eviction. Anything
+            # else is a real failure.
+            if "CANNOT_COMMIT" not in str(exc):
+                raise
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.read.parquet(out_dir)
