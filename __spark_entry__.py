@@ -60,6 +60,8 @@ _NEW_R6: list[str] = [
     "orders_cohort_ltv_incremental",
     "corpus_sample_exact_counts",
     "lineitem_selfjoin_fanout_profile",
+    "events_bot_regularity_audit",
+    "embeddings_norm_outliers",
 ]
 _RETURNING_REPS = [
     "priority_dim",

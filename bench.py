@@ -124,6 +124,8 @@ HEADLINE = [
     "orders_cohort_ltv_incremental",
     "corpus_sample_exact_counts",
     "lineitem_selfjoin_fanout_profile",
+    "events_bot_regularity_audit",
+    "embeddings_norm_outliers",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

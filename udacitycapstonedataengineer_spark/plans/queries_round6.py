@@ -753,3 +753,166 @@ def _lineitem_selfjoin_fanout_profile(spark, t):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "events_bot_regularity_audit",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(gap_us) AS BIGINT) AS span_us,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id, n_gaps, span_us, min_gap_us, max_gap_us,
+           span_us // n_gaps AS mean_gap_us,
+           ((max_gap_us - min_gap_us) * 10 * n_gaps <= span_us)
+               AS metronome_flag,
+           (n_gaps * 3600000000 >= span_us * 100) AS high_rate_flag
+    FROM m
+    ORDER BY user_id
+    """,
+)
+def _events_bot_regularity_audit(spark, t):
+    # bot/abuse screen — the traffic-hygiene pass a training-data
+    # pipeline runs before events feed anything downstream. Per user:
+    # inter-event gap moments in exact integer micros plus two flags,
+    # both as pure integer comparisons (no float thresholds to drift):
+    #   metronome_flag — gap range ≤ 10% of the mean gap
+    #     ((max−min)·10·n ≤ Σgap): inhuman regularity;
+    #   high_rate_flag — ≥100 events/hour sustained over the span
+    #     (n·3600e6 ≥ span·100).
+    # Plan: one user-partitioned lag window (value-partitioned,
+    # spill-backed), one user-grain aggregate with map-side combine.
+    g = (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn(
+            "gap_us",
+            F.col("us")
+            - F.lag("us").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("span_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    return m.select(
+        "user_id",
+        "n_gaps",
+        "span_us",
+        "min_gap_us",
+        "max_gap_us",
+        F.expr("span_us DIV n_gaps").alias("mean_gap_us"),
+        (
+            (F.col("max_gap_us") - F.col("min_gap_us"))
+            * 10
+            * F.col("n_gaps")
+            <= F.col("span_us")
+        ).alias("metronome_flag"),
+        (
+            F.col("n_gaps") * F.lit(3_600_000_000)
+            >= F.col("span_us") * 100
+        ).alias("high_rate_flag"),
+    ).orderBy("user_id")
+
+
+@query(
+    "embeddings_norm_outliers",
+    """
+    WITH n2 AS (
+        SELECT vec_id, label,
+               list_aggregate(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum') AS norm2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id, label, norm2,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY norm2, vec_id) AS rn,
+               count(*) OVER (PARTITION BY label) AS n
+        FROM n2
+    ),
+    med AS (
+        SELECT label, max(CASE WHEN rn = (n + 1) // 2 THEN norm2 END)
+                   AS med_norm2
+        FROM r GROUP BY label
+    )
+    SELECT n2.label,
+           count(*) AS n_vecs,
+           med.med_norm2,
+           CAST(sum(CASE WHEN n2.norm2 * 4 < med.med_norm2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN n2.norm2 > med.med_norm2 * 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM n2 JOIN med USING (label)
+    GROUP BY n2.label, med.med_norm2
+    ORDER BY n2.label
+    """,
+)
+def _embeddings_norm_outliers(spark, t):
+    # embedding hygiene — corrupt/degenerate vector detection before
+    # vectors feed ANN or training: per label, count vectors whose
+    # ‖v‖² sits 4× above or below the label's (lower-)median ‖v‖².
+    # norm² is the per-row left-fold aggregate(transform(...)) proven
+    # bit-identical to DuckDB's list_aggregate in the ANN oracles; the
+    # median is a rank-extracted ACTUAL element (no interpolation), so
+    # flags are exact double comparisons with integer factors — no
+    # threshold drift. Plan: per-row narrow math, one label-
+    # partitioned rank window, one label-grain rollup.
+    n2 = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> cast(x as double) * cast(x as double)), "
+            "0.0D, (acc, x) -> acc + x)"
+        ).alias("norm2"),
+    )
+    w = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    r = n2.select(
+        "label",
+        "norm2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n"),
+    )
+    med = r.groupBy("label").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("norm2"))
+        ).alias("med_norm2")
+    )
+    return (
+        n2.join(med, "label")
+        .groupBy("label", "med_norm2")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("norm2") * 4 < F.col("med_norm2")).cast("int")
+            ).alias("n_low"),
+            F.sum(
+                (F.col("norm2") > F.col("med_norm2") * 4).cast("int")
+            ).alias("n_high"),
+        )
+        .select("label", "n_vecs", "med_norm2", "n_low", "n_high")
+        .orderBy("label")
+    )
