@@ -106,6 +106,8 @@ PROBE_QUERIES = [
     "orders_cohort_ltv_incremental",
     "corpus_sample_exact_counts",
     "lineitem_selfjoin_fanout_profile",
+    "events_bot_regularity_audit",
+    "embeddings_norm_outliers",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
