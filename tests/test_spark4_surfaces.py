@@ -152,3 +152,56 @@ def test_sql_scripting_control_flow(spark, sf_dir):
         """
     ).collect()[0]
     assert row.sum_1_to_5 == 15
+
+
+def test_cbo_statistics_feed_the_optimizer(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE → catalog statistics → cost-based optimizer.
+    Row counts and column NDVs must land in the catalog and surface in
+    the optimized plan's stats — the input CBO join reordering and
+    broadcast sizing read from on a real warehouse (file-size
+    estimates alone misprice compressed/filtered tables)."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    name = "t_cbo_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", str(tmp_path / "cbo_orders"))
+        .saveAsTable(name)
+    )
+    spark.sql(
+        f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+        "o_orderkey, o_custkey, o_orderstatus"
+    )
+    try:
+        # table-level rowCount reaches the catalog…
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert "Statistics" in desc, sorted(desc)
+        # …and column NDV reaches DESCRIBE output
+        col = spark.sql(
+            f"DESCRIBE EXTENDED {name} o_orderstatus"
+        ).collect()
+        info = {r["info_name"]: r["info_value"] for r in col}
+        assert int(info["distinct_count"]) >= 3, info
+        # the optimizer's plan stats carry the analyzed row count
+        # (not a byte-size guess) once CBO is on
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table(name)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert stats.rowCount().isDefined()
+            n = load_table(spark, sf_dir, "orders").count()
+            assert int(str(stats.rowCount().get())) == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
