@@ -606,3 +606,54 @@ def test_tws_state_ttl_expires_and_retains(spark, sf_dir, tmp_path):
             assert all(r["is_new"] for r in rows), "short TTL must expire"
         else:
             assert not any(r["is_new"] for r in rows), "long TTL must retain"
+
+
+def test_tws_mg_candidates_multibatch_merge(spark, sf_dir, tmp_path):
+    """The MG summaries must MERGE correctly across micro-batches:
+    deliver the corpus as two files at one file per trigger, then
+    exact-verify the union of emitted candidates — it must reproduce
+    the batch two-pass heavy hitters over the COMBINED data."""
+    import shutil
+
+    from udacitycapstonedataengineer_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        streaming_heavy_hitter_candidates_tws,
+    )
+
+    land = tmp_path / "mg_landing"
+    land.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", land / "half1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", land / "half2.parquet")
+
+    cand = streaming_heavy_hitter_candidates_tws(
+        spark, sf_dir, shards=8, capacity=128,
+        query_name="t_mg_multibatch",
+        landing_dir=str(land), max_files_per_trigger=1,
+    )
+    # two triggers ran: the memory sink holds both batches' emissions
+    cand_items = {r["item"] for r in cand.collect()}
+
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events)
+    item = F.get_json_object("props", "$.k").cast("long").cast("string")
+    n_total = doubled.count()
+    exact = (
+        doubled.select(item.alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact(doubled, item, share_bp=105).collect()
+    }
+    assert batch, "degenerate fixture"
+    verified = {
+        (r["item"], r["n"])
+        for r in exact.filter(F.col("item").isin(list(cand_items)))
+        .filter(F.col("n") * 10000 >= 105 * n_total)
+        .collect()
+    }
+    assert verified == batch

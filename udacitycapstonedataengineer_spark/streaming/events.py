@@ -935,6 +935,8 @@ def streaming_heavy_hitter_candidates_tws(
     shards: int = 8,
     capacity: int = 128,
     query_name: str = "stream_mg_candidates_tws",
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming Misra-Gries candidate maintenance — the streaming twin
     of ``operators/heavyhitters.mg_partition_candidates``.
@@ -1011,7 +1013,37 @@ def streaming_heavy_hitter_candidates_tws(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        items = _events_stream(spark, sf_dir).select(
+        if landing_dir is not None:
+            # multi-batch delivery: a parquet landing dir, optionally
+            # throttled to N files per micro-batch so tests exercise
+            # summary MERGING across batches, not just one pass
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+            from pyspark.sql import types as _T
+
+            from ..sources.readers import _arrow_field_to_spark as _a2s
+
+            sample = sorted(_glob.glob(f"{landing_dir}/*.parquet"))[0]
+            fields, ns_cols = [], []
+            for fld in _pq.read_schema(sample):
+                dt, fix = _a2s(fld.type)
+                fields.append(_T.StructField(fld.name, dt, True))
+                if fix:
+                    ns_cols.append(fld.name)
+            reader = spark.readStream.schema(_T.StructType(fields))
+            if max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", max_files_per_trigger
+                )
+            src = reader.parquet(landing_dir)
+            for c in ns_cols:
+                src = src.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+        else:
+            src = _events_stream(spark, sf_dir)
+        items = src.select(
             F.get_json_object("props", "$.k")
             .cast("long")
             .cast("string")
