@@ -62,6 +62,7 @@ _NEW_R6: list[str] = [
     "lineitem_selfjoin_fanout_profile",
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
+    "events_daily_anomaly_seasonal",
 ]
 _RETURNING_REPS = [
     "priority_dim",

@@ -126,6 +126,7 @@ HEADLINE = [
     "lineitem_selfjoin_fanout_profile",
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
+    "events_daily_anomaly_seasonal",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -108,6 +108,7 @@ PROBE_QUERIES = [
     "lineitem_selfjoin_fanout_profile",
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
+    "events_daily_anomaly_seasonal",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -45,6 +45,9 @@ ALLOWED_BOUNDED_INPUT = {
     # ±1-delta running sum over the DAY-grain backlog table — rows =
     # days in the order/ship calendar (~2.4k), never fact grain
     "orders_open_backlog_daily": "running sum over day-grain spine",
+    # MAD rank extraction over the DAY-grain residual table — rows =
+    # days in the event calendar, never fact grain
+    "events_daily_anomaly_seasonal": "MAD rank over day-grain residuals",
 }
 
 

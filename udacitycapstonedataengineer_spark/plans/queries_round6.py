@@ -916,3 +916,105 @@ def _embeddings_norm_outliers(spark, t):
         .select("label", "n_vecs", "med_norm2", "n_low", "n_high")
         .orderBy("label")
     )
+
+
+@query(
+    "events_daily_anomaly_seasonal",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(isodow(ts) AS INT) AS dow,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT dow, CAST(sum(n) AS BIGINT) AS sum_n,
+               count(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    res AS (
+        SELECT d.d, d.n,
+               (p.sum_n * 100) // p.n_days AS expected_e2,
+               d.n * 100 - (p.sum_n * 100) // p.n_days AS residual_e2
+        FROM daily d JOIN prof p USING (dow)
+    ),
+    r2 AS (
+        SELECT d, n, expected_e2, residual_e2,
+               row_number() OVER (ORDER BY abs(residual_e2), d) AS rn,
+               count(*) OVER () AS n_total
+        FROM res
+    ),
+    mad AS (
+        SELECT max(CASE WHEN rn = (n_total + 1) // 2
+                        THEN abs(residual_e2) END) AS mad_e2
+        FROM r2
+    )
+    SELECT CAST(r.d AS VARCHAR) AS d, r.n, r.expected_e2,
+           r.residual_e2, m.mad_e2,
+           (abs(r.residual_e2) > 5 * m.mad_e2) AS is_anomaly
+    FROM res r CROSS JOIN mad m
+    ORDER BY 1
+    """,
+)
+def _events_daily_anomaly_seasonal(spark, t):
+    # seasonality-adjusted anomaly screen: each day's event count vs
+    # its WEEKDAY's mean (the dow profile removes the weekly rhythm
+    # that fools a flat z-score), residuals scored against their MAD
+    # (median absolute residual — robust, so one outage day doesn't
+    # inflate the yardstick that should flag it). Exact integers
+    # end-to-end: expectations in centi-events via truncating
+    # division, the MAD rank-extracted as an actual |residual|, the
+    # flag a pure integer comparison. Plan: fact → day grain (tiny),
+    # 7-row dow profile, one bounded rank window over days, 1-row MAD
+    # broadcast. The global window rides the DAY-grain table —
+    # calendar-bounded by construction.
+    daily = (
+        t["events"]
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            (F.weekday("ts") + F.lit(1)).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    prof = daily.groupBy("dow").agg(
+        F.sum("n").alias("sum_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    res = (
+        daily.join(F.broadcast(prof), "dow")
+        .select(
+            "d",
+            "n",
+            F.expr("(sum_n * 100) DIV n_days").alias("expected_e2"),
+            F.expr("n * 100 - (sum_n * 100) DIV n_days").alias(
+                "residual_e2"
+            ),
+        )
+        .persist()
+    )
+    w = Window.orderBy(F.abs(F.col("residual_e2")), "d")
+    r2 = res.select(
+        F.abs(F.col("residual_e2")).alias("abs_r"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+    mad = r2.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n_total + 1) DIV 2"),
+                   F.col("abs_r"))
+        ).alias("mad_e2")
+    )
+    return (
+        res.crossJoin(F.broadcast(mad))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            "expected_e2",
+            "residual_e2",
+            "mad_e2",
+            (F.abs(F.col("residual_e2")) > 5 * F.col("mad_e2")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("d")
+    )
