@@ -7,6 +7,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.operators.multimodal import (
     FEATURE_SCHEMA,
@@ -160,3 +161,47 @@ def test_window_signal_numpy_twin(media):
                 hashlib.md5(raw[w * 64 : w * 64 + 128]).hexdigest(),
             )
     assert got == want
+
+
+def test_media_features_feed_ann_search(spark, sf_dir):
+    """Integration: multimodal feature extraction → ANN. Media blobs
+    decode (deterministic fake codec) to fixed-dim feature vectors via
+    mapInPandas, which then drive the exact cosine top-k — every
+    medium must retrieve ITSELF at rank 1 with similarity 1.0 (same
+    bytes → same features → cosine 1). The multimodal surface is a
+    producer for the similarity stack, not an island."""
+    from udacitycapstonedataengineer_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    resized = resize_images(synthesize_media(docs))  # fixed 16x16 grid
+    # binary pixel grid -> native double vector (hex fold, no UDF)
+    feats = resized.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, width * height - 1), "
+            "i -> cast(conv(substr(hex(pixels), i * 2 + 1, 2), 16, 10) "
+            "AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    # self-matches are excluded by design, so plant an exact DUPLICATE
+    # of each query vector under vec_id+10000: identical bytes must
+    # come back as the rank-1 neighbor at cosine 1.0
+    queries = [r["vec_id"] for r in feats.orderBy("vec_id").limit(2).collect()]
+    dupes = feats.filter(F.col("vec_id").isin(queries)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    top = brute_force_topk(
+        feats.unionByName(dupes), F.col("vec_id").isin(queries), k=1
+    )
+    rows = top.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["cand_id"] == r["query_id"] + 10000, r
+        assert abs(r["cosine"] - 1.0) < 1e-12, r
