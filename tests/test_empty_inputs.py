@@ -67,3 +67,31 @@ def test_heavy_hitters_on_empty(spark):
     empty = spark.createDataFrame([], "item string")
     assert mg_partition_candidates(empty, "item", capacity=8).count() == 0
     assert heavy_hitters_exact(empty, F.col("item"), share_bp=100).count() == 0
+
+
+def test_schema_drift_detects_changes(spark, tmp_path):
+    """add / remove / retype each produce one finding; identical
+    snapshots produce none. Footer-only — no data scan."""
+    from udacitycapstonedataengineer_spark.operators.diff import schema_drift
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(1, "x", 1.5)], "id long, name string, score double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "a_dir"))
+    spark.createDataFrame(
+        [(1, 2, 1)], "id long, score int, added long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "b_dir"))
+    import glob
+
+    a = glob.glob(str(tmp_path / "a_dir" / "*.parquet"))[0]
+    b = glob.glob(str(tmp_path / "b_dir" / "*.parquet"))[0]
+    got = {
+        r["column"]: (r["change_type"], r["old_type"], r["new_type"])
+        for r in schema_drift(spark, a, b).collect()
+    }
+    assert got == {
+        "name": ("removed", "string", None),
+        "added": ("added", None, "int64"),
+        "score": ("type_changed", "double", "int32"),
+    }
+    assert schema_drift(spark, a, a).count() == 0

@@ -65,3 +65,40 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare],
         )
     )
+
+
+def schema_drift(spark, path_old: str, path_new: str) -> DataFrame:
+    """Schema drift between two parquet snapshots — the contract check
+    an incremental pipeline runs BEFORE touching data: added/removed
+    columns and type changes, from the parquet FOOTERS only (pure
+    metadata — no data scan, O(files) driver work regardless of table
+    size).
+
+    Returns (column, change_type, old_type, new_type); empty = schemas
+    agree. Nullability is deliberately not compared — parquet writers
+    flip required/optional too freely for it to be a useful signal.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    def fields(path: str) -> dict[str, str]:
+        return {f.name: str(f.type) for f in pq.read_schema(path)}
+
+    old, new = fields(path_old), fields(path_new)
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        if name not in new:
+            rows.append((name, "removed", old[name], None))
+        elif name not in old:
+            rows.append((name, "added", None, new[name]))
+        elif old[name] != new[name]:
+            rows.append((name, "type_changed", old[name], new[name]))
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("change_type", T.StringType()),
+            T.StructField("old_type", T.StringType()),
+            T.StructField("new_type", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
