@@ -82,7 +82,12 @@ def heavy_hitters_exact(
     """
     if capacity is None:
         capacity = 10_000 // share_bp + 1
-    items = df.select(item_expr.cast("string").alias("item"))
+    # null items are excluded on BOTH passes (pandas value_counts
+    # drops NaN, so a null could never become a candidate anyway —
+    # making the exclusion explicit keeps the SQL-oracle twin exact)
+    items = df.select(item_expr.cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     candidates = mg_partition_candidates(items, "item", capacity)
     total = items.agg(F.count(F.lit(1)).alias("n_total"))
     return (

@@ -390,6 +390,7 @@ def _events_linear_attribution(spark, t):
         SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
                    AS item
         FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
     ),
     tot AS (SELECT count(*) AS n_total FROM ev),
     c AS (SELECT item, count(*) AS n FROM ev GROUP BY 1)
