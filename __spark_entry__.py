@@ -63,6 +63,7 @@ _NEW_R6: list[str] = [
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
+    "text_bpe_pair_stats",
 ]
 _RETURNING_REPS = [
     "priority_dim",

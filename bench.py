@@ -127,6 +127,7 @@ HEADLINE = [
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
+    "text_bpe_pair_stats",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -109,6 +109,7 @@ PROBE_QUERIES = [
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
+    "text_bpe_pair_stats",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

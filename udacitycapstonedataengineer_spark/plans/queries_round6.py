@@ -1019,3 +1019,106 @@ def _events_daily_anomaly_seasonal(spark, t):
         )
         .orderBy("d")
     )
+
+
+@query(
+    "text_bpe_pair_stats",
+    r"""
+    WITH words AS (
+        SELECT tok AS w, count(*) AS f
+        FROM documents,
+             unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 s -> s <> '')) AS u(tok)
+        GROUP BY 1
+    ),
+    p1 AS (
+        SELECT w[u.i] AS a, w[u.i + 1] AS b, CAST(sum(f) AS BIGINT) AS n
+        FROM (SELECT string_split_regex(w, '') AS w, f
+              FROM words WHERE length(w) >= 2) t,
+             unnest(range(1, len(w))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    top1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    merged AS (
+        SELECT replace(words.w, top1.a || top1.b, chr(164)) AS w, f
+        FROM words CROSS JOIN top1
+    ),
+    p2 AS (
+        SELECT w[u.i] AS a, w[u.i + 1] AS b, CAST(sum(f) AS BIGINT) AS n
+        FROM (SELECT string_split_regex(w, '') AS w, f
+              FROM merged WHERE length(w) >= 2) t,
+             unnest(range(1, len(w))) AS u(i)
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT 1 AS iteration, a, b, n FROM p1
+        ORDER BY n DESC, a, b LIMIT 5
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 2 AS iteration, a, b, n FROM p2
+        ORDER BY n DESC, a, b LIMIT 5
+    )
+    ORDER BY iteration, n DESC, a, b
+    """,
+)
+def _text_bpe_pair_stats(spark, t):
+    # tokenizer-training prep: the pair statistics behind BPE. Word
+    # frequencies once (classic BPE trains on the word-frequency
+    # table, not the raw stream), adjacent char-pair counts weighted
+    # by word frequency (every adjacent position counts, the
+    # get_stats convention), the argmax pair under a TOTAL order
+    # (count desc, then pair — deterministic at ties), the merge
+    # applied corpus-wide as a left-to-right string replace (exactly
+    # BPE's non-overlapping merge for single-char symbols; '¤' is the
+    # merged-symbol marker, absent from the ascii corpus), and the
+    # next iteration's top pairs. Output: top-5 pairs of iterations 1
+    # and 2. Plan: the fact collapses to the word-frequency table
+    # immediately (vocabulary-sized); everything after runs at word
+    # or pair grain. The driver-looped full BPE training would repeat
+    # the merge step against this same table.
+    words = (
+        t["documents"]
+        .select(F.explode(F.expr(_TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+
+    def pair_counts(wdf):
+        return (
+            wdf.filter(F.length("w") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1), "
+                        "i -> struct(substr(w, i, 1) AS a, "
+                        "substr(w, i + 1, 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("n"))
+        )
+
+    c1 = pair_counts(words).persist()
+    top1 = c1.orderBy(F.desc("n"), "a", "b").limit(1).select("a", "b")
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(w, a || b, chr(164))").alias("w"), "f"
+    )
+    c2 = pair_counts(merged)
+    out1 = (
+        c1.orderBy(F.desc("n"), "a", "b")
+        .limit(5)
+        .select(F.lit(1).alias("iteration"), "a", "b", "n")
+    )
+    out2 = (
+        c2.orderBy(F.desc("n"), "a", "b")
+        .limit(5)
+        .select(F.lit(2).alias("iteration"), "a", "b", "n")
+    )
+    return out1.unionByName(out2).orderBy(
+        "iteration", F.desc("n"), "a", "b"
+    )
