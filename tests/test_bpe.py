@@ -1,0 +1,79 @@
+"""Distributed BPE trainer (operators/bpe.py) vs a pure-Python
+reference implementation of the classic algorithm — identical merge
+sequences, exact encode/decode roundtrip, monotone compression."""
+
+from __future__ import annotations
+
+from udacitycapstonedataengineer_spark.operators.bpe import (
+    MARKER_BASE,
+    bpe_encode,
+    expand,
+    train_bpe,
+    word_frequencies,
+)
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Sennrich-style reference: symbols as tuples, every adjacent
+    position counted, argmax with (count desc, pair asc) tie-break."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for i in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for j in range(len(sym) - 1):
+                p = (sym[j], sym[j + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        marker = chr(MARKER_BASE + i)
+        merges.append((a, b, marker))
+        new_vocab: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(marker)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_trainer_matches_reference_implementation(spark, sf_dir):
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    wf = {r["w"]: r["f"] for r in words.collect()}
+    got = train_bpe(words, n_merges=15)
+    want = _reference_bpe(wf, n_merges=15)
+    assert got == want
+
+
+def test_encode_roundtrip_and_compression(spark, sf_dir):
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    merges = train_bpe(words, n_merges=12)
+    vocab = expand(merges)
+    enc = bpe_encode(words, merges).collect()
+    assert enc
+    for r in enc:
+        decoded = "".join(vocab.get(s, s) for s in r["symbols"])
+        assert decoded == r["w"]
+        # merges never lengthen a word's symbol sequence
+        assert r["n_tokens"] <= len(r["w"])
+    # and the corpus-weighted token count strictly drops vs chars
+    total_chars = sum(len(r["w"]) * r["f"] for r in words.collect())
+    total_toks = sum(r["n_tokens"] * r["f"] for r in enc)
+    assert total_toks < total_chars
+
+
+def test_trainer_on_degenerate_vocab(spark):
+    # single-char words: no pairs to merge — trainer stops cleanly
+    df = spark.createDataFrame([("a", 5), ("b", 3)], "w string, f long")
+    assert train_bpe(df, n_merges=4) == []

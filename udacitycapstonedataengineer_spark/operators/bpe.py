@@ -1,0 +1,133 @@
+"""Distributed BPE tokenizer training — merges learned on the cluster.
+
+`text_bpe_pair_stats` (plans/queries_round6.py) exposes one BPE
+iteration as an oracled query; this module is the full trainer the
+driver loops, built on one representational trick: every merged
+symbol gets a fresh PRIVATE-USE codepoint (U+E000+i), so a symbol is
+always exactly one character and the corpus-wide merge stays a plain
+left-to-right `replace` — which is exactly BPE's non-overlapping
+merge semantics at any iteration, with no token-boundary ambiguity.
+
+Scale shape: classic BPE trains on the WORD-FREQUENCY table, not the
+raw stream — the fact collapses to vocabulary grain once, and every
+iteration is then a pair-count aggregate over that small table plus a
+1-row driver argmax (the k-means seed-collect pattern: driver traffic
+is O(1) per iteration). At 100 TB the corpus scan happens once;
+training cost is iterations × vocabulary, independent of corpus size.
+
+Reference provenance: the reference has no tokenizer surface; this is
+a training-data-pipeline extension (Sennrich et al., ACL 2016 — the
+standard subword-NMT formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MARKER_BASE = 0xE000  # private-use plane: never appears in real text
+
+
+def word_frequencies(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(word, f) over the whitespace-tokenized lowercased corpus —
+    the table BPE trains on. One fact scan, one word-grain shuffle."""
+    toks = f"filter(split(lower(trim({col})), '\\\\s+'), s -> s != '')"
+    return (
+        docs.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substr(w, i, 1) AS a, "
+                    "substr(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("f").alias("n"))
+    )
+
+
+def train_bpe(
+    words: DataFrame, n_merges: int, checkpoint_every: int = 8
+) -> list[tuple[str, str, str]]:
+    """Learn ``n_merges`` BPE merges from a (w, f) word-frequency
+    table. Returns [(left_sym, right_sym, merged_marker)] in merge
+    order; ties in pair frequency break on (a, b) — a total order, so
+    the merge sequence is deterministic on any cluster layout.
+
+    Each iteration: pair-count aggregate (vocabulary-sized input),
+    1-row argmax to the driver, corpus-wide merge as a `replace`.
+    ``localCheckpoint`` truncates the replace-chain lineage the same
+    way the connected-components loop does.
+    """
+    merges: list[tuple[str, str, str]] = []
+    cur = words.persist()
+    cur.count()  # materialize before the loop
+    for i in range(n_merges):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        marker = chr(MARKER_BASE + i)
+        merges.append((a, b, marker))
+        nxt = cur.select(
+            F.expr(
+                f"replace(w, {_lit(a)} || {_lit(b)}, {_lit(marker)})"
+            ).alias("w"),
+            "f",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+def _lit(s: str) -> str:
+    """SQL string literal for a single symbol. The character embeds
+    DIRECTLY in the expression text — Spark SQL's ``chr()`` is mod-256
+    (chr(0xE006) silently becomes chr(6)), so building private-use
+    markers through it corrupts them; a literal in the parsed UTF-8
+    SQL string round-trips exactly."""
+    escaped = s.replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{escaped}'"
+
+
+def expand(merges: list[tuple[str, str, str]]) -> dict[str, str]:
+    """marker → underlying character sequence (the learned vocab)."""
+    out: dict[str, str] = {}
+    for a, b, m in merges:
+        out[m] = out.get(a, a) + out.get(b, b)
+    return out
+
+
+def bpe_encode(
+    df: DataFrame, merges: list[tuple[str, str, str]], col: str = "w"
+) -> DataFrame:
+    """Apply the learned merges in order and emit the symbol array —
+    the distributed encode pass (one nested native expression, no
+    Python in the row path). Markers decode via ``expand``."""
+    expr = col
+    for a, b, m in merges:
+        expr = f"replace({expr}, {_lit(a)} || {_lit(b)}, {_lit(m)})"
+    return df.withColumn("symbols", F.expr(f"split({expr}, '')")).withColumn(
+        "n_tokens", F.size("symbols")
+    )
