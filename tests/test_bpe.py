@@ -77,3 +77,72 @@ def test_trainer_on_degenerate_vocab(spark):
     # single-char words: no pairs to merge — trainer stops cleanly
     df = spark.createDataFrame([("a", 5), ("b", 3)], "w string, f long")
     assert train_bpe(df, n_merges=4) == []
+
+
+def test_bpe_tokens_roundtrip_through_token_shards(spark, sf_dir, tmp_path):
+    """The learned-tokenizer last mile: train BPE on the corpus,
+    encode documents to token ids, pack them through the tokenshard
+    Python DataSource, read the shards back, and decode — every
+    document must reconstruct byte-identically. This replaces the
+    hash-stub tokenizer in pack_corpus_to_shards with the REAL
+    learned one via the same (seq_id, token_ids) interface."""
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.sources.tokenshard import (
+        register_tokenshard_datasource,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    words = word_frequencies(docs)
+    merges = train_bpe(words, n_merges=10)
+    vocab = expand(merges)
+
+    # deterministic symbol→id table: every char of the encoded text
+    # (words AND whitespace — encode runs on full documents) + the
+    # learned markers, sorted. Learned pairs never contain a space
+    # (trained on words), so replace can't merge across word breaks.
+    syms = sorted(
+        {
+            ch
+            for r in docs.select(F.lower(F.trim("text"))).collect()
+            for ch in r[0]
+        }
+        | {m for _, _, m in merges}
+    )
+    sym_id = {s: i for i, s in enumerate(syms)}
+    id_sym = {i: s for s, i in sym_id.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sym_id.items() for x in kv]
+    )
+
+    enc = (
+        bpe_encode(
+            docs.select("doc_id", F.lower(F.trim("text")).alias("w")),
+            merges,
+        )
+        .select(
+            F.col("doc_id").alias("seq_id"),
+            F.transform(
+                "symbols", lambda s: mapping[s].cast("int")
+            ).alias("token_ids"),
+        )
+    )
+
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "bpe_shards")
+    enc.repartition(2).write.format("tokenshard").mode("overwrite").save(out)
+    back = spark.read.format("tokenshard").load(out)
+
+    want = {
+        r["doc_id"]: r["w"]
+        for r in docs.select(
+            "doc_id", F.lower(F.trim("text")).alias("w")
+        ).collect()
+    }
+    got_rows = back.collect()
+    assert len(got_rows) == len(want)
+    for r in got_rows:
+        decoded = "".join(
+            vocab.get(id_sym[t], id_sym[t]) for t in r["token_ids"]
+        )
+        assert decoded == want[r["seq_id"]]
