@@ -288,3 +288,58 @@ def test_mg_two_pass_heavy_hitters_always_exact(spark, items, capacity):
         if c * 10_000 >= share_bp * n_total
     }
     assert got == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),        # user
+            st.integers(min_value=0, max_value=12 * 24 * 3600),  # sec offset
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=50_000),   # cents
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_attribution_daygrain_rewrite_equivalence(spark, rows):
+    """The day-grain attribution rewrite must equal the naive
+    formulation on ARBITRARY event layouts — including events exactly
+    at the window edges (ts == pts-7d is in, ts == pts is out),
+    same-timestamp purchases, and multi-purchase users. The shared
+    oracle pins both to DuckDB at two fixed datasets; this pins them
+    to EACH OTHER under adversarial inputs."""
+    import datetime as dt
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=sec),
+            int(user),
+            typ,
+            cents / 100.0,
+            "{}",
+        )
+        for i, (user, sec, typ, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    naive_fn = QUERIES["events_linear_attribution"].__wrapped__
+    dg_fn = QUERIES["events_linear_attribution_daygrain"].__wrapped__
+    tables = {"events": df}
+    naive = {
+        (r["event_type"], r["n_attributions"], r["attributed_cents"])
+        for r in naive_fn(spark, tables).collect()
+    }
+    daygrain = {
+        (r["event_type"], r["n_attributions"], r["attributed_cents"])
+        for r in dg_fn(spark, tables).collect()
+    }
+    assert naive == daygrain
