@@ -343,3 +343,44 @@ def test_attribution_daygrain_rewrite_equivalence(spark, rows):
         for r in dg_fn(spark, tables).collect()
     }
     assert naive == daygrain
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),        # customer
+            st.integers(min_value=0, max_value=6 * 365),  # day offset
+            st.integers(min_value=100, max_value=900_000),  # cents
+        ),
+        min_size=2,
+        max_size=100,
+    )
+)
+def test_incremental_ltv_equals_full_recompute(spark, rows):
+    """The presence-table delta merge must equal the full cohort
+    recompute on ARBITRARY order histories — customers active across
+    the split, delta-only customers, multi-year gaps. The shared
+    oracle pins both at fixed datasets; this pins them to each other
+    (the split date falls mid-range, so both sides are exercised)."""
+    import datetime as dt
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(1995, 1, 1)
+    data = [
+        (i, int(cust), "F", cents / 100.0,
+         t0 + dt.timedelta(days=day), "1-URGENT")
+        for i, (cust, day, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    tables = {"orders": df}
+    full_fn = QUERIES["orders_cohort_ltv"].__wrapped__
+    inc_fn = QUERIES["orders_cohort_ltv_incremental"].__wrapped__
+    full = {tuple(r) for r in full_fn(spark, tables).collect()}
+    inc = {tuple(r) for r in inc_fn(spark, tables).collect()}
+    assert full == inc
