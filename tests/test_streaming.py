@@ -657,3 +657,71 @@ def test_tws_mg_candidates_multibatch_merge(spark, sf_dir, tmp_path):
         .collect()
     }
     assert verified == batch
+
+
+def test_stream_stream_leftouter_null_emission(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks emit with null
+    purchase ids only after the watermark proves no match can arrive.
+    A far-future sentinel batch flushes all pending state; the final
+    table must equal the batch LEFT join (sentinels excluded)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        stream_stream_click_purchase_leftouter,
+    )
+
+    land = tmp_path / "lo_landing"
+    land.mkdir()
+    import shutil
+
+    shutil.copy(f"{sf_dir}/events.parquet", land / "b1.parquet")
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + dt.timedelta(hours=6)
+    # match b1's physical ts type exactly (timestamp[us] at this SF)
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([10**12, 10**12 + 1]),
+            "ts": pa.array([far, far], pa.timestamp("us")),
+            "user_id": pa.array([-1, -1]),
+            "event_type": pa.array(["click", "purchase"]),
+            "value": pa.array([0.0, 0.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(sentinel, land / "b2.parquet")
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_click_purchase_leftouter(
+            spark, str(land), minutes=10, query_name="t_ss_lo"
+        ).collect()
+        if r["c_user"] != -1
+    }
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "leftOuter",
+        ).collect()
+    }
+    assert got == want
+    # the null-emission path actually fired
+    assert any(p is None for _, p in got)

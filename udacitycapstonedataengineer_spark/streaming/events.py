@@ -1220,3 +1220,79 @@ def streaming_seen_users_ttl_tws(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.read.parquet(out_dir)
+
+
+def stream_stream_click_purchase_leftouter(
+    spark: SparkSession,
+    landing_dir: str,
+    minutes: int = 10,
+    query_name: str = "stream_click_purchase_lo",
+) -> DataFrame:
+    """LEFT-OUTER stream–stream interval join — the subtle half of the
+    stream-join surface: matched rows emit like the inner join, but an
+    UNMATCHED click can only emit (with null purchase columns) once
+    the watermark proves no matching purchase can still arrive — i.e.
+    after event time passes click_ts + interval + delay. Until then
+    the click sits in join state; clicks near the head of the stream
+    flush, clicks near the tail stay buffered until a later batch
+    advances the clock. Tests deliver a far-future sentinel batch to
+    flush everything, then compare against the batch left join.
+
+    Reads a parquet landing dir (events schema) so batches can be
+    delivered incrementally.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from ..sources.readers import _arrow_field_to_spark
+
+    sample = sorted(_glob.glob(f"{landing_dir}/*.parquet"))[0]
+    fields, ns_cols = [], []
+    for f in pq.read_schema(sample):
+        dt, fix = _arrow_field_to_spark(f.type)
+        fields.append(T.StructField(f.name, dt, True))
+        if fix:
+            ns_cols.append(f.name)
+    src = spark.readStream.schema(T.StructType(fields)).parquet(landing_dir)
+    for c in ns_cols:
+        src = src.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", f"{2 * minutes} minutes")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", f"{2 * minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select("c_user", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
