@@ -64,6 +64,7 @@ _NEW_R6: list[str] = [
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
+    "orders_duplicate_invoice_pairs",
 ]
 _RETURNING_REPS = [
     "priority_dim",

@@ -128,6 +128,7 @@ HEADLINE = [
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
+    "orders_duplicate_invoice_pairs",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -110,6 +110,7 @@ PROBE_QUERIES = [
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
+    "orders_duplicate_invoice_pairs",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -1122,3 +1122,90 @@ def _text_bpe_pair_stats(spark, t):
     return out1.unionByName(out2).orderBy(
         "iteration", F.desc("n"), "a", "b"
     )
+
+
+@query(
+    "orders_duplicate_invoice_pairs",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(date_diff('day', a.d, b.d) AS INT) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.cents - b.cents) * 50 <= a.cents
+     AND abs(date_diff('day', a.d, b.d)) <= 30
+    ORDER BY a.o_custkey, orderkey_a, orderkey_b
+    """,
+)
+def _orders_duplicate_invoice_pairs(spark, t):
+    # double-billing screen — fuzzy ROW dedup on a fact table (the
+    # dedup family's corpus operators work on documents; this is the
+    # transactional sibling): two orders by the same customer with
+    # amounts within 2% of each other inside a 30-day window are
+    # duplicate-invoice suspects. Scale shape: a pair ≤30 days apart
+    # spans at most adjacent MONTH buckets, so the left side explodes
+    # to its month ±1 and the join is EQUI on (custkey, month) — the
+    # classic banded time join (operators/rangejoin.py pattern) —
+    # with the %-band and day-window as residual filters. Fan-out is
+    # per-customer-per-~3-months, never the full customer history;
+    # the oracle states the same semantics as a plain non-equi
+    # self-join (the oracle needn't be scale-shaped, the plan must).
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    month = F.year("d") * 12 + F.month("d")
+    a = (
+        o.select(
+            F.col("o_custkey").alias("ck"),
+            F.col("cents").alias("cents_a"),
+            F.col("o_orderkey").alias("orderkey_a"),
+            F.col("d").alias("da"),
+            month.alias("ma"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.expr("array(ma - 1, ma, ma + 1)")
+            ).alias("mb"),
+        )
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("cents").alias("cents_b"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("d").alias("db"),
+        month.alias("m2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ck") == F.col("ck2"))
+            & (F.col("mb") == F.col("m2"))
+            & (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (
+                F.abs(F.col("cents_a") - F.col("cents_b")) * 50
+                <= F.col("cents_a")
+            )
+            & (F.abs(F.datediff("db", "da")) <= 30),
+        )
+        .select(
+            F.col("ck").alias("o_custkey"),
+            "orderkey_a",
+            "orderkey_b",
+            "cents_a",
+            "cents_b",
+            F.datediff("db", "da").cast("int").alias("day_gap"),
+        )
+        .orderBy("o_custkey", "orderkey_a", "orderkey_b")
+    )
