@@ -74,3 +74,37 @@ def test_every_registered_query_is_oracled():
     oracles included). A new rows-only query is a regression."""
     missing = [n for n in QUERIES if n not in ORACLE]
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_oracle_comparator_detects_drift():
+    """The gate's own sensitivity: one changed value, one float ulp,
+    one extra row, one renamed column — each must fail the compare.
+    (A comparator that silently passes drift would make every green
+    row above meaningless.)"""
+    import math
+
+    import pandas as pd
+    import pytest
+
+    from tests.oracle_check import compare_frames
+
+    base = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    compare_frames(base.copy(), base.copy(), "same")  # sanity
+
+    changed = base.copy()
+    changed.loc[1, "v"] = 2.6
+    with pytest.raises(AssertionError):
+        compare_frames(base, changed, "value")
+
+    ulp = base.copy()
+    ulp.loc[0, "v"] = math.nextafter(1.5, 2.0)
+    with pytest.raises(AssertionError):
+        compare_frames(base, ulp, "ulp")
+
+    extra = pd.concat([base, base.iloc[[0]]], ignore_index=True)
+    with pytest.raises(AssertionError):
+        compare_frames(base, extra, "rows")
+
+    renamed = base.rename(columns={"v": "w"})
+    with pytest.raises(AssertionError):
+        compare_frames(base, renamed, "cols")
