@@ -384,3 +384,94 @@ def test_incremental_ltv_equals_full_recompute(spark, rows):
     full = {tuple(r) for r in full_fn(spark, tables).collect()}
     inc = {tuple(r) for r in inc_fn(spark, tables).collect()}
     assert full == inc
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # customer
+            st.integers(min_value=0, max_value=3 * 365),    # day offset
+            st.integers(min_value=9_000, max_value=11_000),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_banded_invoice_join_equals_plain_join(spark, rows):
+    """The month-banded duplicate-invoice join must equal the plain
+    non-equi formulation on arbitrary order layouts — including pairs
+    spanning TWO month boundaries (Jan 31 → Mar 2 across February),
+    which a month-±1 band provably misses. Amounts cluster in a
+    narrow range so the 2% band fires often."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(1995, 1, 1)
+    data = [
+        (i, int(cust), "F", cents / 100.0,
+         t0 + dt.timedelta(days=day), "1-URGENT")
+        for i, (cust, day, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    banded_fn = QUERIES["orders_duplicate_invoice_pairs"].__wrapped__
+    banded = {tuple(r) for r in banded_fn(spark, {"orders": df}).collect()}
+    o = df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("ck"), F.col("cents").alias("ca"),
+        F.col("o_orderkey").alias("ka"), F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck2"), F.col("cents").alias("cb"),
+        F.col("o_orderkey").alias("kb"), F.col("d").alias("db"),
+    )
+    plain = {
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("ck") == F.col("ck2"))
+            & (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) * 50 <= F.col("ca"))
+            & (F.abs(F.datediff("db", "da")) <= 30),
+        )
+        .select(
+            F.col("ck").alias("o_custkey"), F.col("ka").alias("orderkey_a"),
+            F.col("kb").alias("orderkey_b"), F.col("ca").alias("cents_a"),
+            F.col("cb").alias("cents_b"),
+            F.datediff("db", "da").cast("int").alias("day_gap"),
+        )
+        .collect()
+    }
+    assert banded == plain
+
+
+def test_banded_invoice_join_catches_double_month_boundary(spark):
+    """The deterministic regression case: Jan 31 and Mar 2 1995 are 30
+    days apart but two month-buckets apart — a ±1 band misses them."""
+    import datetime as dt
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, "F", 100.0, dt.datetime(1995, 1, 31), "1-URGENT"),
+            (2, 7, "F", 100.5, dt.datetime(1995, 3, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    fn = QUERIES["orders_duplicate_invoice_pairs"].__wrapped__
+    rows = fn(spark, {"orders": df}).collect()
+    assert len(rows) == 1 and rows[0]["day_gap"] == 30

@@ -1150,12 +1150,14 @@ def _orders_duplicate_invoice_pairs(spark, t):
     # dedup family's corpus operators work on documents; this is the
     # transactional sibling): two orders by the same customer with
     # amounts within 2% of each other inside a 30-day window are
-    # duplicate-invoice suspects. Scale shape: a pair ≤30 days apart
-    # spans at most adjacent MONTH buckets, so the left side explodes
-    # to its month ±1 and the join is EQUI on (custkey, month) — the
-    # classic banded time join (operators/rangejoin.py pattern) —
-    # with the %-band and day-window as residual filters. Fan-out is
-    # per-customer-per-~3-months, never the full customer history;
+    # duplicate-invoice suspects. Scale shape: a ≤30-day pair spans
+    # at most TWO month boundaries (Jan 31 + 30 days lands Mar 2
+    # across a 28-day February — month ±1 alone would MISS that
+    # pair), so the left side explodes to month ±2 and the join is
+    # EQUI on (custkey, month) — the classic banded time join
+    # (operators/rangejoin.py pattern) — with the %-band and
+    # day-window as residual filters. Fan-out is
+    # per-customer-per-~5-months, never the full customer history;
     # the oracle states the same semantics as a plain non-equi
     # self-join (the oracle needn't be scale-shaped, the plan must).
     o = t["orders"].select(
@@ -1176,7 +1178,7 @@ def _orders_duplicate_invoice_pairs(spark, t):
         .select(
             "*",
             F.explode(
-                F.expr("array(ma - 1, ma, ma + 1)")
+                F.expr("array(ma - 2, ma - 1, ma, ma + 1, ma + 2)")
             ).alias("mb"),
         )
     )
