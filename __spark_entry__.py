@@ -65,6 +65,7 @@ _NEW_R6: list[str] = [
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
+    "docs_crosslingual_template_leakage",
 ]
 _RETURNING_REPS = [
     "priority_dim",

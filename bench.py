@@ -129,6 +129,7 @@ HEADLINE = [
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
+    "docs_crosslingual_template_leakage",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -1211,3 +1211,55 @@ def _orders_duplicate_invoice_pairs(spark, t):
         )
         .orderBy("o_custkey", "orderkey_a", "orderkey_b")
     )
+
+
+@query(
+    "docs_crosslingual_template_leakage",
+    r"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               md5(substr(regexp_replace(lower(trim(text)),
+                                         '\s+', ' ', 'g'), 1, 60)) AS fp
+        FROM documents
+    ),
+    leaked AS (
+        SELECT fp, count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               CAST(min(doc_id) AS BIGINT) AS example_doc_id
+        FROM f GROUP BY fp
+        HAVING count(DISTINCT lang) > 1
+    )
+    SELECT fp, n_docs, n_langs, example_doc_id
+    FROM leaked
+    ORDER BY n_docs DESC, fp
+    """,
+)
+def _docs_crosslingual_template_leakage(spark, t):
+    # cross-lingual template leakage: normalized 60-char PREFIX
+    # fingerprints shared across multiple declared languages — the
+    # boilerplate/header-template signal per-language exact dedup
+    # misses entirely (a shared English banner pasted atop every
+    # translation dedups within each language and survives across
+    # them). Prefix grain rather than whole-doc because translations
+    # share templates, not bodies. One fingerprint-grain shuffle with
+    # map-side combine; distinct-lang counting rides the same
+    # partitioning. Exact md5 fingerprints — hash-identical across
+    # engines (the functions/text.py normalize convention, truncated
+    # before hashing).
+    fp = F.md5(
+        F.expr(
+            r"substr(regexp_replace(lower(trim(text)), '\\s+', ' '), 1, 60)"
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy(F.desc("n_docs"), "fp")
+    )
