@@ -66,6 +66,7 @@ _NEW_R6: list[str] = [
     "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
+    "orders_scd2_asof_revenue",
 ]
 _RETURNING_REPS = [
     "priority_dim",

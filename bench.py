@@ -130,6 +130,7 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
+    "orders_scd2_asof_revenue",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -1263,3 +1263,97 @@ def _docs_crosslingual_template_leakage(spark, t):
         .filter(F.col("n_langs") > 1)
         .orderBy(F.desc("n_docs"), "fp")
     )
+
+
+@query(
+    "orders_scd2_asof_revenue",
+    """
+    WITH scd AS (
+        SELECT c.n_nationkey AS k,
+               CASE WHEN c.n_nationkey % 3 = 0 THEN (c.n_regionkey + 1) % 5
+                    ELSE c.n_regionkey END AS region_new,
+               c.n_regionkey AS region_old,
+               c.n_nationkey % 3 = 0 AS changed
+        FROM nation c
+    ),
+    versions AS (
+        SELECT k, region_old AS region, DATE '1990-01-01' AS valid_from,
+               CASE WHEN changed THEN DATE '2000-01-01' END AS valid_to
+        FROM scd
+        UNION ALL
+        SELECT k, region_new, DATE '2000-01-01', CAST(NULL AS DATE)
+        FROM scd WHERE changed
+    )
+    SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+           v.region,
+           count(*) AS n_orders,
+           CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN versions v
+      ON v.k = c.c_nationkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def _orders_scd2_asof_revenue(spark, t):
+    # the report SCD2 exists FOR: each fact row joined to the dim
+    # version valid AT ITS OWN date (orders before the 2000-01-01
+    # region change report under the old region, after under the new
+    # — a current-version join would silently rewrite history).
+    # Built on operators/scd.scd2_apply (same scenario as
+    # scd2_nation_update); the versioned dim is dim-sized so the
+    # as-of lookup is an EQUI broadcast join on nationkey with the
+    # validity window as a residual — per-row as-of at zero extra
+    # shuffles. customer joins via pinned SHUFFLE_HASH
+    # (SF-proportional); the one real aggregate is (year, region).
+    from ..operators.scd import scd2_apply
+
+    nation = t["nation"]
+    dim = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_regionkey").alias("region"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.col("n_nationkey").alias("k"),
+        ((F.col("n_regionkey") + 1) % 5).alias("region"),
+        F.lit("2000-01-01").cast("date").alias("change_date"),
+    )
+    versions = scd2_apply(dim, updates, ["k"], ["region"]).select(
+        "k", "region", "valid_from", "valid_to"
+    )
+    return (
+        t["orders"]
+        .join(
+            t["customer"]
+            .select("c_custkey", "c_nationkey")
+            .hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(versions),
+            (F.col("k") == F.col("c_nationkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            "region",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("yr", "region")
+    )
