@@ -111,6 +111,8 @@ PROBE_QUERIES = [
     "events_daily_anomaly_seasonal",
     "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
+    "docs_crosslingual_template_leakage",
+    "orders_scd2_asof_revenue",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
