@@ -67,6 +67,7 @@ _NEW_R6: list[str] = [
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
+    "orders_monthly_forecast_eval",
 ]
 _RETURNING_REPS = [
     "priority_dim",

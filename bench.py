@@ -131,6 +131,7 @@ HEADLINE = [
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
+    "orders_monthly_forecast_eval",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -1357,3 +1357,61 @@ def _orders_scd2_asof_revenue(spark, t):
         )
         .orderBy("yr", "region")
     )
+
+
+@query(
+    "orders_monthly_forecast_eval",
+    """
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS ym,
+               CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT a.ym, a.cents AS actual_cents, f.cents AS forecast_cents,
+           abs(a.cents - f.cents) AS abs_err_cents,
+           abs(a.cents - f.cents) * 10000 // f.cents AS err_bp
+    FROM m a JOIN m f ON f.ym = a.ym - 100
+    ORDER BY a.ym
+    """,
+)
+def _orders_monthly_forecast_eval(spark, t):
+    # forecast-evaluation harness with the naive seasonal baseline:
+    # forecast(month) = same month last year, scored per month in
+    # exact integer cents and basis-point error — the baseline every
+    # real forecasting model must beat, and the exact-arithmetic
+    # error-accounting pattern its evaluation reuses (a float MAPE
+    # would drift across engines; |a−f|·10⁴ DIV f cannot). Plan: one
+    # month-grain aggregate off the fact, then a self-equi-join on
+    # the ≤84-row month table (broadcast by size).
+    m = (
+        t["orders"]
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "ym"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .persist()
+    )
+    f = m.select(
+        (F.col("ym") + 100).alias("fym"), F.col("cents").alias("fc")
+    )
+    return (
+        m.join(F.broadcast(f), F.col("ym") == F.col("fym"))
+        .select(
+            "ym",
+            F.col("cents").alias("actual_cents"),
+            F.col("fc").alias("forecast_cents"),
+            F.abs(F.col("cents") - F.col("fc")).alias("abs_err_cents"),
+            F.expr(
+                "abs(cents - fc) * 10000 DIV fc"
+            ).alias("err_bp"),
+        )
+        .orderBy("ym")
+    )
