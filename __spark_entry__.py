@@ -68,6 +68,8 @@ _NEW_R6: list[str] = [
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
     "orders_monthly_forecast_eval",
+    "orders_daily_drawdown",
+    "orders_cohort_survival",
 ]
 _RETURNING_REPS = [
     "priority_dim",

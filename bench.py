@@ -132,6 +132,8 @@ HEADLINE = [
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
     "orders_monthly_forecast_eval",
+    "orders_daily_drawdown",
+    "orders_cohort_survival",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -113,6 +113,9 @@ PROBE_QUERIES = [
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
+    "orders_monthly_forecast_eval",
+    "orders_daily_drawdown",
+    "orders_cohort_survival",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

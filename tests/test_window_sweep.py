@@ -48,6 +48,8 @@ ALLOWED_BOUNDED_INPUT = {
     # MAD rank extraction over the DAY-grain residual table — rows =
     # days in the event calendar, never fact grain
     "events_daily_anomaly_seasonal": "MAD rank over day-grain residuals",
+    # running max over the DAY-grain series — calendar-bounded
+    "orders_daily_drawdown": "running peak over day-grain series",
 }
 
 

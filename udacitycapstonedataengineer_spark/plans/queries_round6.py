@@ -1415,3 +1415,131 @@ def _orders_monthly_forecast_eval(spark, t):
         )
         .orderBy("ym")
     )
+
+
+@query(
+    "orders_daily_drawdown",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT d, n,
+               max(n) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS d, n, peak,
+           (peak - n) * 10000 // peak AS drawdown_bp
+    FROM r
+    ORDER BY 1
+    """,
+)
+def _orders_daily_drawdown(spark, t):
+    # running-peak drawdown of the daily order series — the
+    # demand-collapse detector (how far below the best day so far is
+    # today, in basis points). Finance's max-drawdown machinery
+    # applied to volume. The fact collapses to the day grain first;
+    # the running max is an unpartitioned window ONLY over that
+    # calendar-bounded table (window-sweep allowlisted), and the
+    # drawdown is integer basis points — no float path.
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "d",
+            "n",
+            F.max("n").over(w).alias("peak"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            "peak",
+            F.expr("(peak - n) * 10000 DIV peak").alias("drawdown_bp"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "orders_cohort_survival",
+    """
+    WITH first AS (
+        SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort_year
+        FROM orders GROUP BY 1
+    ),
+    cohort AS (
+        SELECT cohort_year, count(*) AS n_cohort FROM first GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT f.cohort_year,
+               CAST(year(o.o_orderdate) AS INT) - f.cohort_year AS k,
+               o.o_custkey
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    ),
+    alive AS (
+        SELECT cohort_year, k, count(*) AS n_alive
+        FROM active GROUP BY 1, 2
+    )
+    SELECT a.cohort_year, a.k, a.n_alive, c.n_cohort,
+           a.n_alive * 10000 // c.n_cohort AS survival_bp
+    FROM alive a JOIN cohort c USING (cohort_year)
+    ORDER BY 1, 2
+    """,
+)
+def _orders_cohort_survival(spark, t):
+    # cohort survival curves — the Kaplan-Meier-flavored cut of the
+    # LTV triangle: for each acquisition cohort, the share of
+    # customers still ordering k years later, in exact basis points.
+    # ("Still ordering at k" = placed an order in year cohort+k — the
+    # discrete-activity definition matching the triangle's n_active.)
+    # Plan: the custkey cohort stamp (one custkey-grain aggregate), a
+    # pinned SHUFFLE_HASH join back onto orders, distinct at
+    # (cohort, k, custkey) riding the same custkey partitioning, then
+    # two dim-sized rollups. Integer-exact throughout.
+    first = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).alias("cohort_year"))
+        .withColumnRenamed("o_custkey", "f_custkey")
+        .persist()
+    )
+    cohort = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    active = (
+        t["orders"]
+        .join(
+            first.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("f_custkey"),
+        )
+        .select(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).alias("k"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+    alive = active.groupBy("cohort_year", "k").agg(
+        F.count(F.lit(1)).alias("n_alive")
+    )
+    return (
+        alive.join(F.broadcast(cohort), "cohort_year")
+        .select(
+            "cohort_year",
+            "k",
+            "n_alive",
+            "n_cohort",
+            F.expr("n_alive * 10000 DIV n_cohort").alias("survival_bp"),
+        )
+        .orderBy("cohort_year", "k")
+    )
