@@ -70,6 +70,7 @@ _NEW_R6: list[str] = [
     "orders_monthly_forecast_eval",
     "orders_daily_drawdown",
     "orders_cohort_survival",
+    "part_sourcing_risk_grid",
 ]
 _RETURNING_REPS = [
     "priority_dim",

@@ -134,6 +134,7 @@ HEADLINE = [
     "orders_monthly_forecast_eval",
     "orders_daily_drawdown",
     "orders_cohort_survival",
+    "part_sourcing_risk_grid",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -1543,3 +1543,71 @@ def _orders_cohort_survival(spark, t):
         )
         .orderBy("cohort_year", "k")
     )
+
+
+@query(
+    "part_sourcing_risk_grid",
+    """
+    WITH ps AS (
+        SELECT l_partkey,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM ps)
+    SELECT CAST(ps.n_suppliers AS INT) AS n_suppliers,
+           count(*) AS n_parts,
+           CAST(sum(ps.cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(ps.cents) * 10000 // t.total_cents AS BIGINT)
+               AS revenue_share_bp
+    FROM ps CROSS JOIN tot t
+    GROUP BY 1, t.total_cents
+    ORDER BY 1
+    """,
+)
+def _part_sourcing_risk_grid(spark, t):
+    # supply-chain resilience grid: revenue concentration by how many
+    # distinct suppliers actually ship each part (the low end is the
+    # at-risk single/dual-sourced revenue procurement teams track).
+    # Complements part_brand_supplier_hhi: HHI measures WITHIN-part
+    # share concentration, this measures sourcing REDUNDANCY. Grain =
+    # observed supplier-count values, bounded by suppliers-per-part
+    # (a catalog property, not data volume). Plan: one (part)-grain
+    # aggregate with the distinct-supplier count riding it, a 1-row
+    # total broadcast, a bounded rollup. Exact cents and basis
+    # points.
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents"),
+        )
+        .persist()
+    )
+    tot = ps.agg(F.sum("cents").alias("total_cents"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("n_suppliers").cast("int").alias("n_suppliers"),
+            "total_cents",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "n_suppliers",
+            "n_parts",
+            "revenue_cents",
+            F.expr(
+                "revenue_cents * 10000 DIV total_cents"
+            ).alias("revenue_share_bp"),
+        )
+        .orderBy("n_suppliers")
+    )
