@@ -475,3 +475,53 @@ def test_banded_invoice_join_catches_double_month_boundary(spark):
     fn = QUERIES["orders_duplicate_invoice_pairs"].__wrapped__
     rows = fn(spark, {"orders": df}).collect()
     assert len(rows) == 1 and rows[0]["day_gap"] == 30
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # month index
+            st.integers(min_value=1, max_value=10**7),    # cents
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_price_bands_match_sorted_reference(spark, rows):
+    """The rank-extraction quantiles must equal the plain sorted-list
+    definition (value at rank ceil(p·n), 1-indexed) on arbitrary
+    inputs — duplicates, single-row months, all-equal values."""
+    import datetime as dt
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    data = [
+        (i, 1, "F", cents / 100.0,
+         dt.datetime(1995, 1 + m, 15), "1-URGENT")
+        for i, (m, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    fn = QUERIES["orders_monthly_price_bands"].__wrapped__
+    got = {
+        r["ym"]: (r["n_orders"], r["p50_cents"], r["p90_cents"],
+                  r["p99_cents"])
+        for r in fn(spark, {"orders": df}).collect()
+    }
+    by_month: dict[int, list[int]] = {}
+    for i, (m, cents) in enumerate(rows):
+        by_month.setdefault(199501 + m, []).append(cents)
+    for ym, vals in by_month.items():
+        vals.sort()
+        n = len(vals)
+        ref = (
+            n,
+            vals[(n + 1) // 2 - 1],
+            vals[(9 * n + 9) // 10 - 1],
+            vals[(99 * n + 99) // 100 - 1],
+        )
+        assert got[ym] == ref, (ym, got[ym], ref)
