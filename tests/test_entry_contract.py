@@ -108,3 +108,31 @@ def test_oracle_comparator_detects_drift():
     renamed = base.rename(columns={"v": "w"})
     with pytest.raises(AssertionError):
         compare_frames(base, renamed, "cols")
+
+
+def test_bench_and_probe_names_are_registered():
+    """bench.py skips unknown names silently and the probe would
+    KeyError at runtime — a typo in either list must fail here, not
+    drop a benchmark on the floor."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = load("bench_mod", os.path.join(root, "bench.py"))
+    probe = load(
+        "probe_mod", os.path.join(root, "scripts", "scale_probe.py")
+    )
+    missing_b = [n for n in bench.HEADLINE if n not in QUERIES]
+    missing_p = [n for n in probe.PROBE_QUERIES if n not in QUERIES]
+    assert not missing_b, f"bench names not registered: {missing_b}"
+    assert not missing_p, f"probe names not registered: {missing_p}"
+    # and no duplicates padding the lists
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert len(probe.PROBE_QUERIES) == len(set(probe.PROBE_QUERIES))
