@@ -71,6 +71,7 @@ _NEW_R6: list[str] = [
     "orders_daily_drawdown",
     "orders_cohort_survival",
     "part_sourcing_risk_grid",
+    "events_error_burst_windows",
 ]
 _RETURNING_REPS = [
     "priority_dim",

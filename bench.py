@@ -135,6 +135,7 @@ HEADLINE = [
     "orders_daily_drawdown",
     "orders_cohort_survival",
     "part_sourcing_risk_grid",
+    "events_error_burst_windows",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -50,6 +50,9 @@ ALLOWED_BOUNDED_INPUT = {
     "events_daily_anomaly_seasonal": "MAD rank over day-grain residuals",
     # running max over the DAY-grain series — calendar-bounded
     "orders_daily_drawdown": "running peak over day-grain series",
+    # median rank over the 10-minute-WINDOW-grain table — calendar-
+    # bounded (windows in range, never event grain)
+    "events_error_burst_windows": "median rank over window-grain table",
 }
 
 

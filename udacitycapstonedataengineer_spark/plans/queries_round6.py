@@ -1611,3 +1611,69 @@ def _part_sourcing_risk_grid(spark, t):
         )
         .orderBy("n_suppliers")
     )
+
+
+@query(
+    "events_error_burst_windows",
+    """
+    WITH w AS (
+        SELECT epoch_us(ts) // 600000000 AS win, count(*) AS n_err
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT win, n_err,
+               row_number() OVER (ORDER BY n_err, win) AS rn,
+               count(*) OVER () AS nt
+        FROM w
+    ),
+    med AS (
+        SELECT max(CASE WHEN rn = (nt + 1) // 2 THEN n_err END)
+                   AS median_err
+        FROM r
+    )
+    SELECT w.win, w.n_err, m.median_err,
+           (w.n_err >= 3 * m.median_err) AS is_burst
+    FROM w CROSS JOIN med m
+    ORDER BY w.win
+    """,
+)
+def _events_error_burst_windows(spark, t):
+    # incident detection: error counts per 10-minute window flagged
+    # when ≥3× the median window ("is this error rate an incident or
+    # baseline noise?"). Median rather than mean so sustained outages
+    # don't drag the yardstick up after the fact; rank-extracted as
+    # an actual count, threshold a pure integer comparison. Plan: the
+    # pushed error filter reaches the scan, one window-grain
+    # aggregate; the global rank rides only the calendar-bounded
+    # window table (allowlisted); 1-row median broadcast.
+    w = (
+        t["events"]
+        .filter(F.col("event_type") == "error")
+        .groupBy(
+            F.expr("unix_micros(ts) DIV 600000000").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .persist()
+    )
+    rank_w = Window.orderBy("n_err", "win")
+    r = w.select(
+        "n_err",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nt"),
+    )
+    med = r.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(nt + 1) DIV 2"), F.col("n_err"))
+        ).alias("median_err")
+    )
+    return (
+        w.crossJoin(F.broadcast(med))
+        .select(
+            "win",
+            "n_err",
+            "median_err",
+            (F.col("n_err") >= 3 * F.col("median_err")).alias("is_burst"),
+        )
+        .orderBy("win")
+    )
