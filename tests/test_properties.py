@@ -607,3 +607,45 @@ def test_heavy_hitters_invariant_to_partition_layout(spark, sf_dir):
         outs.append({(r["item"], r["n"], r["n_total"]) for r in rows})
     assert outs[0] == outs[1] == outs[2]
     assert outs[0]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_drawdown_matches_running_max_reference(spark, day_counts):
+    """The drawdown series must equal the plain running-max reference
+    on arbitrary day sequences (monotone rises, deep troughs,
+    single-day series)."""
+    import datetime as dt
+
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(1995, 1, 1)
+    data = []
+    oid = 0
+    for day, n in enumerate(day_counts):
+        for _ in range(n):
+            data.append(
+                (oid, 1, "F", 10.0, t0 + dt.timedelta(days=day), "1-URGENT")
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    fn = QUERIES["orders_daily_drawdown"].__wrapped__
+    got = [
+        (r["n"], r["peak"], r["drawdown_bp"])
+        for r in fn(spark, {"orders": df}).collect()
+    ]
+    peak, want = 0, []
+    for n in day_counts:
+        peak = max(peak, n)
+        want.append((n, peak, (peak - n) * 10000 // peak))
+    assert got == want
