@@ -71,20 +71,18 @@ def test_heavy_hitters_on_empty(spark):
 
 def test_schema_drift_detects_changes(spark, tmp_path):
     """add / remove / retype each produce one finding; identical
-    snapshots produce none. Footer-only — no data scan."""
+    snapshots produce none. Footer-only — no data scan. Spark-written
+    snapshot DIRECTORIES are accepted directly (ADVICE r6): all part
+    footers are unioned, and parts that disagree on a type raise."""
     from udacitycapstonedataengineer_spark.operators.diff import schema_drift
 
-    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a, b = str(tmp_path / "a_dir"), str(tmp_path / "b_dir")
     spark.createDataFrame(
         [(1, "x", 1.5)], "id long, name string, score double"
-    ).write.mode("overwrite").parquet(str(tmp_path / "a_dir"))
+    ).repartition(3).write.mode("overwrite").parquet(a)
     spark.createDataFrame(
         [(1, 2, 1)], "id long, score int, added long"
-    ).write.mode("overwrite").parquet(str(tmp_path / "b_dir"))
-    import glob
-
-    a = glob.glob(str(tmp_path / "a_dir" / "*.parquet"))[0]
-    b = glob.glob(str(tmp_path / "b_dir" / "*.parquet"))[0]
+    ).write.mode("overwrite").parquet(b)
     got = {
         r["column"]: (r["change_type"], r["old_type"], r["new_type"])
         for r in schema_drift(spark, a, b).collect()
@@ -95,3 +93,27 @@ def test_schema_drift_detects_changes(spark, tmp_path):
         "score": ("type_changed", "double", "int32"),
     }
     assert schema_drift(spark, a, a).count() == 0
+
+    # a single part file still works (the pre-r7 calling convention)
+    import glob
+
+    part = glob.glob(str(tmp_path / "a_dir" / "*.parquet"))[0]
+    assert schema_drift(spark, part, part).count() == 0
+
+    # intra-snapshot type disagreement is corruption, not drift
+    import shutil
+
+    mixed = tmp_path / "mixed_dir"
+    mixed.mkdir()
+    shutil.copy(part, mixed / "part-00000.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int32())}),
+        mixed / "part-00001.parquet",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="internally inconsistent"):
+        schema_drift(spark, str(mixed), a)

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MARKER_BASE = 0xE000  # private-use plane: never appears in real text
+MARKER_BASE = 0xE000  # BMP private-use area start (U+E000..U+F8FF)
+# last codepoint of the BMP private-use area — markers beyond it would
+# leave the PUA (U+F900+ is CJK-compat ideographs, real text) and
+# silently break the "marker never appears in real text" invariant
+MAX_MERGES = 0xF8FF - MARKER_BASE + 1  # 6400
 
 
 def word_frequencies(docs: DataFrame, col: str = "text") -> DataFrame:
@@ -69,7 +73,18 @@ def train_bpe(
     1-row argmax to the driver, corpus-wide merge as a `replace`.
     ``localCheckpoint`` truncates the replace-chain lineage the same
     way the connected-components loop does.
+
+    Precondition: the corpus must not already contain BMP private-use
+    codepoints (U+E000..U+F8FF) — those are the marker alphabet. Word
+    tables from real text satisfy this; callers with adversarial input
+    should filter/validate first (``word_frequencies`` output can be
+    screened with ``w RLIKE '[\\\\uE000-\\\\uF8FF]'``).
     """
+    if n_merges > MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the {MAX_MERGES} markers "
+            "available in the BMP private-use area"
+        )
     merges: list[tuple[str, str, str]] = []
     cur = words.persist()
     cur.count()  # materialize before the loop
@@ -98,6 +113,91 @@ def train_bpe(
         cur.unpersist()
         cur = nxt
     cur.unpersist()
+    return merges
+
+
+def train_bpe_batched(
+    words: DataFrame,
+    n_merges: int,
+    batch_k: int = 32,
+    checkpoint_every: int = 8,
+    stats: dict | None = None,
+) -> list[tuple[str, str, str]]:
+    """``train_bpe`` with BATCHED merges: each Spark round learns up to
+    ``batch_k`` merges instead of one, so a 32k-merge vocabulary costs
+    ~1k driver round-trips instead of ~32k — at 100 TB the sequential
+    trainer's bottleneck is scheduler pacing (one pair-count job PER
+    merge), not data (VERDICT r6 #1).
+
+    Returns the EXACT same merge sequence as ``train_bpe``, not an
+    approximation. Soundness: merging (a, b)→M only changes the counts
+    of pairs SHARING a symbol with it — a disjoint pair (c, d) keeps
+    every occurrence (neither c nor d is inside a replaced span, and M
+    ∉ {c, d} so no new occurrence appears) — and every new marker pair
+    (M, x) / (x, M) is dominated by an original interacting pair
+    ((b, x) / (x, a)) with count ≥ it. So: sort pairs by the sequential
+    tie-break (count desc, a, b) and accept greedily while each
+    candidate is symbol-disjoint from all accepted ones, STOPPING the
+    batch at the first interacting candidate (never skip-and-continue:
+    a skipped pair's count may drop, or a marker pair may overtake, so
+    later candidates are certifiable only while nothing interacted).
+    Ties resolve identically to the sequential trainer: disjoint ties
+    keep their relative (a, b) order, and a marker pair can never win a
+    tie against an accepted pair because markers sort above every
+    pre-batch symbol (corpus symbols are non-PUA by precondition,
+    earlier markers have smaller codepoints).
+
+    ``stats``, if supplied, receives {"iterations": int} — the probe
+    hook for jobs-per-merge assertions.
+    """
+    if n_merges > MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the {MAX_MERGES} markers "
+            "available in the BMP private-use area"
+        )
+    merges: list[tuple[str, str, str]] = []
+    # one eager checkpoint up front; between checkpoints the lineage
+    # carries at most checkpoint_every×batch_k string replaces over the
+    # vocabulary-sized table — cheap to recompute, so no per-iteration
+    # materialization action is needed (the sequential trainer's
+    # persist+count per merge is exactly the pacing being removed)
+    cur = words.localCheckpoint(eager=True)
+    iterations = 0
+    while len(merges) < n_merges:
+        iterations += 1
+        remaining = n_merges - len(merges)
+        k = min(batch_k, remaining)
+        # collect enough sorted candidates to fill a batch; stopping
+        # early because the collected prefix ran out is always safe
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(4 * k)
+            .collect()
+        )
+        if not top:
+            break
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                break  # first interacting candidate ends the batch
+            accepted.append((a, b))
+            used.add(a)
+            used.add(b)
+            if len(accepted) == k:
+                break
+        expr = "w"
+        for a, b in accepted:
+            marker = chr(MARKER_BASE + len(merges))
+            merges.append((a, b, marker))
+            expr = f"replace({expr}, {_lit(a)} || {_lit(b)}, {_lit(marker)})"
+        cur = cur.select(F.expr(expr).alias("w"), "f")
+        if iterations % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["iterations"] = iterations
     return merges
 
 

@@ -74,15 +74,41 @@ def schema_drift(spark, path_old: str, path_new: str) -> DataFrame:
     metadata — no data scan, O(files) driver work regardless of table
     size).
 
+    Each path may be a single parquet file OR a Spark-written snapshot
+    directory; for a directory every part footer is read and unioned,
+    and parts that disagree with each other on a column's type raise
+    ``ValueError`` — an intra-snapshot inconsistency is corruption, not
+    drift, and comparing against a single arbitrary part would hide it.
+
     Returns (column, change_type, old_type, new_type); empty = schemas
     agree. Nullability is deliberately not compared — parquet writers
     flip required/optional too freely for it to be a useful signal.
     """
+    import glob
+    import os
+
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
     def fields(path: str) -> dict[str, str]:
-        return {f.name: str(f.type) for f in pq.read_schema(path)}
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise ValueError(f"no parquet parts under {path}")
+        else:
+            parts = [path]
+        merged: dict[str, str] = {}
+        for part in parts:
+            for f in pq.read_schema(part):
+                t = str(f.type)
+                prev = merged.setdefault(f.name, t)
+                if prev != t:
+                    raise ValueError(
+                        f"snapshot {path} is internally inconsistent: "
+                        f"column {f.name} is {prev} in one part and "
+                        f"{t} in {os.path.basename(part)}"
+                    )
+        return merged
 
     old, new = fields(path_old), fields(path_new)
     rows = []

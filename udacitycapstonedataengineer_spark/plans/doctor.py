@@ -27,6 +27,13 @@ Rules (each encodes a scale contract stated in PERF_NOTES/VERDICT):
 - ``python-udf`` — BatchEvalPython (row-at-a-time Python) in the plan;
   the repo's relational paths are UDF-free by policy (Arrow-batched
   pandas surfaces show as ArrowEvalPython/MapInPandas and are allowed).
+- ``interval-join-unbanded`` — an equi-join whose residual condition
+  is a two-sided time range (``ts >= lo AND ts < hi``) while NO equi
+  key is a calendar/bucket column: the join is quadratic in per-key
+  event density (every probe row pairs with every candidate in the
+  interval). The bounded rewrite keys on a day/bucket grain and keeps
+  the range residual only inside each band (the
+  events_linear_attribution_daygrain pattern; VERDICT r6 #2).
 
 ``tests/test_window_sweep.py`` runs the global-window rule over every
 registered query, and ``tests/test_doctor.py`` pins each rule against
@@ -260,6 +267,56 @@ def _check_nested_loops(lines: list[str]) -> list[Finding]:
                     "a ≤1-row aggregate/limit/literal dim — add an "
                     "equi-key or bucketize the range predicate "
                     "(operators/rangejoin.py)",
+                )
+            )
+    return out
+
+
+# physical-plan equi-join line: strategy [left keys], [right keys],
+# type, <residual condition and build hints>
+_EQUI_JOIN_RE = re.compile(
+    r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+    r"(?:\(skew=true\))? \[(.*?)\], \[(.*?)\], (\w+)(.*)"
+)
+# a calendar/bucket-grain key name (day#12, a_day#417, month_band#3…)
+_BANDED_KEY_RE = re.compile(
+    r"\b\w*(?:day|date|week|month|hour|minute|band|bucket|window|grid)"
+    r"\w*#",
+    re.IGNORECASE,
+)
+# one comparison inside a residual condition
+_CMP_RE = re.compile(r"\(([^()]*?) (<=?|>=?) ([^()]*?)\)")
+_TIMEY_RE = re.compile(r"\b\w*(?:ts|time|date)\w*#", re.IGNORECASE)
+
+
+def _check_interval_joins(lines: list[str]) -> list[Finding]:
+    out = []
+    for ln in lines:
+        m = _EQUI_JOIN_RE.search(ln)
+        if not m:
+            continue
+        left_keys, right_keys, residual = m.group(2), m.group(3), m.group(5)
+        if _BANDED_KEY_RE.search(left_keys) or _BANDED_KEY_RE.search(
+            right_keys
+        ):
+            continue  # banded: the range residual is bounded per band
+        time_cmps = sum(
+            1
+            for c in _CMP_RE.finditer(residual)
+            if _TIMEY_RE.search(c.group(1))
+            or _TIMEY_RE.search(c.group(3))
+            or "INTERVAL" in c.group(3)
+        )
+        if time_cmps >= 2:
+            out.append(
+                Finding(
+                    "interval-join-unbanded",
+                    "warn",
+                    "equi-join with a two-sided time-range residual and "
+                    "no calendar/bucket equi key — quadratic in per-key "
+                    "event density; band the interval (day-grain anchors "
+                    "+ boundary terms, the *_daygrain pattern): "
+                    f"{ln.strip()[:160]}",
                 )
             )
     return out

@@ -953,10 +953,18 @@ def streaming_heavy_hitter_candidates_tws(
     makes this viable where a streaming ``groupBy(item).count()``
     would hold every key ever seen.
 
-    Returns (shard, item, cnt_lb) — cnt_lb is the MG residual count, a
-    LOWER bound on the item's true shard count (undercount ≤
-    N_shard/(capacity+1)); exactness comes from the verify pass, not
-    from this number.
+    Returns (shard, item, cnt_lb) rows ACCUMULATED ACROSS BATCHES: the
+    memory sink in update mode appends every batch's emissions, and
+    each batch re-emits a shard's full current summary, so a
+    multi-batch run holds one row per (shard, item) PER EMITTING BATCH
+    — earlier rows carry stale cnt_lb values. Callers must treat the
+    result as a candidate SET (distinct items), never sum or aggregate
+    cnt_lb across rows; for the latest bound per item take the LAST
+    emission (rows have no batch column — re-run single-batch, or use
+    the batch twin, if per-item bounds matter). cnt_lb is the MG
+    residual count, a LOWER bound on the item's true shard count
+    (undercount ≤ N_shard/(capacity+1)); exactness comes from the
+    verify pass, not from this number.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -1097,9 +1105,22 @@ def streaming_seen_users_ttl_tws(
     new batches) so tests can deliver multiple batches across restarts
     of the same checkpoint; sinks via foreachBatch parquet-append
     (the memory sink cannot recover a checkpoint, foreachBatch can)
-    and returns the rows written to ``out_dir`` by THIS run.
+    and returns the rows written to ``out_dir`` by THIS run — which is
+    why ``out_dir`` must be empty or absent on entry (asserted below):
+    the sink appends, so a reused directory would fold prior runs'
+    rows into the return value. Restart tests reuse the CHECKPOINT
+    across runs and give each run a fresh ``out_dir``.
     """
     import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(out_dir) and any(
+        not e.startswith((".", "_")) for e in _os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"out_dir {out_dir} is not empty: the return contract is "
+            "'rows written by THIS run' — pass a fresh directory"
+        )
 
     import pandas as pd
     import pyarrow.parquet as pq
