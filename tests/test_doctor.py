@@ -41,6 +41,12 @@ JUSTIFIED_WARNS = {
     # low-cardinality distinct-derived dims (5 priorities, langs)
     "fact_orders": "surrogate dim over 5 distinct priorities",
     "join_string_keys": "surrogate dim over distinct language codes",
+    # interval-join oracle twin: the naive per-user 7-day interval
+    # join is kept REGISTERED as the hash-identical contrast shape for
+    # events_linear_attribution_daygrain (and as its probe twin), but
+    # is demoted from the headline bench (VERDICT r6 #2) — the
+    # daygrain rewrite is the shape that ships
+    "events_linear_attribution": "oracle/probe twin of the daygrain rewrite",
     # self-join shapes whose compared side is cell/parameter-grain
     "ngram_jaccard_pairs": "capped shingle-bucket pair join",
     "dedup_threshold_sweep": "3-row threshold parameter dim",
@@ -136,3 +142,44 @@ def test_registry_sweep_no_fatals_and_warns_pinned(spark, sf_dir):
     )
     stale = set(JUSTIFIED_WARNS) - warned
     assert not stale, f"allowlist entries no longer warranted: {sorted(stale)}"
+
+
+def test_unbanded_interval_join_warns(spark, sf_dir):
+    """VERDICT r6 #2: a per-entity equi-join whose residual is a
+    two-sided time range (the naive attribution shape) is flagged —
+    quadratic in per-entity event density."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    naive = purchases.join(
+        ev,
+        (purchases.p_user == ev.user_id)
+        & (ev.ts < purchases.pts)
+        & (ev.ts >= purchases.pts - F.expr("INTERVAL 7 DAYS")),
+    )
+    rules = {f.rule: f.severity for f in diagnose(naive)}
+    assert rules.get("interval-join-unbanded") == "warn"
+
+
+def test_banded_interval_join_is_clean(spark, sf_dir):
+    """Same range semantics but keyed on (user, day) — the bounded
+    daygrain rewrite shape — must NOT be flagged."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("day").alias("p_day"),
+    )
+    banded = purchases.join(
+        ev,
+        (purchases.p_user == ev.user_id)
+        & (purchases.p_day == ev.day)
+        & (ev.ts < purchases.pts)
+        & (ev.ts >= purchases.pts - F.expr("INTERVAL 7 DAYS")),
+    )
+    assert not [
+        f for f in diagnose(banded) if f.rule == "interval-join-unbanded"
+    ]

@@ -725,3 +725,78 @@ def test_stream_stream_leftouter_null_emission(spark, sf_dir, tmp_path):
     assert got == want
     # the null-emission path actually fired
     assert any(p is None for _, p in got)
+
+
+def test_foreach_batch_crash_replay_does_not_double_apply(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r6 #6: crash-recovery proof for the foreachBatch upsert
+    sink. Deliver batch 0 and let it commit; then simulate a crash
+    BETWEEN the sink write and the commit-log record by deleting the
+    checkpoint's commit marker; restart. The engine re-runs the same
+    epoch (the sink really fires again — asserted), and the per-batch
+    overwrite lands it idempotently: the table holds each event
+    exactly once. A blind append sink would hold them twice."""
+    import os
+
+    from udacitycapstonedataengineer_spark.streaming.events import (
+        foreach_batch_upsert,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "upsert_sink")
+    src = load_table(spark, sf_dir, "events").limit(500)
+    src.coalesce(1).write.mode("overwrite").parquet(landing)
+    n_src = spark.read.parquet(landing).select("event_id").distinct().count()
+
+    # a real crash loses the JVM's in-memory commit-log cache along
+    # with everything else; in-process the cache survives and would
+    # (correctly) flag our behind-its-back commit deletion as
+    # concurrent modification — disable it so the restart reads the
+    # checkpoint from disk exactly as a post-crash JVM would
+    prev_cache = spark.conf.get(
+        "spark.sql.streaming.metadataCache.enabled", None
+    )
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+
+    applied1 = foreach_batch_upsert(spark, sf_dir, out, landing_dir=landing)
+    assert applied1 >= 1
+    assert (
+        spark.read.parquet(out).select("event_id").distinct().count() == n_src
+    )
+    n_rows_after_run1 = spark.read.parquet(out).count()
+    assert n_rows_after_run1 == n_src  # per-batch dedup held
+
+    # crash simulation: offsets/N exists (batch planned + sink wrote)
+    # but commits/N is gone (never recorded as durable). The sidecar
+    # .N.crc must go too — a stale Hadoop checksum file makes the
+    # replay's commit re-write fail as a concurrent-writer conflict
+    commits_dir = os.path.join(out + "_ckpt", "commits")
+    last = [
+        c for c in sorted(os.listdir(commits_dir)) if not c.startswith(".")
+    ][-1]
+    os.remove(os.path.join(commits_dir, last))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    applied2 = foreach_batch_upsert(spark, sf_dir, out, landing_dir=landing)
+    assert applied2 >= 1, "replay did not fire — the crash sim is broken"
+    # exactly-once effect: replayed batch overwrote its own directory,
+    # so neither row count nor distinct count moved
+    assert spark.read.parquet(out).count() == n_rows_after_run1
+    assert (
+        spark.read.parquet(out).select("event_id").distinct().count() == n_src
+    )
+
+    # clean restart (commit log intact, no new files): nothing replays
+    applied3 = foreach_batch_upsert(spark, sf_dir, out, landing_dir=landing)
+    assert applied3 == 0
+    assert spark.read.parquet(out).count() == n_rows_after_run1
+
+    if prev_cache is None:
+        spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+    else:
+        spark.conf.set(
+            "spark.sql.streaming.metadataCache.enabled", prev_cache
+        )

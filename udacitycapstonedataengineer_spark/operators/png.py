@@ -207,20 +207,32 @@ def _unfilter_scanline(
             lane = line[c::bpp].astype(np.uint64)
             rec[c::bpp] = np.cumsum(lane) & 0xFF
         return rec
-    rec = np.empty(stride, dtype=np.uint8)
-    if ftype == 3:  # Average — intra-row dependency, scalar loop
+    # Average / Paeth have an intra-row data dependency (each byte
+    # needs the reconstructed byte one pixel left), so they can't
+    # vectorize — run the recurrence over plain Python ints (lists),
+    # which is ~5× faster than per-element numpy indexing; the arrays
+    # convert once at the boundaries
+    ln = line.tolist()
+    pv = prev.tolist()
+    rec = [0] * stride
+    if ftype == 3:  # Average
         for x in range(stride):
-            left = int(rec[x - bpp]) if x >= bpp else 0
-            rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        return rec
+            left = rec[x - bpp] if x >= bpp else 0
+            rec[x] = (ln[x] + ((left + pv[x]) >> 1)) & 0xFF
+        return np.array(rec, dtype=np.uint8)
     if ftype == 4:  # Paeth
         for x in range(stride):
-            a = int(rec[x - bpp]) if x >= bpp else 0
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
+            if x >= bpp:
+                a = rec[x - bpp]
+                c = pv[x - bpp]
+            else:
+                a = c = 0
+            b = pv[x]
             p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
             pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            rec[x] = (int(line[x]) + pred) & 0xFF
-        return rec
+            rec[x] = (ln[x] + pred) & 0xFF
+        return np.array(rec, dtype=np.uint8)
     raise ValueError(f"unknown filter type {ftype}")

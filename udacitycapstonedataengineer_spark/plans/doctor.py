@@ -278,10 +278,11 @@ _EQUI_JOIN_RE = re.compile(
     r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
     r"(?:\(skew=true\))? \[(.*?)\], \[(.*?)\], (\w+)(.*)"
 )
-# a calendar/bucket-grain key name (day#12, a_day#417, month_band#3…)
+# a calendar/bucket-grain key name (day#12, a_day#417, month_band#3,
+# __cell#7 — the operators/rangejoin.py bucketized-range-join key)
 _BANDED_KEY_RE = re.compile(
-    r"\b\w*(?:day|date|week|month|hour|minute|band|bucket|window|grid)"
-    r"\w*#",
+    r"\b\w*(?:day|date|week|month|hour|minute|band|bucket|window|grid"
+    r"|cell)\w*#",
     re.IGNORECASE,
 )
 # one comparison inside a residual condition
@@ -360,6 +361,7 @@ def diagnose(
     if not assume_bounded:
         findings += _check_global_windows(opt_lines)
         findings += _check_nested_loops(exe_lines)
+        findings += _check_interval_joins(exe_lines)
     findings += _check_broadcast_hints(ana_lines, fact_tables)
     findings += _check_python_udf(exe_lines)
     return findings

@@ -209,31 +209,74 @@ def foreach_batch_upsert(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
-) -> None:
-    """foreachBatch sink: per micro-batch, dedup the batch and append
-    it to a parquet target partitioned by event_type. foreachBatch is
-    the escape hatch for sinks Structured Streaming lacks natively
-    (JDBC upserts, MERGE INTO, multi-table writes); the batch handle
-    is a plain DataFrame so every batch operator is available.
-    Exactly-once comes from the checkpoint + idempotent writes.
+    landing_dir: str | None = None,
+) -> int:
+    """foreachBatch sink: per micro-batch, dedup the batch and write
+    it to ``out_dir/batch_id=<id>`` partitioned by event_type.
+    foreachBatch is the escape hatch for sinks Structured Streaming
+    lacks natively (JDBC upserts, MERGE INTO, multi-table writes); the
+    batch handle is a plain DataFrame so every batch operator is
+    available.
+
+    Exactly-once EFFECT = checkpoint replay × idempotent write: after
+    a crash between the sink write and the commit-log record, the
+    engine re-runs the same epoch with the SAME batch_id — and because
+    each batch overwrites its own ``batch_id=<id>`` directory (never
+    blind-appends to the table root), the replay lands byte-identical
+    instead of double-applying. Pinned by
+    tests/test_streaming.py::test_foreach_batch_crash_replay_does_not_double_apply,
+    which deletes the commit marker to force a real replay.
+
+    ``landing_dir``, if given, streams a parquet landing directory
+    (new files = new batches) instead of the sf events table, so tests
+    can deliver batches across restarts. Returns the number of batches
+    the sink applied during THIS run (0 on a pure-recovery restart
+    with nothing new and nothing to replay).
     """
+    applied: list[int] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.dropDuplicates(["event_id"])
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("event_type")
-            .parquet(out_dir)
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
+        applied.append(batch_id)
+
+    if landing_dir is not None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+        from pyspark.sql import types as _T
+
+        from ..sources.readers import _arrow_field_to_spark as _a2s
+
+        sample = sorted(_glob.glob(f"{landing_dir}/*.parquet"))[0]
+        fields, ns_cols = [], []
+        for fld in _pq.read_schema(sample):
+            dt, fix = _a2s(fld.type)
+            fields.append(_T.StructField(fld.name, dt, True))
+            if fix:
+                ns_cols.append(fld.name)
+        src = spark.readStream.schema(_T.StructType(fields)).parquet(
+            landing_dir
+        )
+        for c in ns_cols:
+            src = src.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    else:
+        src = _events_stream(spark, sf_dir)
 
     q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(sink)
+        src.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", out_dir + "_ckpt")
         .start()
     )
     q.awaitTermination()
+    return len(applied)
 
 
 def windowed_append_stream(
