@@ -32,24 +32,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json or inside the window — rotations can't silently
 # starve a query again.
 #
-# Round-6 tiers, in order:
+# Round-7 tiers, in order:
 #   1. flagship
-#   2. never driver-checked (ADVICE r5: the r5 window miscount)
-#   3. changed this round — must re-earn their rows
-#   4. new round-6 queries — earn rows immediately
-#   5. returning §2 family reps (r01-r04 green, rotated out in r5)
-_NEVER_CHECKED = [
+#   2. changed this round — must re-earn their rows
+#   3. new round-7 queries — earn rows immediately
+#   4. staleness rotation: every query whose LAST driver-green round
+#      is r01 (22 queries), plus the 24 stalest r02 queries — after
+#      this round no query's most-recent green is older than r02, and
+#      the remaining 9 r02 queries rotate in next round.
+_REEARN_R7 = [
+    # connected components rewritten large-star/small-star (r7)
+    "dedup_clusters",
+    # operators/bpe.py gained the batched trainer alongside the
+    # pair-count expr this query rides — re-earn out of caution
+    "text_bpe_pair_stats",
+]
+_NEW_R7: list[str] = [
+    # real PNG codec through the multimodal pipeline
+    "multimodal_png_roundtrip",
+    # C4/Gopher-style within-doc repeated-5-gram quality screen
+    "docs_ngram_repetition",
+    # Benford first-digit anomaly screen over order totals
+    "orders_benford_screen",
+    # event-type transition matrix (user-partitioned lag window)
+    "events_markov_transition",
+    # exact int8 Gram matrix — the distributed PCA/whitening input
+    "embeddings_gram_matrix",
+]
+_ROTATION_R7 = [
+    # last green r01
+    "events_asof_last_purchase", "events_cohort_retention",
+    "events_funnel_conversion", "events_lag_lead_ntile",
+    "events_pivot_by_type", "events_range_join_click_error",
+    "events_session_window_native", "events_sessionize",
+    "events_topk_per_group", "events_trailing_hour_sum",
+    "events_window_agg", "multimodal_audio_windows",
+    "multimodal_features", "multimodal_frame_sample",
+    "multimodal_meta_stats", "olap_cube_counts",
+    "olap_rollup_counts", "percentile_by_status",
+    "set_except", "set_intersect", "set_union_distinct",
+    "topk_orders_global",
+    # last green r02: the full TPC-H block + exact-dedup family
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume", "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion", "tpch_q21_waiting_suppliers",
+    # (tpch_q22 and the exact-dedup family — also last green r02 —
+    # rotate in next round; their slots went to the r7-new queries)
+]
+# prior-round tier lists (all green in CORRECTNESS_r06; kept for
+# registry ordering beyond the checked prefix)
+_GREEN_R6 = [
     "docs_char_class_profile",
     "supplier_nation_trade_matrix",
     "docs_source_lang_mix",
-]
-_REEARN_R6 = [
-    # de-broadcast SF-proportional customer (ADVICE r5)
     "nation_revenue_share",
-    # chisq factors now cast to double pre-multiply (ADVICE r5)
     "events_type_weekday_chisq",
-]
-_NEW_R6: list[str] = [
     "orders_cohort_ltv",
     "orders_daily_autocorr",
     "orders_monthly_price_bands",
@@ -63,7 +107,6 @@ _NEW_R6: list[str] = [
     "events_bot_regularity_audit",
     "embeddings_norm_outliers",
     "events_daily_anomaly_seasonal",
-    "text_bpe_pair_stats",
     "orders_duplicate_invoice_pairs",
     "docs_crosslingual_template_leakage",
     "orders_scd2_asof_revenue",
@@ -72,8 +115,6 @@ _NEW_R6: list[str] = [
     "orders_cohort_survival",
     "part_sourcing_risk_grid",
     "events_error_burst_windows",
-]
-_RETURNING_REPS = [
     "priority_dim",
     "join_left_broadcast", "groupby_avg", "calendar_dim",
     "null_profile", "dedup_by_key", "sas_labels_decode",
@@ -81,7 +122,6 @@ _RETURNING_REPS = [
     "cast_types", "country_dim", "global_counts", "initcap_labels",
     "join_string_keys", "join_dedup", "distinct_rows",
     "tpch_q15_top_supplier",
-    "dedup_clusters",
     "ann_topk_bruteforce", "text_tfidf_top_terms",
     "docs_pack_sequences", "corpus_mixture_sample",
     "orders_snapshot_diff", "orders_equidepth_deciles",
@@ -138,10 +178,10 @@ _GREEN_BACKLOG = [
 
 _PRIORITY = (
     ["star_revenue_by_region_year"]
-    + _NEVER_CHECKED
-    + _REEARN_R6
-    + _NEW_R6
-    + _RETURNING_REPS
+    + _REEARN_R7
+    + _NEW_R7
+    + _ROTATION_R7
+    + _GREEN_R6
     + _GREEN_BACKLOG
 )
 # the driver's correctness gate reads exactly this prefix

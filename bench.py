@@ -140,8 +140,12 @@ HEADLINE = [
     "orders_cohort_survival",
     "part_sourcing_risk_grid",
     "events_error_burst_windows",
-    # round-7: real PNG codec through the multimodal pipeline
+    # round-7: real PNG codec through the multimodal pipeline;
+    # 5-gram repetition screen; user-stream transition matrix
     "multimodal_png_roundtrip",
+    "docs_ngram_repetition",
+    "events_markov_transition",
+    "embeddings_gram_matrix",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
@@ -208,12 +212,19 @@ def main() -> None:
         out["sweep_n"] = len(sweep)
         out["sweep_total"] = round(sum(v for v in sweep.values() if v > 0), 3)
         out["bench_coverage"] = f"{len(timings) + len(sweep)}/{len(QUERIES)}"
-    baseline, baseline_src = _load_baseline()
+    baseline, baseline_src, sweep_sourced = _load_baseline()
     if baseline:
         # round-over-round on the SHARED query set (VERDICT r4 #8):
         # machine-readable so the judge reads the ratio instead of
-        # recomputing it against last round's committed file
-        shared = [n for n in timings if n in baseline and baseline[n] > 0]
+        # recomputing it against last round's committed file.
+        # sweep-sourced baselines (single-shot) are excluded here —
+        # mixing them with best-of-2 current numbers would bias the
+        # ratio down — but still feed the (lenient) regression check.
+        shared = [
+            n
+            for n in timings
+            if n in baseline and baseline[n] > 0 and n not in sweep_sourced
+        ]
         if shared:
             cur, prev = (
                 round(sum(timings[n] for n in shared), 3),
@@ -295,24 +306,34 @@ def _write_detail(out: dict) -> None:
         pass
 
 
-def _load_baseline() -> tuple[dict[str, float], str]:
+def _load_baseline() -> tuple[dict[str, float], str, set[str]]:
     """Previous-round per-query baseline, rebuilt from (a) the full
     detail file the previous round's bench run wrote and (b) the
     driver-committed BENCH_r{N}.json parsed line (authoritative where
     present, possibly a heaviest-first subset), falling back through
-    older rounds for names neither covers."""
+    older rounds for names neither covers. Third return: names whose
+    baseline came only from a single-shot sweep datapoint."""
     import glob
     import re
 
     root = os.path.dirname(__file__)
     merged: dict[str, float] = {}
+    sweep_sourced: set[str] = set()
     src = []
     n = _newest_round()
     if n >= 0:
         detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
         try:
             with open(detail) as f:
-                merged.update(json.load(f).get("queries", {}))
+                data = json.load(f)
+            # sweep datapoints first (single-shot, noisier), then the
+            # headline best-of-2 numbers override where both exist
+            for k, v in data.get("sweep_queries", {}).items():
+                if v > 0:
+                    merged[k] = v
+                    sweep_sourced.add(k)
+            merged.update(data.get("queries", {}))
+            sweep_sourced -= set(data.get("queries", {}))
             src.append(os.path.basename(detail))
         except (OSError, ValueError):
             pass
@@ -345,8 +366,9 @@ def _load_baseline() -> tuple[dict[str, float], str]:
         fresh = {k: v for k, v in qs.items() if i == 0 or k not in merged}
         if fresh:
             merged.update(fresh)
+            sweep_sourced -= set(fresh)  # a real headline datapoint wins
             src.append(os.path.basename(f))
-    return merged, "+".join(src) if src else ""
+    return merged, "+".join(src) if src else "", sweep_sourced
 
 
 if __name__ == "__main__":

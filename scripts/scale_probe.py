@@ -116,6 +116,12 @@ PROBE_QUERIES = [
     "orders_monthly_forecast_eval",
     "orders_daily_drawdown",
     "orders_cohort_survival",
+    # round-7: PNG codec pipeline, 5-gram repetition screen,
+    # transition matrix, integer Gram matrix
+    "multimodal_png_roundtrip",
+    "docs_ngram_repetition",
+    "events_markov_transition",
+    "embeddings_gram_matrix",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the

@@ -428,3 +428,64 @@ def test_lsh_max_bucket_caps_boilerplate_skew(spark):
     # most incidental collisions among the distinct docs — orders of
     # magnitude below the uncapped quadratic blowup
     assert n_pairs < 1000, n_pairs
+
+
+def test_aqe_skew_join_split_fires_at_runtime(spark):
+    """VERDICT r6 #7: runtime evidence that AQE's skew-join splitting
+    actually fires on a skewed shuffle join — the doctor checks static
+    plans, this pins the dynamic half of the skew story. One hot key
+    carries ~97% of the left side; with test-scale skew thresholds the
+    final adaptive plan must mark the join skew=true (the hot
+    partition is split across tasks instead of pinning one reducer).
+
+    Where salting (operators/skew.salted_join) remains necessary:
+    AQE's split only applies to sort-merge joins AFTER a shuffle
+    materializes, and splits at map-output granularity — a single
+    gigantic KEY still needs salting when its rows must ALSO aggregate
+    (AQE cannot split a groupBy key), which is why salted_join keeps
+    its own test above rather than being deleted in favor of AQE.
+    """
+    confs = {
+        # force the sort-merge path (no broadcast escape hatch) and
+        # scale AQE's skew thresholds down to fixture size
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200_000)
+            .select(
+                F.when(F.col("id") % 32 < 31, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+            )
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        # keep the payload column alive through the shuffle: AQE's
+        # skew detector reads COMPRESSED map-output sizes, and a
+        # pruned-to-one-repeated-long hot partition compresses below
+        # any realistic threshold
+        joined = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.max("pad").alias("mx")
+        )
+        [row] = joined.collect()
+        assert row["n"] == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -118,3 +118,37 @@ def test_bloom_no_false_negatives_with_duplicate_probe_keys(spark):
     }
     assert len(got) == 70  # one row per DISTINCT probe key
     assert all(got[k] for k in range(50)), "false negative on duplicate probe"
+
+
+def test_gram_matrix_int8_matches_numpy(spark, sf_dir):
+    """Distributed integer Gram == driver-side numpy recomputation
+    from the same quantized codes, and PCA-readiness: the matrix is
+    symmetric-complete (full upper triangle incl. diagonal)."""
+    import numpy as np
+
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        gram_matrix_int8,
+        quantize_int8,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in gram_matrix_int8(emb).collect()
+    }
+    M = np.array(
+        [
+            [int(x) for x in r["q_csv"].split(",")]
+            for r in quantize_int8(emb).collect()
+        ],
+        dtype=np.int64,
+    )
+    G = M.T @ M
+    d = G.shape[0]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == G[i - 1, j - 1]
+    # diagonal sanity: sum of per-vector qnorm_sq equals trace
+    trace = sum(got[(k, k)] for k in range(1, d + 1))
+    assert trace == int(np.trace(G))

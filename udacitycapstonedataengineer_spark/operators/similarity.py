@@ -358,3 +358,60 @@ def quantize_int8_sql(vec_col: str = "embedding") -> str:
         FROM (SELECT vec_id, {vec_col}, {maxabs} AS max_abs FROM embeddings)
     )
     """
+
+
+# ---- Gram matrix (PCA/whitening input) -------------------------------------
+
+GRAM_SCHEMA_DDL = "i int, j int, gram bigint"
+
+
+def gram_matrix_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact integer Gram matrix G[i,j] = Σ_rows q_i·q_j over the
+    int8-quantized embeddings — the sufficient statistic for PCA /
+    whitening / covariance of an embedding column (the 64×64 eigen
+    step is then driver-trivial; the distributed part is this
+    aggregate).
+
+    Scale shape: each partition accumulates its d×d partial Gram with
+    one numpy ``M.T @ M`` per Arrow batch (C-speed, int64-exact for
+    int8 codes up to ~2^46 rows), emits d(d+1)/2 upper-triangle rows,
+    and the shuffle carries only O(d²) rows PER PARTITION — never the
+    vectors. Quantization rides :func:`quantize_int8`, whose
+    round-half-away semantics are proven bit-identical to DuckDB, so
+    the whole matrix is hash-oracle-able; accumulating float32
+    directly would be order-dependent and unverifiable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = quantize_int8(emb, vec_col).select("q_csv")
+
+    def batches(it):
+        G = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [[int(x) for x in s.split(",")] for s in pdf["q_csv"]],
+                dtype=np.int64,
+            )
+            G = M.T @ M if G is None else G + M.T @ M
+        if G is None:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),  # 1-based, matching SQL arrays
+                "j": (ju + 1).astype("int32"),
+                "gram": G[iu, ju],
+            }
+        )
+
+    from pyspark.sql import functions as _F
+
+    return (
+        q.mapInPandas(batches, schema=GRAM_SCHEMA_DDL)
+        .groupBy("i", "j")
+        .agg(_F.sum("gram").alias("gram"))
+    )

@@ -3,14 +3,27 @@
 - multimodal_png_roundtrip — the real PNG codec (operators/png.py)
   driven end-to-end through the Spark multimodal pipeline, oracled on
   the per-filter aggregate the synthesis formulas predict.
+- docs_ngram_repetition — within-document repeated-5-gram mass, the
+  standard "degenerate/boilerplate text" quality signal (C4/Gopher
+  rules family) at source grain.
+- orders_benford_screen — first-significant-digit distribution of
+  order totals by status: the classic anomaly/fraud screen shape
+  (string-prefix extraction + two-key aggregate).
+- events_markov_transition — event-type transition counts from each
+  user's time-ordered stream (lag window): the input statistic for
+  next-action models and bot detection.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..operators.multimodal import png_roundtrip, synthesize_media
 from .registry import query
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
 
 
 @query(
@@ -48,4 +61,176 @@ def _multimodal_png_roundtrip(spark, t):
             F.sum("n_pixel_bytes").alias("pixel_bytes_total"),
         )
         .orderBy("filter_type")
+    )
+
+
+@query(
+    "docs_ngram_repetition",
+    f"""
+    WITH dt AS (
+        SELECT source, {_TOKS_SQL} AS toks FROM documents
+    ), grams AS (
+        SELECT source,
+               len(toks) - 4 AS n_grams,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS n_distinct
+        FROM dt WHERE len(toks) >= 5
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_scored,
+           CAST(SUM(n_grams) AS BIGINT) AS grams_total,
+           CAST(SUM(n_distinct) AS BIGINT) AS grams_distinct,
+           CAST(SUM(n_grams - n_distinct) AS BIGINT) AS grams_repeated
+    FROM grams GROUP BY source ORDER BY source
+    """,
+)
+def _docs_ngram_repetition(spark, t):
+    # within-doc repeated 5-gram mass by source — the C4/Gopher-style
+    # "degenerate text" screen. Per-row native exprs only (transform/
+    # slice/array_distinct stay in codegen); one source-grain shuffle.
+    # Integer sums cross the oracle; no float division to drift.
+    toks = tokens("text")
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 4), "
+        "i -> array_join(slice(toks, i, 5), ' '))"
+    )
+    per_doc = (
+        t["documents"]
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "source",
+            (F.size("toks") - 4).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.sum("n_grams").alias("grams_total"),
+            F.sum("n_distinct").alias("grams_distinct"),
+            F.sum(F.col("n_grams") - F.col("n_distinct")).alias(
+                "grams_repeated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "orders_benford_screen",
+    """
+    SELECT o_orderstatus,
+           CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS lead_digit,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_totalprice >= 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _orders_benford_screen(spark, t):
+    # first-significant-digit histogram of order totals by status —
+    # the Benford anomaly screen. Digit extraction is a string prefix
+    # of the truncated integer part (identical semantics both
+    # engines); money crosses the oracle in integer cents
+    # (functions/exact.py convention), never summed as double.
+    lead = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") >= 1)
+        .groupBy(
+            "o_orderstatus", lead.alias("lead_digit")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents_total"),
+        )
+        .orderBy("o_orderstatus", "lead_digit")
+    )
+
+
+@query(
+    "events_markov_transition",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _events_markov_transition(spark, t):
+    # event-type transition matrix from each user's time-ordered
+    # stream — the sufficient statistic for next-action Markov models
+    # and bot-loop detection. One user-partitioned lag window (ordered
+    # by (ts, event_id) for tie determinism; partitioned, so no
+    # global-window hazard) + one (prev, next)-grain aggregate.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "embeddings_gram_matrix",
+    """
+    WITH qt AS (
+        SELECT vec_id,
+               CASE WHEN max_abs = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * (127.0 / max_abs))
+                                   AS INTEGER))
+               END AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   list_aggregate(list_transform(embedding,
+                                                 x -> abs(x::DOUBLE)),
+                                  'max') AS max_abs
+            FROM embeddings
+        )
+    )
+    SELECT i, j, CAST(SUM(q[i]::BIGINT * q[j]) AS BIGINT) AS gram
+    FROM qt,
+         generate_series(1, 64) g1(i),
+         generate_series(1, 64) g2(j)
+    WHERE i <= j
+    GROUP BY i, j ORDER BY i, j
+    """,
+)
+def _embeddings_gram_matrix(spark, t):
+    # exact integer Gram matrix of the int8-quantized embedding
+    # column — the distributed input to PCA/whitening (the 64×64
+    # eigen solve is driver-trivial once this lands). Per-partition
+    # numpy M^T·M accumulation, O(d^2)-rows-per-partition shuffle;
+    # int64-exact so the full matrix hash-matches DuckDB's
+    # position-indexed recomputation from the same quantized codes.
+    from ..operators.similarity import gram_matrix_int8
+
+    return (
+        gram_matrix_int8(t["embeddings"])
+        .select("i", "j", "gram")
+        .orderBy("i", "j")
     )
