@@ -234,3 +234,56 @@ def _embeddings_gram_matrix(spark, t):
         .select("i", "j", "gram")
         .orderBy("i", "j")
     )
+
+
+@query(
+    "orders_zorder_key",
+    # DuckDB twin generated by zorder_key_sql at import time below —
+    # identical bit interleaving, so keys hash-match exactly
+    None,
+)
+def _orders_zorder_key(spark, t):
+    # Morton (z-order) clustering key over (custkey, order-day) — the
+    # multi-dimensional data-skipping layout primitive
+    # (operators/zorder.py; measured row-group pruning in
+    # tests/test_zorder.py). Pure bit-shift expressions: whole-stage
+    # codegen, engine-portable, hash-oracled bit-for-bit. The raw
+    # (unnormalized) key is the oracled surface; the write path uses
+    # the min/max-normalized variant.
+    from ..operators.zorder import zorder_key
+
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck"),
+            day.alias("day"),
+        )
+        .select(
+            "o_orderkey",
+            zorder_key(["ck", "day"], bits=16).alias("zkey"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _install_zorder_oracle() -> None:
+    from ..operators.zorder import zorder_key_sql
+    from .registry import ORACLE
+
+    zexpr = zorder_key_sql(["ck", "day"], bits=16)
+    ORACLE["orders_zorder_key"] = f"""
+    SELECT o_orderkey, {zexpr} AS zkey
+    FROM (
+        SELECT o_orderkey, o_custkey AS ck,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE))::BIGINT AS day
+        FROM orders
+    ) ORDER BY o_orderkey
+    """
+
+
+_install_zorder_oracle()
