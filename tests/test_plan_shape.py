@@ -263,3 +263,53 @@ def test_customer_joins_are_shuffled_never_broadcast(spark, sf_dir):
             assert "customer.parquet" not in frag.split("ShuffledHashJoin")[0], (
                 f"{name}: customer scanned under a broadcast exchange"
             )
+
+
+def test_runtime_bloom_filter_join_pushdown(spark, sf_dir):
+    """Runtime row-level filtering: when a selective dim-side filter
+    feeds a shuffle join, Spark injects a Bloom filter built from the
+    creation side into the FACT side's scan filter (`might_contain`)
+    — rows that cannot join die before the shuffle. At 100 TB this is
+    the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction that can match. Pinned here
+    with test-scale thresholds; results must equal the
+    filter-disabled run."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        # the bloom probe must sit on the fact (lineitem) scan side
+        probe_line = next(ln for ln in plan.splitlines() if "might_contain" in ln)
+        assert "l_orderkey" in probe_line
+        # semantics unchanged vs the filter-disabled run
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        j2 = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
+        assert j2.collect()[0][0] == row[0]
+        assert "might_contain" not in (
+            j2._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -174,3 +174,62 @@ def glob_shards(out):
         for p in os.listdir(out)
         if p.startswith("shard-") and not p.endswith(".tmp")
     ]
+
+
+def test_tokenshard_streaming_runs_as_microbatches(spark, sf_dir, tmp_path):
+    """Streaming surface: the landing dir's committed RUNS become
+    micro-batches (manifest = commit line); an uncommitted run is
+    invisible; a restart from the checkpoint consumes only new runs."""
+    register_tokenshard_datasource(spark)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    df = _token_df(spark, sf_dir)
+    run1 = df.filter(F.col("seq_id") % 2 == 0)
+    run2 = df.filter(F.col("seq_id") % 2 == 1)
+    run1.write.format("tokenshard").mode("overwrite").save(
+        str(landing / "run-000")
+    )
+    # an in-flight (uncommitted) run: shards but no manifest yet
+    inflight = landing / "run-001"
+    inflight.mkdir()
+    (inflight / "shard-00000-000.bin").write_bytes(b"\x00\x00\x00\x00")
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+
+    def drain(out_dir):
+        q = (
+            spark.readStream.format("tokenshard")
+            .load(str(landing))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(out1)
+    got1 = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in spark.read.parquet(out1).collect()
+    }
+    want1 = {
+        r["seq_id"]: list(r["token_ids"]) for r in run1.collect()
+    }
+    assert got1 == want1  # run-000 only; in-flight run-001 invisible
+
+    # commit run-002; restart from the same checkpoint
+    run2.write.format("tokenshard").mode("overwrite").save(
+        str(landing / "run-002")
+    )
+    drain(out1)
+    got2 = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in spark.read.parquet(out1).collect()
+    }
+    want2 = dict(want1)
+    want2.update(
+        {r["seq_id"]: list(r["token_ids"]) for r in run2.collect()}
+    )
+    assert got2 == want2  # run-002 appended exactly once, no replays

@@ -70,6 +70,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -116,6 +117,13 @@ class TokenShardDataSource(DataSource):
 
     def reader(self, schema):
         return _TokenShardReader(self.options["path"])
+
+    def streamReader(self, schema):
+        # streaming surface: the path is a LANDING DIRECTORY whose
+        # children are committed tokenshard RUN directories (the batch
+        # reader's unit); each newly committed run becomes one
+        # micro-batch. See _TokenShardStreamReader.
+        return _TokenShardStreamReader(self.options["path"])
 
 
 class _TokenShardWriter(DataSourceWriter):
@@ -289,6 +297,77 @@ class _TokenShardReader(DataSourceReader):
             [pa.array(seq_ids, pa.int64()), list_arr],
             ["seq_id", "token_ids"],
         )
+
+
+class _TokenShardStreamReader(DataSourceStreamReader):
+    """Streaming read over a landing directory of tokenshard runs —
+    the trainer-side consumption pattern: the packing pipeline COMMITS
+    whole runs (manifest.json is the atomic finish line), the stream
+    picks each newly committed run up as one micro-batch of packed
+    sequences.
+
+    Contract: run directory names must be monotonically increasing in
+    lexicographic order (run-000123, 2026-08-14T12-00-00, …) — the
+    universal landing convention — because the offset is simply the
+    last consumed run name ({"last": name}). A run directory WITHOUT a
+    manifest is in-flight or aborted and is never read; since names
+    are monotonic and latestOffset only advances over a committed
+    prefix, a straggler commit below an already-consumed name is
+    surfaced as an error rather than silently skipped.
+
+    Scale: offsets are O(1) strings; each micro-batch plans one input
+    partition per shard (the same partition granularity as the batch
+    reader), so a run with thousands of shards fans out across the
+    cluster; nothing is read on the driver beyond manifests.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def _committed_runs(self) -> list[str]:
+        runs = []
+        for p in sorted(glob.glob(os.path.join(self.path, "*"))):
+            if os.path.isdir(p) and os.path.exists(
+                os.path.join(p, "manifest.json")
+            ):
+                runs.append(os.path.basename(p))
+        return runs
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        runs = self._committed_runs()
+        return {"last": runs[-1] if runs else ""}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_ShardPartition] = []
+        for run in self._committed_runs():
+            if start["last"] < run <= end["last"]:
+                run_dir = os.path.join(self.path, run)
+                with open(os.path.join(run_dir, "manifest.json")) as f:
+                    manifest = json.load(f)
+                for s in manifest["shards"]:
+                    parts.append(
+                        _ShardPartition(
+                            bin_path=os.path.join(
+                                run_dir, s["shard"] + ".bin"
+                            ),
+                            idx_path=os.path.join(
+                                run_dir, s["shard"] + ".idx"
+                            ),
+                        )
+                    )
+        return parts
+
+    def read(self, partition):
+        # identical shard decode as the batch reader
+        yield from _TokenShardReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        # source-side retention (deleting consumed runs) is the
+        # pipeline's policy, not the reader's — nothing to do
+        pass
 
 
 def register_tokenshard_datasource(spark) -> None:
