@@ -60,6 +60,8 @@ _NEW_R7: list[str] = [
     "embeddings_gram_matrix",
     # Morton clustering key (multi-dim data-skipping layout)
     "orders_zorder_key",
+    # BM25 (linear-idf) lexical retrieval top-k
+    "text_bm25_linear_topk",
 ]
 _ROTATION_R7 = [
     # last green r01
@@ -84,9 +86,9 @@ _ROTATION_R7 = [
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
     "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume", "tpch_q19_disjunctive",
-    "tpch_q20_part_promotion",
-    # (tpch_q21/q22 and the exact-dedup family — also last green r02
-    # — rotate in next round; their slots went to the r7-new queries)
+    # (tpch_q20/q21/q22 and the exact-dedup family — also last green
+    # r02 — rotate in next round; their slots went to the r7-new
+    # queries)
 ]
 # prior-round tier lists (all green in CORRECTNESS_r06; kept for
 # registry ordering beyond the checked prefix)

@@ -146,6 +146,7 @@ HEADLINE = [
     "docs_ngram_repetition",
     "events_markov_transition",
     "embeddings_gram_matrix",
+    "text_bm25_linear_topk",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

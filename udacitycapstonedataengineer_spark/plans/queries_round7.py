@@ -287,3 +287,130 @@ def _install_zorder_oracle() -> None:
 
 
 _install_zorder_oracle()
+
+
+@query(
+    "text_bm25_linear_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), toks_ne AS (SELECT * FROM toks WHERE term != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY 1),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_tokens
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks_ne
+        WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(s.total_tokens AS DOUBLE)
+                           / CAST(s.n_docs AS DOUBLE))))))
+                   AS s
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+    )
+    SELECT doc_id, bm25 FROM (
+        SELECT doc_id,
+               (COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0)
+                + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0))
+                + COALESCE(MAX(CASE WHEN term = 'stream' THEN s END), 0.0)
+                   AS bm25
+        FROM scored GROUP BY doc_id
+    )
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def _text_bm25_linear_topk(spark, t):
+    # BM25 retrieval top-k for the fixed query {join, vector, stream}
+    # — the lexical-ranking half of a retrieval stack (tf-idf top
+    # terms being the feature half). idf is the LINEAR surrogate
+    # (N-df+0.5)/(df+0.5) rather than its log: ln() is not
+    # bit-identical across math libraries (the repo rule from
+    # text_tfidf_top_terms), while +,×,÷ on doubles are correctly
+    # rounded everywhere — so with a FIXED summation order (explicit
+    # three-term pivot, never a nondeterministic float groupBy-sum)
+    # the scores hash-match DuckDB bit-for-bit. Plan: token explode
+    # persisted once for the dl and tf branches; df and the scalar
+    # (N, avgdl) stats are collapsed broadcasts; top-k is a global
+    # TakeOrdered with doc_id tie-break.
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .persist()
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = t["documents"].select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = dl.select(F.sum("dl").alias("total_tokens"))
+    stats = n_docs.crossJoin(total)
+    tf = (
+        toks.filter(F.col("term").isin("join", "vector", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    s = (
+        (
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * (
+            (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (
+                        F.col("dl").cast("double")
+                        / (
+                            F.col("total_tokens").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+
+    def term_s(name: str):
+        return F.coalesce(
+            F.max(F.when(F.col("term") == name, F.col("s"))), F.lit(0.0)
+        )
+
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (
+                (term_s("join") + term_s("vector")) + term_s("stream")
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
