@@ -117,3 +117,78 @@ def test_schema_drift_detects_changes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="internally inconsistent"):
         schema_drift(spark, str(mixed), a)
+
+
+def test_round7_operators_on_empty_inputs(spark):
+    """Round-7 surfaces degrade cleanly at zero rows: empty media →
+    empty roundtrip frame; empty embeddings → empty Gram; moments
+    raise (an eigensolve on nothing is a caller bug); z-key on empty
+    writes an empty-but-readable layout."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from udacitycapstonedataengineer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_roundtrip,
+    )
+    from udacitycapstonedataengineer_spark.operators.pca import (
+        embedding_moments,
+    )
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        gram_matrix_int8,
+    )
+
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    assert png_roundtrip(media).count() == 0
+
+    emb = spark.createDataFrame(
+        [], T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+    )
+    assert gram_matrix_int8(emb).count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        embedding_moments(emb)
+
+
+def test_compact_parquet_binpacks_and_swaps(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 tiny files → size-targeted few,
+    identical rows, crash residue cleaned, clear error on non-tables."""
+    import glob
+    import os
+
+    import pytest
+
+    from udacitycapstonedataengineer_spark.operators.compaction import (
+        compact_parquet,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    path = str(tmp_path / "orders_small")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+    want = orders.count()
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+    # plant residue from a "crashed" previous run — must be cleaned
+    os.makedirs(path + ".compact-tmp")
+
+    stats = compact_parquet(spark, path, target_bytes=total // 4 + 1)
+    assert stats["rows"] == want
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 8
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".pre-compact")
+    after = spark.read.parquet(path)
+    assert after.count() == want
+    assert sorted(after.columns) == sorted(orders.columns)
+
+    with pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(tmp_path / "nothing"))

@@ -649,3 +649,31 @@ def test_drawdown_matches_running_max_reference(spark, day_counts):
         peak = max(peak, n)
         want.append((n, peak, (peak - n) * 10000 // peak))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.sampled_from("abcdef"), min_size=1, max_size=6
+        ),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 4, 32]),
+)
+def test_batched_bpe_equals_sequential_reference(spark, corpus, batch_k):
+    """The batched trainer's stop-at-first-interaction rule must
+    reproduce the SEQUENTIAL merge sequence exactly on arbitrary
+    corpora — including interacting-pair and tie-heavy shapes
+    hypothesis likes to generate."""
+    from tests.test_bpe import _reference_bpe
+    from udacitycapstonedataengineer_spark.operators.bpe import (
+        train_bpe_batched,
+    )
+
+    df = spark.createDataFrame(list(corpus.items()), "w string, f long")
+    want = _reference_bpe(corpus, n_merges=8)
+    got = train_bpe_batched(df, n_merges=8, batch_k=batch_k)
+    assert got == want
