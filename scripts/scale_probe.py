@@ -122,6 +122,8 @@ PROBE_QUERIES = [
     "docs_ngram_repetition",
     "events_markov_transition",
     "embeddings_gram_matrix",
+    "orders_zorder_key",
+    "text_bm25_linear_topk",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
