@@ -62,6 +62,8 @@ _NEW_R7: list[str] = [
     "orders_zorder_key",
     # BM25 (linear-idf) lexical retrieval top-k
     "text_bm25_linear_topk",
+    # degree-oriented triangle census of the co-purchase graph
+    "parts_copurchase_triangles",
 ]
 _ROTATION_R7 = [
     # last green r01
@@ -85,7 +87,7 @@ _ROTATION_R7 = [
     "tpch_q11_important_stock", "tpch_q12_priority_classes",
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
     "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume", "tpch_q19_disjunctive",
+    "tpch_q18_large_volume",
     # (tpch_q20/q21/q22 and the exact-dedup family — also last green
     # r02 — rotate in next round; their slots went to the r7-new
     # queries)

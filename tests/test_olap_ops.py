@@ -401,3 +401,44 @@ def test_twophase_components_vs_hashmin_and_roundcount(spark):
                 tp_stats,
                 hm_stats,
             )
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree-oriented triangle counting == brute-force enumeration on
+    fixtures with hubs, cliques, and triangle-free shapes."""
+    import itertools
+    import random
+
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(5)
+    fixtures = {
+        "k5_clique": [(i, j) for i in range(5) for j in range(i)],
+        "star_hub": [(0, i) for i in range(1, 20)],  # 0 triangles
+        "two_tri_shared_edge": [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)],
+        "random": list(
+            {
+                (min(x, y), max(x, y))
+                for x, y in (
+                    (rng.randrange(15), rng.randrange(15)) for _ in range(40)
+                )
+                if x != y
+            }
+        ),
+        "with_dupes_and_selfloops": [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)],
+    }
+    for name, es in fixtures.items():
+        df = spark.createDataFrame(es, "doc_a long, doc_b long")
+        [row] = triangle_count(df).collect()
+        canon = {(min(a, b), max(a, b)) for a, b in es if a != b}
+        nodes = {n for e in canon for n in e}
+        brute = sum(
+            1
+            for x, y, z in itertools.combinations(sorted(nodes), 3)
+            if (x, y) in canon and (y, z) in canon and (x, z) in canon
+        )
+        assert row["n_triangles"] == brute, name
+        assert row["n_edges"] == len(canon), name
+        assert row["n_nodes"] == len(nodes), name

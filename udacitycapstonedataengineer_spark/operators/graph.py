@@ -225,3 +225,67 @@ def dedup_transitive(
     return docs.join(
         in_graph.exceptAll(keepers), id_col, "left_anti"
     )
+
+
+def triangle_count(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles) over an undirected
+    edge set — the graph-density kernel behind clustering coefficients
+    and community screens.
+
+    Scale shape (the node-iterator++ orientation trick): orient every
+    edge from its (degree, id)-SMALLER endpoint to the larger one.
+    The result is a DAG in which every vertex's out-degree is O(√E),
+    so the wedge self-join (pairs of out-neighbors) generates
+    O(E^1.5) candidates worst-case — the known optimum — instead of
+    the Σ deg² blow-up a naive neighbor join suffers on hub nodes.
+    Each wedge (v, w) then probes the canonical edge set once; every
+    triangle is counted exactly once (its two lowest-ranked corners
+    form the wedge). Three equi-join shuffles, no driver graph.
+    """
+    canon = (
+        edges.select(
+            F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dl = deg.select(
+        F.col("node").alias("lo"), F.col("deg").alias("deg_lo")
+    )
+    dh = deg.select(
+        F.col("node").alias("hi"), F.col("deg").alias("deg_hi")
+    )
+    ranked = canon.join(dl, "lo").join(dh, "hi")
+    # orient src -> dst by (deg, id) rank
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"))
+    wedges = (
+        o1.join(o2, "src")
+        .where(F.col("v") < F.col("w"))
+        .select(
+            F.col("v").alias("lo"), F.col("w").alias("hi")
+        )
+    )
+    tri = wedges.join(canon, ["lo", "hi"], "inner")
+    counts = canon.agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ).crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    return counts.select("n_nodes", "n_edges", "n_triangles")

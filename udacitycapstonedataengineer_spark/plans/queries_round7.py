@@ -414,3 +414,57 @@ def _text_bm25_linear_topk(spark, t):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "parts_copurchase_triangles",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT (SELECT count(*) FROM (SELECT lo AS n FROM edges
+                                  UNION SELECT hi FROM edges)) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM edges e1
+              JOIN edges e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+              JOIN edges e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+               AS n_triangles
+    """,
+)
+def _parts_copurchase_triangles(spark, t):
+    # triangle census of the part co-purchase graph (edge = parts
+    # ordered together in >=2 orders) — the graph-density kernel
+    # behind clustering coefficients and substitute/complement
+    # screens. Spark runs the degree-ORIENTED algorithm
+    # (operators/graph.py::triangle_count: out-degree O(sqrt(E)) per
+    # node, so wedge generation is O(E^1.5) worst case instead of a
+    # hub-node sum-of-degrees-squared blowup); the oracle counts the
+    # same triangles with DuckDB's canonical three-way join. Same
+    # count, different join order — the algorithmic claim is exactly
+    # what the hash compare verifies.
+    items = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct().persist()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(edges)
