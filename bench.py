@@ -147,6 +147,7 @@ HEADLINE = [
     "events_markov_transition",
     "embeddings_gram_matrix",
     "text_bm25_linear_topk",
+    "parts_copurchase_triangles",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -124,6 +124,7 @@ PROBE_QUERIES = [
     "embeddings_gram_matrix",
     "orders_zorder_key",
     "text_bm25_linear_topk",
+    "parts_copurchase_triangles",
 ]
 
 # per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
