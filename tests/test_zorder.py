@@ -145,3 +145,53 @@ def test_zordered_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
         .collect()
     )
     assert zq == lq
+
+
+def test_rank_normalized_key_balances_skew(spark):
+    """On a heavy-tailed column, linear min/max normalization dumps
+    most rows into a few buckets (an outlier stretches the scale);
+    quantile bucketing equalizes bucket mass — the property that keeps
+    z-curve tiles data-proportional on skewed dimensions."""
+    from collections import Counter
+
+    from udacitycapstonedataengineer_spark.operators.zorder import (
+        normalized_zorder_key,
+        rank_normalized_zorder_key,
+    )
+
+    # lognormal-ish skew: many small values, a fat tail
+    df = (
+        spark.range(20_000)
+        .selectExpr(
+            "id",
+            "CAST(pow(2, pmod(xxhash64(id), 1000) / 70.0) AS LONG) AS x",
+            "pmod(xxhash64(id, 7), 1000) AS y",
+        )
+        .persist()
+    )
+    bits = 4  # 16 buckets/dim -> occupancy is easy to read
+    lin = df.select(normalized_zorder_key(df, ["x", "y"], bits).alias("k"))
+    rnk = df.select(
+        rank_normalized_zorder_key(df, ["x", "y"], bits).alias("k")
+    )
+
+    def x_bucket_shares(keyed):
+        # de-interleave the x lane (even bit positions) from the key
+        cnt = Counter()
+        for r in keyed.collect():
+            k, xb = r["k"], 0
+            for b in range(bits):
+                xb |= ((k >> (2 * b)) & 1) << b
+            cnt[xb] += 1
+        total = sum(cnt.values())
+        return max(cnt.values()) / total, len(cnt)
+
+    lin_max_share, lin_used = x_bucket_shares(lin)
+    rnk_max_share, rnk_used = x_bucket_shares(rnk)
+    # linear: the fat tail stretches the scale; most rows pile into
+    # few buckets. rank: every bucket holds ~1/16 of the rows.
+    assert lin_max_share > 0.3, lin_max_share
+    assert rnk_max_share < 0.15, rnk_max_share
+    # ~all buckets carry mass (discrete values can merge a boundary)
+    assert rnk_used >= 14, rnk_used
+    df.unpersist()

@@ -98,6 +98,44 @@ def normalized_zorder_key(
     return zorder_key(scaled, bits)
 
 
+def rank_normalized_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float = 0.01,
+) -> Column:
+    """Morton key over QUANTILE-normalized columns — the variant for
+    skewed dimensions. Linear min/max normalization collapses a
+    heavy-tailed column into a few buckets (one outlier stretches the
+    scale and most rows land in bucket 0 — useless stats); quantile
+    bucketing gives every bucket ~equal row mass, so the z-curve tiles
+    carry ~equal data and pruning stays proportional to box
+    selectivity regardless of distribution.
+
+    Boundaries come from one ``approxQuantile`` pass per column
+    (driver-side list of 2^bits − 1 doubles); the per-row bucket index
+    is a native ``aggregate`` fold over the boundary array literal —
+    O(2^bits) comparisons per row inside codegen, no UDF. Keep
+    ``bits`` ≤ 8 (256 buckets ≈ the stats granularity a file layout
+    can actually express).
+    """
+    n_buckets = 1 << bits
+    scaled = []
+    for c in cols:
+        bs = df.stat.approxQuantile(
+            c, [i / n_buckets for i in range(1, n_buckets)], relative_error
+        )
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        idx = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.col(c).cast("double") >= x, 1).otherwise(0),
+        )
+        scaled.append(idx.cast("long"))
+    return zorder_key(scaled, bits)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
