@@ -142,9 +142,13 @@ def write_zordered(
     cols: Sequence[str],
     n_files: int = 8,
     bits: int = 8,
+    normalize: str = "linear",
 ) -> None:
-    """Write ``df`` as parquet clustered in Morton order on ``cols``
-    (normalized key — see :func:`normalized_zorder_key`).
+    """Write ``df`` as parquet clustered in Morton order on ``cols``.
+
+    ``normalize``: ``"linear"`` (min/max — see
+    :func:`normalized_zorder_key`) or ``"rank"`` (quantile buckets —
+    :func:`rank_normalized_zorder_key`, for heavy-tailed dimensions).
 
     Range-repartition on the key gives each FILE a contiguous z-range;
     the within-partition sort gives each ROW GROUP one too — both
@@ -153,9 +157,13 @@ def write_zordered(
     so incremental writers can range-align new files to the existing
     layout without recomputing global quantiles.
     """
-    keyed = df.withColumn(
-        "__zkey", normalized_zorder_key(df, list(cols), bits)
-    )
+    if normalize == "linear":
+        key = normalized_zorder_key(df, list(cols), bits)
+    elif normalize == "rank":
+        key = rank_normalized_zorder_key(df, list(cols), bits)
+    else:
+        raise ValueError(f"normalize must be linear|rank, got {normalize}")
+    keyed = df.withColumn("__zkey", key)
     (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
