@@ -60,3 +60,21 @@ def test_ivfpq_index_integrity_and_retrieval(spark, sf_dir):
     for r in top:
         assert cells[r["vec_id"]] in probed
     idx.unpersist()
+
+
+def test_ivfpq_registered_query_recall_contract(spark, sf_dir):
+    """The oracled ``ann_topk_ivfpq`` query (VERDICT r7 #3) carries an
+    explicit recall-vs-exact-L2 contract column: recall@10 of the
+    nprobe=2 ADC top-10 against the exact top-10 must clear the same
+    floor the operator tests pin (>=0.3), and the query vector itself
+    (a database vector at distance 0) must surface ranked in the exact
+    set."""
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ann_topk_ivfpq"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    recall = sum(1 for r in rows if r["in_exact_topk"]) / len(rows)
+    assert recall >= 0.3, [r.asDict() for r in rows]
+    self_hit = [r for r in rows if r["vec_id"] == 7]
+    assert self_hit and self_hit[0]["in_exact_topk"]

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.operators.retrieval import (
+    build_bm25_index,
+    bm25_search_topk,
     build_term_postings,
     keyword_search_topk,
 )
@@ -54,3 +56,48 @@ def test_scan_query_prefilters_before_explode(spark, sf_dir):
     # the conjunctive Contains predicates ride the file scan's
     # DataFilters — below the explode, evaluated during the scan stage
     assert plan.count("Contains(lower(text") >= len(TERMS), plan[:2000]
+
+
+BM25_TERMS = ["join", "vector", "stream"]  # the registered query's terms
+
+
+def test_bm25_index_equals_scan_query(spark, sf_dir, tmp_path):
+    """BM25 served from the persisted standing index is bit-identical
+    (collected rows, float scores included) to the registered
+    scan-shaped oracle twin ``text_bm25_linear_topk`` — VERDICT r7 #4:
+    same ranking function, O(postings-of-terms) instead of O(corpus)
+    per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    idx = str(tmp_path / "bm25_postings")
+    st = str(tmp_path / "bm25_stats")
+    postings.write.mode("overwrite").parquet(idx)
+    stats.write.mode("overwrite").parquet(st)
+
+    via_index = bm25_search_topk(
+        spark.read.parquet(idx), spark.read.parquet(st), BM25_TERMS, k=15
+    ).collect()
+    via_scan = QUERIES["text_bm25_linear_topk"](spark, sf_dir).collect()
+    assert [r.asDict() for r in via_index] == [r.asDict() for r in via_scan]
+    assert via_index, "bm25 search unexpectedly empty at this sf"
+
+
+def test_bm25_term_filter_pushed(spark, sf_dir, tmp_path):
+    """Serving reads ONLY the postings parquet (never the corpus) and
+    the term predicate reaches the scan as a pushed filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    idx = str(tmp_path / "bm25_postings3")
+    st = str(tmp_path / "bm25_stats3")
+    postings.write.mode("overwrite").parquet(idx)
+    stats.write.mode("overwrite").parquet(st)
+    plan = (
+        bm25_search_topk(
+            spark.read.parquet(idx), spark.read.parquet(st), BM25_TERMS
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan, plan[:2000]
+    assert "documents" not in plan  # zero corpus touch at query time

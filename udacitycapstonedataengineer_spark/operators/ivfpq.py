@@ -129,9 +129,14 @@ def ivfpq_topk(
     tie-break."""
     q = np.asarray(query, dtype=np.float64)
     cents = {r["cid"]: np.asarray(r["c"]) for r in coarse_centroids.collect()}
-    probed = sorted(
-        cents, key=lambda cid: (((q - cents[cid]) ** 2).sum(), cid)
-    )[:nprobe]
+
+    def _d2(c):  # sequential fold — bit-identical to the SQL twin's
+        acc = 0.0  # list_inner_product (see ivfpq_oracle_sql)
+        for a, b in zip(q, c):
+            acc += (float(a) - float(b)) * (float(a) - float(b))
+        return acc
+
+    probed = sorted(cents, key=lambda cid: (_d2(cents[cid]), cid))[:nprobe]
     per_cell = []
     for cell in probed:
         resid = [float(x) for x in (q - cents[cell])]
@@ -145,3 +150,170 @@ def ivfpq_topk(
     for df in per_cell[1:]:
         out = out.unionByName(df)
     return out.orderBy("adc_dist2", "vec_id").limit(topk)
+
+
+def ivfpq_oracle_sql(
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 10,
+    query_vec_id: int = 7,
+    exact_k: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the WHOLE IVF-PQ pipeline, generated (the
+    kmeans_oracle_sql pattern): coarse k-means unrolled per iteration,
+    residual subtraction, grouped per-subspace PQ training, encoding,
+    nprobe cell selection, per-cell ADC, and the exact-L2 recall
+    contract column — every float op in the same sequence the Spark
+    side executes (list_inner_product ≡ the sequential zip_with fold;
+    TRUNC for Spark's truncating double→long cast — DuckDB's bare
+    CAST rounds; list_reduce over sub-ordered LUT entries ≡ the
+    sequential aggregate() fold, exact because IEEE 0.0+x == x)."""
+    from .clustering import SCALE
+
+    dsub = dim // m
+
+    def dist(v: str, c: str, n: int) -> str:
+        diff = (
+            f"list_transform(generate_series(1, {n}), i -> {v}[i] - {c}[i])"
+        )
+        return f"list_inner_product({diff}, {diff})"
+
+    def quant(col: str) -> str:
+        return (
+            f"list_transform({col}, x -> "
+            f"CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE})"
+        )
+
+    subs = f"(SELECT unnest(generate_series(0, {m - 1})) AS sub)"
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})",
+        f"""cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS cid, {quant('v')} AS c
+             FROM (SELECT * FROM e ORDER BY vec_id LIMIT {nlist}))""",
+    ]
+    prev = "cc0"
+    for it in range(1, iters):
+        parts.append(
+            f"""ca{it} AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {dist('e.v', 'c.c', dim)}, c.cid) AS rn
+                FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        # truncating update: Spark's (sum/n).cast(long) — TRUNC, not CAST
+        parts.append(
+            f"""ccn{it} AS (SELECT cid,
+                   list(CAST(TRUNC(CAST(s AS DOUBLE) / n) AS BIGINT)
+                        / {SCALE} ORDER BY d) AS c
+             FROM (SELECT a.cid, ds.d,
+                          SUM(CAST(FLOOR(e.v[ds.d] * {SCALE}) AS BIGINT)) AS s,
+                          count(*) AS n
+                   FROM e JOIN ca{it} a USING (vec_id)
+                   CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) ds
+                   GROUP BY a.cid, ds.d)
+             GROUP BY cid)"""
+        )
+        parts.append(
+            f"""cc{it} AS (SELECT * FROM ccn{it} UNION ALL
+                SELECT p.cid, p.c FROM {prev} p
+                ANTI JOIN ccn{it} n ON p.cid = n.cid)"""
+        )
+        prev = f"cc{it}"
+    parts += [
+        f"""cells AS (SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {dist('e.v', 'c.c', dim)}, c.cid) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1)""",
+        f"""r AS (SELECT e.vec_id, cells.cell,
+                 list_transform(generate_series(1, {dim}),
+                                i -> e.v[i] - c.c[i]) AS rv
+           FROM e JOIN cells USING (vec_id)
+           JOIN {prev} c ON c.cid = cells.cell)""",
+        f"""sv AS (SELECT vec_id, su.sub,
+                  list_slice(rv, su.sub * {dsub} + 1,
+                             su.sub * {dsub} + {dsub}) AS v
+           FROM r CROSS JOIN {subs} su)""",
+        f"""pq0 AS (SELECT sub,
+                   CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id)
+                        - 1 AS INT) AS cid, {quant('v')} AS c
+            FROM sv WHERE vec_id IN
+                 (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    pprev = "pq0"
+    for it in range(1, iters):
+        parts.append(
+            f"""pa{it} AS (SELECT vec_id, sub, cid FROM (
+                SELECT sv.vec_id, sv.sub, c.cid,
+                       row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                           ORDER BY {dist('sv.v', 'c.c', dsub)}, c.cid) AS rn
+                FROM sv JOIN {pprev} c USING (sub)) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""pqn{it} AS (SELECT sub, cid,
+                   list(CAST(TRUNC(CAST(s AS DOUBLE) / n) AS BIGINT)
+                        / {SCALE} ORDER BY d) AS c
+             FROM (SELECT a.sub, a.cid, ds.d,
+                          SUM(CAST(FLOOR(sv.v[ds.d] * {SCALE}) AS BIGINT)) AS s,
+                          count(*) AS n
+                   FROM sv JOIN pa{it} a USING (vec_id, sub)
+                   CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS d) ds
+                   GROUP BY a.sub, a.cid, ds.d)
+             GROUP BY sub, cid)"""
+        )
+        parts.append(
+            f"""pq{it} AS (SELECT * FROM pqn{it} UNION ALL
+                SELECT p.sub, p.cid, p.c FROM {pprev} p
+                ANTI JOIN pqn{it} n ON p.sub = n.sub AND p.cid = n.cid)"""
+        )
+        pprev = f"pq{it}"
+    parts += [
+        f"""enc AS (SELECT vec_id, sub, cid FROM (
+            SELECT sv.vec_id, sv.sub, c.cid,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                       ORDER BY {dist('sv.v', 'c.c', dsub)}, c.cid) AS rn
+            FROM sv JOIN {pprev} c USING (sub)) WHERE rn = 1)""",
+        f"""probes AS (SELECT cid AS cell, c FROM (
+            SELECT c.cid, c.c,
+                   row_number() OVER (
+                       ORDER BY {dist('q.qv', 'c.c', dim)}, c.cid) AS rn
+            FROM {prev} c CROSS JOIN q) WHERE rn <= {nprobe})""",
+        f"""qr AS (SELECT p.cell, su.sub,
+                  list_slice(list_transform(generate_series(1, {dim}),
+                                            i -> q.qv[i] - p.c[i]),
+                             su.sub * {dsub} + 1,
+                             su.sub * {dsub} + {dsub}) AS qs
+           FROM probes p CROSS JOIN {subs} su CROSS JOIN q)""",
+        f"""lut AS (SELECT qr.cell, qr.sub, c.cid,
+                   {dist('qr.qs', 'c.c', dsub)} AS d2
+            FROM qr JOIN {pprev} c ON c.sub = qr.sub)""",
+        """adc AS (SELECT vec_id,
+                  list_reduce(list(d2 ORDER BY sub),
+                              (acc, x) -> acc + x) AS adc_dist2
+           FROM (SELECT cells.vec_id, enc.sub, lut.d2
+                 FROM cells
+                 JOIN enc ON enc.vec_id = cells.vec_id
+                 JOIN lut ON lut.cell = cells.cell
+                         AND lut.sub = enc.sub AND lut.cid = enc.cid)
+           GROUP BY vec_id)""",
+        f"""exact AS (SELECT e.vec_id FROM (
+            SELECT e.vec_id,
+                   row_number() OVER (
+                       ORDER BY {dist('e.v', 'q.qv', dim)}, e.vec_id) AS rn
+            FROM e CROSS JOIN q) e WHERE rn <= {exact_k})""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT vec_id, adc_dist2, rank, in_exact_topk FROM (
+            SELECT vec_id, adc_dist2,
+                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank,
+                   vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+            FROM adc) WHERE rank <= {topk}
+        ORDER BY rank"""
+    )

@@ -165,9 +165,16 @@ def pq_adc_topk(
     lut = np.full((m, k), np.inf)
     for r in cb:
         qs = q[r["sub"] * dsub : (r["sub"] + 1) * dsub]
-        lut[r["sub"], r["cid"]] = float(
-            ((qs - np.asarray(r["c"])) ** 2).sum()
-        )
+        # SEQUENTIAL fold (Python doubles), not numpy .sum(): numpy's
+        # pairwise summation tree differs in the last ulp, and these
+        # LUT entries must be bit-identical to the sequential
+        # zip_with/list_inner_product fold the DuckDB oracle twin
+        # replays (ivfpq_oracle_sql) — the same cross-engine float
+        # discipline as operators/clustering.py.
+        d2 = 0.0
+        for a, b in zip(qs, r["c"]):
+            d2 += (float(a) - float(b)) * (float(a) - float(b))
+        lut[r["sub"], r["cid"]] = d2
     flat = F.array(*[F.lit(float(x)) for x in lut.reshape(-1)])
     # element_at is 1-based in Spark SQL: sub s's code is
     # element_at(codes, s+1); its LUT slot is s*k + code (0-based)

@@ -20,6 +20,28 @@ Semantics match the registered query exactly: whitespace tokens of
 ``lower(text)``, conjunctive AND over the query terms, ranked by
 total term frequency with doc_id tie-break —
 ``test_retrieval.py`` pins index-vs-scan equality.
+
+Round 8 extends the same pattern to BM25 ranking (VERDICT r7 #4):
+
+- ``build_bm25_index`` — one corpus tokenize → a (term, doc_id, tf,
+  dl) postings table with the document length DENORMALIZED onto every
+  posting row (the classic "store the norm in the posting" layout —
+  serving never joins back to a doc-length table), plus a 1-row
+  corpus-stats table (n_docs, total_tokens). Built once, persisted.
+- ``bm25_search_topk`` — serves a disjunctive BM25 top-k purely from
+  the postings: term ``isin`` filter (pushed to the postings scan),
+  per-term document frequency computed FROM the filtered postings
+  (df(term) = number of postings rows for that term — exact, no
+  corpus touch), broadcast df + stats, per-posting score, and a fixed
+  left-fold summation over the query terms so float totals are
+  bit-identical to the scan-shaped oracle twin
+  (``text_bm25_linear_topk``). O(postings-of-terms) per query.
+
+BM25 scoring matches ``plans/queries_round7.py`` bit-for-bit: linear
+idf surrogate (N-df+0.5)/(df+0.5) (ln() is not cross-engine
+bit-stable; +,×,÷ are), k1=1.2, b=0.75, and a FIXED term summation
+order — ``test_retrieval.py::test_bm25_index_equals_scan_query`` pins
+index-vs-scan equality on collected rows.
 """
 
 from __future__ import annotations
@@ -78,4 +100,112 @@ def keyword_search_topk(
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "total_tf", "rank")
         .orderBy("rank")
+    )
+
+
+def build_bm25_index(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) for standing BM25 serving.
+
+    postings: (term, doc_id, tf, dl) — one row per distinct term per
+    document, with the document token count denormalized on, so
+    serving is a single postings scan with zero joins back to the
+    corpus or a length table. One explode + one (doc, term) shuffle +
+    one doc-grain join, paid ONCE at build time.
+
+    stats: one row (n_docs, total_tokens) — n_docs counts ALL corpus
+    documents (including empty ones, matching the oracle's
+    ``count(*) FROM documents``); total_tokens sums dl as BIGINT.
+    Both are DataFrames — nothing is collected here.
+
+    Persist postings with ``partitionBy``/sort on ``term`` so the
+    per-query ``isin`` filter prunes at the scan
+    (``test_bm25_term_filter_pushed``).
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    stats = documents.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.select(F.sum("dl").alias("total_tokens"))
+    )
+    return postings, stats
+
+
+def _bm25_posting_score():
+    """Per-posting BM25 score expression over columns
+    (tf, dl, df, n_docs, total_tokens) — operation-for-operation the
+    expression in ``plans/queries_round7.py`` (linear idf, k1=1.2,
+    b=0.75) so doubles are bit-identical between the indexed path,
+    the scan path, and the DuckDB oracle."""
+    return (
+        (
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * (
+            (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (
+                        F.col("dl").cast("double")
+                        / (
+                            F.col("total_tokens").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+            )
+        )
+    )
+
+
+def bm25_search_topk(
+    postings: DataFrame, stats: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """(doc_id, bm25): disjunctive BM25 top-k served from the standing
+    index — the corpus is NEVER touched.
+
+    - ``isin(terms)`` is a plain column predicate → parquet
+      PushedFilters / row-group skipping on a persisted postings table;
+    - df(term) falls out of the filtered postings (one row per
+      (term, doc) with tf>0 by construction), so it is exact and costs
+      |terms| tiny groups;
+    - df + corpus stats are broadcast — the only shuffle is the
+      doc-grain aggregate over the matched postings;
+    - the per-doc total is a FIXED left-fold over ``terms`` (never a
+      float groupBy-sum whose order the shuffle picks), so scores are
+      bit-identical to the scan twin;
+    - top-k is orderBy+limit → TakeOrderedAndProject, per-partition
+      heaps, never a global sort.
+    """
+    matched = postings.filter(F.col("term").isin(list(terms)))
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")  # one posting row per (term, doc)
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", _bm25_posting_score().alias("s"))
+    )
+
+    def term_s(name: str):
+        return F.coalesce(
+            F.max(F.when(F.col("term") == name, F.col("s"))), F.lit(0.0)
+        )
+
+    total = term_s(terms[0])
+    for name in terms[1:]:
+        total = total + term_s(name)
+    return (
+        scored.groupBy("doc_id")
+        .agg(total.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
     )
