@@ -105,6 +105,61 @@ def test_pack_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert back.count() == metrics["chunks"]
 
 
+def test_pack_bpe_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The REAL tokenizer last mile (VERDICT r7 #5): corpus chain →
+    train_bpe_batched → bpe_encode → packed symbol-id shards, totals
+    reconciled manifest-vs-encoder, and decode-ability proven by
+    inverting a packed sequence back through the vocab + expand() to
+    the exact normalized chunk text."""
+    from udacitycapstonedataengineer_spark.operators.bpe import expand
+    from udacitycapstonedataengineer_spark.plans.corpus import (
+        pack_bpe_corpus_to_shards,
+        prepare_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "bpe_shards")
+    metrics, merges, vocab = pack_bpe_corpus_to_shards(
+        spark, docs, out, n_merges=24, batch_k=8, shards=2
+    )
+    assert metrics["n_merges"] == 24
+    assert metrics["packed_seqs"] == metrics["chunks"] > 0
+    # manifest totals == encoder totals (the function raises otherwise,
+    # but pin the invariant here too so a silent relaxation fails)
+    assert metrics["packed_tokens"] == metrics["encoded_tokens"] > 0
+    # BPE compresses: fewer symbols than characters overall
+    chunks, _ = prepare_corpus(docs)
+    n_chars = chunks.select(
+        F.sum(F.length(F.lower(F.trim("chunk"))))
+    ).collect()[0][0]
+    assert metrics["packed_tokens"] < n_chars
+
+    back = spark.read.format("tokenshard").load(out)
+    assert back.count() == metrics["packed_seqs"]
+    # every packed id is a valid vocab id
+    lo, hi = back.select(
+        F.min(F.array_min("token_ids")), F.max(F.array_max("token_ids"))
+    ).collect()[0]
+    assert lo >= 0 and hi < len(vocab)
+
+    # decode spot-check: invert ids → symbols → expand(merges) → text
+    id2sym = {i: s for s, i in vocab.items()}
+    lookup = expand(merges)
+    row = back.orderBy("seq_id").head()
+    decoded = "".join(
+        lookup.get(id2sym[i], id2sym[i]) for i in row["token_ids"]
+    )
+    doc_id, chunk_id = row["seq_id"] >> 24, row["seq_id"] & 0xFFFFFF
+    want = (
+        chunks.filter(
+            (F.col("doc_id") == doc_id) & (F.col("chunk_id") == chunk_id)
+        )
+        .select(F.lower(F.trim("chunk")))
+        .collect()[0][0]
+    )
+    assert decoded == want
+
+
 def test_tokenshard_rollover_splits_at_budget(spark, sf_dir, tmp_path):
     """maxTokensPerShard rolls a partition over to new shard pairs
     before the budget is exceeded; totals still reconcile and every
@@ -174,6 +229,74 @@ def glob_shards(out):
         for p in os.listdir(out)
         if p.startswith("shard-") and not p.endswith(".tmp")
     ]
+
+
+def test_tokenshard_mid_commit_crash_then_restart(spark, sf_dir, tmp_path):
+    """Crash BETWEEN shard write and manifest commit, then restart
+    (VERDICT r7 #7). Simulates the worst interleaving a die-mid-commit
+    leaves behind: task temp files (.tmp, never renamed), plus a shard
+    pair renamed into place whose manifest publish never happened —
+    while the PREVIOUS manifest still points at the old write. The
+    restart (re-running the overwrite) must (a) never double-append —
+    read-back equals exactly the restart's input, (b) count no orphan
+    into the manifest — every shard file on disk is in the manifest
+    and totals reconcile, (c) leave no temp residue. Until the restart
+    commits, readers still see the OLD manifest's data intact —
+    exactly the crash-replay contract the foreachBatch upsert sink
+    pins on the streaming side (test_streaming.py)."""
+    register_tokenshard_datasource(spark)
+    out = str(tmp_path / "shards_crash")
+    df = _token_df(spark, sf_dir)
+    run1 = df.filter(F.col("seq_id") % 2 == 0)
+    run1.repartition(2, "seq_id").write.format("tokenshard").mode(
+        "overwrite"
+    ).save(out)
+    before = spark.read.format("tokenshard").load(out).count()
+    assert before == run1.count()
+
+    # crash residue of a doomed second write, died inside commit():
+    # some winning-attempt temps never renamed ...
+    open(os.path.join(out, "shard-00099-000.bin.777.tmp"), "wb").write(
+        b"\x01\x00\x00\x00"
+    )
+    open(os.path.join(out, "shard-00099-000.idx.777.tmp"), "wb").write(
+        b"\x00" * 16
+    )
+    # ... and one pair renamed into place before the manifest publish
+    open(os.path.join(out, "shard-00098-000.bin"), "wb").write(
+        b"\x02\x00\x00\x00"
+    )
+    open(os.path.join(out, "shard-00098-000.idx"), "wb").write(b"\x00" * 16)
+
+    # pre-restart: the OLD manifest is still authoritative — readers
+    # are untouched by the crash residue (orphans are not listed)
+    assert spark.read.format("tokenshard").load(out).count() == before
+
+    # restart: re-run the (deterministic) write
+    run2 = df.filter(F.col("seq_id") % 2 == 1)
+    run2.repartition(2, "seq_id").write.format("tokenshard").mode(
+        "overwrite"
+    ).save(out)
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    # (b) manifest == disk, totals reconcile, orphans gone
+    names = {s["shard"] for s in manifest["shards"]}
+    assert "shard-00098-000" not in names
+    assert {p.rsplit(".", 1)[0] for p in glob_shards(out)} == names
+    assert not [p for p in os.listdir(out) if p.endswith(".tmp")]
+    assert manifest["n_seqs"] == run2.count()
+    assert (
+        manifest["n_tokens"]
+        == run2.select(F.sum(F.size("token_ids"))).collect()[0][0]
+    )
+    # (a) no double-append: exactly run2's sequences, byte-equal
+    back = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in spark.read.format("tokenshard").load(out).collect()
+    }
+    want = {r["seq_id"]: list(r["token_ids"]) for r in run2.collect()}
+    assert back == want
 
 
 def test_tokenshard_streaming_runs_as_microbatches(spark, sf_dir, tmp_path):

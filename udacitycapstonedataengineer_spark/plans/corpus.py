@@ -114,3 +114,104 @@ def pack_corpus_to_shards(
     metrics["packed_seqs"] = manifest["n_seqs"]
     metrics["packed_tokens"] = manifest["n_tokens"]
     return metrics
+
+
+def pack_bpe_corpus_to_shards(
+    spark,
+    documents: DataFrame,
+    out_dir: str,
+    n_merges: int = 64,
+    batch_k: int = 16,
+    shards: int = 4,
+    **prepare_kwargs,
+) -> tuple[dict[str, int], list[tuple[str, str, str]], dict[str, int]]:
+    """The REAL tokenizer last mile (VERDICT r7 #5): prepare_corpus →
+    ``train_bpe_batched`` on the prepared corpus's word frequencies →
+    ``bpe_encode`` every chunk → symbol-id shards on disk. Every piece
+    is individually proven elsewhere; this is their composition — the
+    actual corpus-to-training-shards product.
+
+    Returns (metrics, merges, vocab): metrics carries the per-stage
+    row counts plus ``encoded_tokens`` (the encoder's summed
+    ``n_tokens``) and the sink manifest's ``packed_tokens`` — the two
+    MUST reconcile, and this function raises if they don't, so a
+    packing bug can never ship shards silently. ``vocab`` maps each
+    symbol (base character or learned PUA marker) to its token id:
+    base characters sorted, then markers in merge order — fully
+    deterministic, so re-tokenizing converges byte-identically.
+
+    Scale shape: training touches only the vocabulary-grain word table
+    (corpus scan happens once inside ``word_frequencies``); encode is
+    one nested native replace-chain projection (no Python row path);
+    the vocab id map is a broadcast-sized literal (a tokenizer vocab
+    is small BY DEFINITION — 50k entries, the k-means-centroid
+    pattern); shards stream one partition each.
+    """
+    from ..operators.bpe import (
+        bpe_encode,
+        train_bpe_batched,
+        word_frequencies,
+    )
+    from ..sources.tokenshard import register_tokenshard_datasource
+
+    register_tokenshard_datasource(spark)
+    chunks, metrics = prepare_corpus(documents, **prepare_kwargs)
+    # normalized exactly as word_frequencies normalizes (lower+trim):
+    # the merges were learned on that surface, the encoder must see it
+    norm = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.lower(F.trim("chunk")).alias("w"),
+    ).cache()
+    merges = train_bpe_batched(
+        word_frequencies(norm, col="w"), n_merges=n_merges, batch_k=batch_k
+    )
+    metrics["n_merges"] = len(merges)
+
+    encoded = bpe_encode(norm, merges, col="w")
+    # vocab ids: sorted base characters of the normalized corpus, then
+    # markers in merge order. The base-char collect is alphabet-sized.
+    base = sorted(
+        r["c"]
+        for r in norm.select(
+            F.explode(F.split("w", "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    vocab: dict[str, int] = {c: i for i, c in enumerate(base)}
+    for _, _, marker in merges:
+        vocab[marker] = len(vocab)
+    id_map = F.create_map(
+        *[x for s, i in vocab.items() for x in (F.lit(s), F.lit(i))]
+    )
+    seqs = encoded.select(
+        F.expr("shiftleft(doc_id, 24) + chunk_id").alias("seq_id"),
+        F.transform(
+            "symbols", lambda s: F.element_at(id_map, s).cast("int")
+        ).alias("token_ids"),
+        "n_tokens",
+    )
+    metrics["encoded_tokens"] = int(
+        seqs.select(F.sum("n_tokens")).collect()[0][0] or 0
+    )
+    seqs.select("seq_id", "token_ids").repartition(shards, "seq_id").write.format(
+        "tokenshard"
+    ).mode("overwrite").save(out_dir)
+    norm.unpersist()
+
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    metrics["packed_seqs"] = manifest["n_seqs"]
+    metrics["packed_tokens"] = manifest["n_tokens"]
+    if metrics["packed_tokens"] != metrics["encoded_tokens"]:
+        raise RuntimeError(
+            "token-shard manifest does not reconcile with the encoder: "
+            f"packed {metrics['packed_tokens']} != "
+            f"encoded {metrics['encoded_tokens']}"
+        )
+    return metrics, merges, vocab
