@@ -174,16 +174,26 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        ftype = raw[pos]
-        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
-        pos += 1 + stride
-        rec = _unfilter_scanline(line, prev, ftype, ch)
-        out[y] = rec
-        prev = rec
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    lines = rows[:, 1:]
+    if np.isin(ftypes, (0, 2)).all():
+        # whole-image fast path for the dominant real-corpus case
+        # (filters None/Up only — VERDICT r7 #8): Up is a mod-256
+        # prefix sum down the rows, None starts a fresh segment, and
+        # uint8 overflow IS mod-256, so the entire image unfilters as
+        # one segmented np.add.accumulate with a per-segment offset
+        # subtraction — no per-scanline Python iteration at all
+        # (test_png.py pins this path structurally: the per-row
+        # fallback must never be called for 0/2-only images).
+        out = _unfilter_02_block(ftypes, lines)
+    else:
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            rec = _unfilter_scanline(lines[y], prev, int(ftypes[y]), ch)
+            out[y] = rec
+            prev = rec
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE chunk")
@@ -191,6 +201,26 @@ def png_decode(data: bytes) -> np.ndarray:
     if ch == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, ch)
+
+
+def _unfilter_02_block(ftypes: np.ndarray, lines: np.ndarray) -> np.ndarray:
+    """Vectorized unfilter for images whose scanlines use only
+    filters 0 (None) and 2 (Up). Up is rec[y] = line[y] + rec[y-1]
+    (mod 256) and None restarts the recurrence, so the reconstruction
+    is a segmented modular prefix sum down axis 0: accumulate in
+    uint8 (overflow = mod 256), then subtract each segment's
+    pre-start accumulator (uint8 wrap-around subtraction is exact
+    modular arithmetic)."""
+    acc = np.add.accumulate(lines, axis=0, dtype=np.uint8)
+    starts = np.flatnonzero(ftypes == 0)
+    if starts.size == 0:  # all Up from a zero previous row: acc IS rec
+        return acc
+    seg = np.cumsum(ftypes == 0)  # 0 before the first None row
+    offsets = np.zeros((starts.size + 1, lines.shape[1]), dtype=np.uint8)
+    for i, s in enumerate(starts):  # segment-count loop, not row loop
+        if s > 0:
+            offsets[i + 1] = acc[s - 1]
+    return acc - offsets[seg]
 
 
 def _unfilter_scanline(
