@@ -32,53 +32,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json or inside the window — rotations can't silently
 # starve a query again.
 #
-# Round-7 tiers, in order:
+# Round-8 tiers, in order (VERDICT r7 #1: ALL 16 r02-stale queries
+# rotate this round — the count is now derived from the raw
+# CORRECTNESS_r*.json files by tests/test_entry_contract.py, not a
+# hand-maintained comment — plus the full 30-query r03 cohort, which
+# exactly fills the window: 1 flagship + 1 re-earn + 2 new + 46
+# rotation = 50. After this round no registered query's latest
+# driver green is older than r04.):
 #   1. flagship
 #   2. changed this round — must re-earn their rows
-#   3. new round-7 queries — earn rows immediately
+#   3. new round-8 queries — earn rows immediately
 #   4. staleness rotation: every query whose LAST driver-green round
-#      is r01 (22 queries), plus the 24 stalest r02 queries — after
-#      this round no query's most-recent green is older than r02, and
-#      the remaining 9 r02 queries rotate in next round.
-_REEARN_R7 = [
-    # connected components rewritten large-star/small-star (r7)
-    "dedup_clusters",
-    # operators/bpe.py gained the batched trainer alongside the
-    # pair-count expr this query rides — re-earn out of caution
-    "text_bpe_pair_stats",
-]
-_NEW_R7: list[str] = [
-    # real PNG codec through the multimodal pipeline
+#      is r02 (16 queries: the near-dup dedup family, projection
+#      basics, TPC-H q19-q22) then the whole r03 cohort (30).
+_REEARN_R8 = [
+    # png_decode gained the whole-image filter-0/2 fast path — the
+    # registered roundtrip query must re-earn its row on the new code
     "multimodal_png_roundtrip",
-    # C4/Gopher-style within-doc repeated-5-gram quality screen
-    "docs_ngram_repetition",
-    # Benford first-digit anomaly screen over order totals
-    "orders_benford_screen",
-    # event-type transition matrix (user-partitioned lag window)
-    "events_markov_transition",
-    # exact int8 Gram matrix — the distributed PCA/whitening input
-    "embeddings_gram_matrix",
-    # Morton clustering key (multi-dim data-skipping layout)
-    "orders_zorder_key",
-    # BM25 (linear-idf) lexical retrieval top-k
-    "text_bm25_linear_topk",
-    # degree-oriented triangle census of the co-purchase graph
-    "parts_copurchase_triangles",
 ]
-_ROTATION_R7 = [
-    # last green r01
-    "events_asof_last_purchase", "events_cohort_retention",
-    "events_funnel_conversion", "events_lag_lead_ntile",
-    "events_pivot_by_type", "events_range_join_click_error",
-    "events_session_window_native", "events_sessionize",
-    "events_topk_per_group", "events_trailing_hour_sum",
-    "events_window_agg", "multimodal_audio_windows",
-    "multimodal_features", "multimodal_frame_sample",
-    "multimodal_meta_stats", "olap_cube_counts",
-    "olap_rollup_counts", "percentile_by_status",
-    "set_except", "set_intersect", "set_union_distinct",
-    "topk_orders_global",
-    # last green r02: the full TPC-H block + exact-dedup family
+_NEW_R8: list[str] = [
+    # composed IVF-PQ index, full-pipeline DuckDB replay + recall contract
+    "ann_topk_ivfpq",
+    # BM25 served from the standing postings index (scan twin's oracle)
+    "text_bm25_indexed_topk",
+]
+_ROTATION_R8 = [
+    # last green r02
+    "dedup_exact_groups", "dedup_exact_keep_canonical",
+    "dedup_incremental_anti", "dedup_minhash_lsh", "dedup_simhash",
+    "ngram_jaccard_pairs", "derive_column", "drop_columns",
+    "project_select", "rename_columns", "filter_predicate", "fact_orders",
+    "tpch_q19_disjunctive", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
+    # last green r03
+    "docs_contamination_check", "docs_global_dup_spans",
+    "docs_repetition_stats", "embedding_neardup_pairs",
+    "embedding_quantize_int8", "events_forward_fill",
+    "events_spend_rank_stats", "events_transition_bigrams",
+    "json_extract_props", "kmeans_clusters", "olap_grouping_sets",
+    "pii_redact_contacts", "pivot_native_counts",
+    "quality_expectation_report", "rollup_incremental_merge",
+    "sample_hash_orders", "scd2_nation_update", "sql_exists_semijoin",
+    "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
+    "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
+    "text_fingerprint", "text_lang_id", "text_token_stats",
+    "text_top_terms", "unpivot_part_metrics", "variant_extract_props",
+    "window_running_sum",
+]
+# prior-round tier lists (green in CORRECTNESS_r07; kept for registry
+# ordering beyond the checked prefix)
+_GREEN_R7 = [
+    "dedup_clusters", "text_bpe_pair_stats",
+    "docs_ngram_repetition", "orders_benford_screen",
+    "events_markov_transition", "embeddings_gram_matrix",
+    "orders_zorder_key", "text_bm25_linear_topk",
+    "parts_copurchase_triangles", "events_asof_last_purchase",
+    "events_cohort_retention", "events_funnel_conversion",
+    "events_lag_lead_ntile", "events_pivot_by_type",
+    "events_range_join_click_error", "events_session_window_native",
+    "events_sessionize", "events_topk_per_group",
+    "events_trailing_hour_sum", "events_window_agg",
+    "multimodal_audio_windows", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_meta_stats", "olap_cube_counts",
+    "olap_rollup_counts", "percentile_by_status", "set_except",
+    "set_intersect", "set_union_distinct", "topk_orders_global",
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_priority_check",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -88,12 +105,7 @@ _ROTATION_R7 = [
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
     "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
-    # (tpch_q20/q21/q22 and the exact-dedup family — also last green
-    # r02 — rotate in next round; their slots went to the r7-new
-    # queries)
 ]
-# prior-round tier lists (all green in CORRECTNESS_r06; kept for
-# registry ordering beyond the checked prefix)
 _GREEN_R6 = [
     "docs_char_class_profile",
     "supplier_nation_trade_matrix",
@@ -184,9 +196,10 @@ _GREEN_BACKLOG = [
 
 _PRIORITY = (
     ["star_revenue_by_region_year"]
-    + _REEARN_R7
-    + _NEW_R7
-    + _ROTATION_R7
+    + _REEARN_R8
+    + _NEW_R8
+    + _ROTATION_R8
+    + _GREEN_R7
     + _GREEN_R6
     + _GREEN_BACKLOG
 )

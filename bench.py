@@ -148,6 +148,10 @@ HEADLINE = [
     "embeddings_gram_matrix",
     "text_bm25_linear_topk",
     "parts_copurchase_triangles",
+    # round-8: composed IVF-PQ index end-to-end; BM25 served from the
+    # standing postings index (same oracle as the scan twin)
+    "ann_topk_ivfpq",
+    "text_bm25_indexed_topk",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression
@@ -169,19 +173,24 @@ def main() -> None:
     # warm the JVM + file listing so query 1 doesn't pay startup cost
     QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # median-of-3 (VERDICT r7 #2): a single-run / best-of-2 harness
+    # cannot support regression calls against a documented 0.9-1.4×
+    # ambient noise floor — the median of three runs (the first still
+    # pays codegen/JIT, so the median lands on a warmed run) is the
+    # per-query statistic; "regressions" below compares medians.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays codegen/JIT
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     # full-registry sweep tier (VERDICT r6 #3): every registered query
-    # gets ONE timing datapoint per round — single-shot (no best-of-2,
+    # gets ONE timing datapoint per round — single-shot (no median-of-3,
     # so ~codegen-inclusive and noisier than headline numbers, but a
     # regression in a non-headline family is no longer invisible).
     # Written to the detail sidecar, summarized on the printed line.
@@ -220,7 +229,7 @@ def main() -> None:
         # machine-readable so the judge reads the ratio instead of
         # recomputing it against last round's committed file.
         # sweep-sourced baselines (single-shot) are excluded here —
-        # mixing them with best-of-2 current numbers would bias the
+        # mixing them with warmed median-of-3 numbers would bias the
         # ratio down — but still feed the (lenient) regression check.
         shared = [
             n
@@ -329,7 +338,7 @@ def _load_baseline() -> tuple[dict[str, float], str, set[str]]:
             with open(detail) as f:
                 data = json.load(f)
             # sweep datapoints first (single-shot, noisier), then the
-            # headline best-of-2 numbers override where both exist
+            # headline median-of-3 numbers override where both exist
             for k, v in data.get("sweep_queries", {}).items():
                 if v > 0:
                     merged[k] = v

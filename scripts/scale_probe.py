@@ -127,19 +127,57 @@ PROBE_QUERIES = [
     "parts_copurchase_triangles",
 ]
 
-# per-table (shift_cols, key_span_col): replicas add i * (max+1) to the
-# shift cols so replicated facts stay join-consistent and unique
-_SHIFTS = {
-    "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# SF-PROPORTIONAL replication (VERDICT r7 #6). The old ×N clone kept
+# dims (part/customer/supplier) unshifted and repeated identical
+# documents/baskets, so shingle and co-purchase graphs densified
+# super-linearly (~30× edges at ×10) and the top probe numbers
+# measured CLONE DENSITY, not the algorithm. Real SF growth scales
+# the part catalog, customer base, supplier pool, and document corpus
+# WITH the facts. So: every key domain that grows with SF in TPC-H
+# (partkey, suppkey, custkey, orderkey, and the extension tables'
+# ids) is shifted per replica — replica i's lineitems reference
+# replica i's parts/suppliers, its orders reference its customers —
+# and content is decorrelated: each document replica's tokens are
+# salted per replica (real growth adds NOVEL documents, not byte
+# clones — unsalted clones give every doc 9 exact twins and a
+# quadratic-in-N near-dup pair count), and each embedding replica is
+# circularly component-shifted (norms and per-component distribution
+# preserved, direction decorrelated). region/nation stay fixed
+# (TPC-H's constant dims).
+_KEY_DOMAINS = {  # domain -> (owning table, pk column)
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+_SHIFTS = {  # table -> {column: key domain}; FK spans come from the
+    # domain's OWNING table so referential integrity survives the shift
+    "part": {"p_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 
 
 def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    spans = {
+        dom: load_table(spark, src_dir, tbl).agg(F.max(pk)).collect()[0][0]
+        + 1
+        for dom, (tbl, pk) in _KEY_DOMAINS.items()
+    }
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
@@ -147,16 +185,30 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         df = load_table(spark, src_dir, name)
         shift_cols = _SHIFTS.get(name)
         if not shift_cols:
-            df.write.mode("overwrite").parquet(dst)  # dims: keep as-is
+            df.write.mode("overwrite").parquet(dst)  # region/nation
             continue
-        spans = {
-            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols
-        }
         parts = []
         for i in range(factor):
             part = df
-            for c, span in spans.items():
-                part = part.withColumn(c, F.col(c) + F.lit(i * span))
+            for c, dom in shift_cols.items():
+                part = part.withColumn(c, F.col(c) + F.lit(i * spans[dom]))
+            if name == "documents" and i > 0:
+                # per-token salt: replica docs are NOVEL in shingle
+                # space (prefixing every token rewrites every n-gram)
+                part = part.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"r{i}x$1"),
+                ).withColumn("n_chars", F.length("text"))
+            if name == "embeddings" and i > 0:
+                k = (i * 7) % 64 or 1
+                # circular shift: same norm, decorrelated direction
+                part = part.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {k + 1}, {64 - k}),"
+                        f" slice(embedding, 1, {k}))"
+                    ),
+                )
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
@@ -166,7 +218,11 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{factor}"
+    # v2 dir: the v1 clone replica is a DIFFERENT dataset shape — never
+    # mix cached v1 files into an SF-proportional probe
+    out_dir = (
+        sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_v2_x{factor}"
+    )
     src = "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scale-probe", master=f"local[{cpus}]",

@@ -33,7 +33,7 @@ def test_must_check_tiers_fit_inside_window():
     checked / re-earn / new-this-round tiers must ALL land inside the
     50-row window — if they outgrow it, the rotation must split across
     rounds explicitly, not truncate silently."""
-    must = E._REEARN_R7 + E._NEW_R7
+    must = E._REEARN_R8 + E._NEW_R8
     window = set(E._DRIVER_WINDOW)
     dropped = [n for n in must if n not in window]
     assert not dropped, f"must-check queries outside driver window: {dropped}"
@@ -58,6 +58,39 @@ def test_no_registered_query_starves():
     window = set(E._DRIVER_WINDOW)
     starved = [n for n in QUERIES if n not in green and n not in window]
     assert not starved, f"never-checked and outside window: {starved}"
+
+
+def test_stalest_cohort_rotates():
+    """VERDICT r7 #1/#3 (wrong #: flaw 3): the rotation backlog was
+    hand-counted in a comment and drifted (said 9, data said 16). The
+    count is now DERIVED: compute each query's latest driver-green
+    round from the raw committed CORRECTNESS_r*.json files; every
+    query in the STALEST cohort (minimum latest-green round) must sit
+    inside this round's driver window — the stalest queries can never
+    be skipped by a mis-counted comment again."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name, row in json.load(open(f)).items():
+            if row.get("rows_match") and row.get("schema_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    stale = {n: r for n, r in last.items() if n in QUERIES}
+    if not stale:
+        return
+    oldest = min(stale.values())
+    cohort = sorted(n for n, r in stale.items() if r == oldest)
+    window = set(E._DRIVER_WINDOW)
+    missed = [n for n in cohort if n not in window]
+    assert not missed, (
+        f"stalest cohort (last green r{oldest:02d}) not fully rotated: "
+        f"{missed}"
+    )
 
 
 def test_queries_covers_every_registered_query():
