@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .clustering import kmeans_assign
-from .pq import pq_adc_topk, pq_encode, pq_train
+from .pq import pq_encode, pq_train
 
 
 def ivfpq_build(
@@ -109,8 +109,14 @@ def ivfpq_build(
         .persist()
     )
     codebooks = pq_train(residuals, m=m, k=k, iters=iters).persist()
-    index = residuals.select("vec_id", "cell").join(
-        pq_encode(residuals, codebooks, m=m), "vec_id"
+    # persisted: ivfpq_topk filters the index once PER PROBED CELL —
+    # without this, every probe re-runs the whole encode (subvector
+    # explode + argmin window); in production the index is a written
+    # table, so the persist models the real read-back cost
+    index = (
+        residuals.select("vec_id", "cell")
+        .join(pq_encode(residuals, codebooks, m=m), "vec_id")
+        .persist()
     )
     return centroids, codebooks, index
 
@@ -137,19 +143,47 @@ def ivfpq_topk(
         return acc
 
     probed = sorted(cents, key=lambda cid: (_d2(cents[cid]), cid))[:nprobe]
-    per_cell = []
+
+    # all probed cells score in ONE job: per-cell LUTs (query residual
+    # vs that cell's codebooks, same sequential fold pq_adc_topk uses)
+    # become a CASE-selected literal array, so the scan over the
+    # probed cells' code rows is a single filter + fold + TakeOrdered
+    # instead of nprobe separate filter/sort/limit jobs.
+    cb = codebooks.collect()
+    m = max(r["sub"] for r in cb) + 1
+    k = max(r["cid"] for r in cb) + 1
+    dsub = len(cb[0]["c"])
+    luts: dict[int, list[float]] = {}
     for cell in probed:
-        resid = [float(x) for x in (q - cents[cell])]
-        cell_codes = index.filter(F.col("cell") == cell).select(
-            "vec_id", "codes"
+        resid = q - cents[cell]
+        lut = [0.0] * (m * k)
+        for r in cb:
+            qs = resid[r["sub"] * dsub : (r["sub"] + 1) * dsub]
+            d2 = 0.0
+            for a, b in zip(qs, r["c"]):
+                d2 += (float(a) - float(b)) * (float(a) - float(b))
+            lut[r["sub"] * k + r["cid"]] = d2
+        luts[cell] = lut
+    lut_expr = None
+    for cell, lut in luts.items():
+        arr = F.array(*[F.lit(x) for x in lut])
+        lut_expr = (
+            arr
+            if lut_expr is None
+            else F.when(F.col("cell") == cell, arr).otherwise(lut_expr)
         )
-        per_cell.append(
-            pq_adc_topk(cell_codes, codebooks, resid, topk=topk)
-        )
-    out = per_cell[0]
-    for df in per_cell[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("adc_dist2", "vec_id").limit(topk)
+        # (reversed-order nesting is fine: cells are disjoint)
+    dist = F.expr(
+        f"aggregate(sequence(0, {m} - 1), 0D, (acc, s) -> "
+        f"acc + element_at(__lut, s * {k} + element_at(codes, s + 1) + 1))"
+    )
+    return (
+        index.filter(F.col("cell").isin(probed))
+        .withColumn("__lut", lut_expr)
+        .select("vec_id", dist.alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(topk)
+    )
 
 
 def ivfpq_oracle_sql(
