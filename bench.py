@@ -149,9 +149,12 @@ HEADLINE = [
     "text_bm25_linear_topk",
     "parts_copurchase_triangles",
     # round-8: composed IVF-PQ index end-to-end; BM25 served from the
-    # standing postings index (same oracle as the scan twin)
+    # standing postings index (same oracle as the scan twin);
+    # SemDeDup within-cell pairs; KN continuation counts
     "ann_topk_ivfpq",
     "text_bm25_indexed_topk",
+    "semdedup_pairs",
+    "text_kn_continuation_counts",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -1,0 +1,104 @@
+"""SemDeDup — semantic deduplication via k-means cells (Abbas et al.,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", 2023).
+
+Exact embedding near-dup needs all-pairs cosine — O(n²), impossible at
+10^9+ documents. SemDeDup's observation: semantic duplicates land in
+the same k-means cluster of embedding space, so cluster FIRST (cheap,
+linear) and compare pairs only WITHIN cells — the same
+candidate-restriction discipline as the MinHash band join and the LSH
+bucket join (operators/dedup.py, operators/similarity.py), with the
+clusters doubling as a semantic partition of the corpus.
+
+Composition keeps the repo's determinism contract end-to-end: the
+coarse clustering IS ``clustering.kmeans`` (RNG-free seeds,
+fixed-point centroid updates, explicit tie-breaks) and the pair
+cosine is the same sequential double fold every ANN operator uses —
+so the whole operator replays bit-for-bit in the DuckDB oracle
+(`semdedup_oracle_sql`: the unrolled k-means CTEs nested as a derived
+table + the same list_inner_product cosine).
+
+Scale shape: one k-means pass (broadcast centroids), one shuffle on
+the cluster id, and a within-cell self-join whose cost is
+Σ|cell|² — bounded by choosing k so cells stay ~10³-10⁴ vectors
+(SemDeDup uses k≈100k at web scale; cells here are data-sized for the
+oracle). Never an all-pairs join; the cell id is also the natural
+partition-pruning key for incremental re-dedup of new batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import kmeans, kmeans_oracle_sql
+from .similarity import cosine_prenorm, cosine_sql, norm
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(cluster, vec_a, vec_b, cosine): within-cluster pairs with
+    cosine ≥ threshold — the drop candidates (keep-one-per-pair-set
+    policy is the caller's; SemDeDup keeps the lowest-id exemplar).
+    Norms are precomputed per vector (bit-identical to the inline
+    fold — see ``similarity.cosine_prenorm``), so the pair stage does
+    one dot product per candidate, not three folds."""
+    assigned = kmeans(emb, k=k, iters=iters, dim=dim)
+    v = (
+        emb.join(assigned, "vec_id")
+        .select(
+            "cluster",
+            "vec_id",
+            "embedding",
+            norm("embedding").alias("n"),
+        )
+    )
+    a = v.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = v.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("n").alias("n_b"),
+    )
+    cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cluster", "vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin: the unrolled k-means CTEs (kmeans_oracle_sql)
+    nested as a derived table, then the same within-cluster pair join
+    with the same sequential-fold cosine."""
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH assign AS (
+        SELECT * FROM ({kmeans_oracle_sql(k=k, iters=iters, dim=dim,
+                                          table=table)}) t
+    ),
+    v AS (SELECT e.vec_id, e.embedding, a.cluster
+          FROM {table} e JOIN assign a USING (vec_id))
+    SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos} AS cosine
+    FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """

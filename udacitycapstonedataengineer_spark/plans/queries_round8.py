@@ -98,3 +98,77 @@ def _text_bm25_indexed_topk(spark, t):
     return bm25_search_topk(
         postings, stats, ["join", "vector", "stream"], k=15
     )
+
+
+from ..operators.semdedup import semdedup_oracle_sql, semdedup_pairs  # noqa: E402
+
+_SEMDEDUP = dict(k=8, iters=2, dim=64, threshold=0.2)
+
+
+@query("semdedup_pairs", semdedup_oracle_sql(**_SEMDEDUP))
+def _semdedup_pairs(spark, t):
+    # SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    # deterministic k-means, compare pairs only WITHIN cells — the
+    # linear-time candidate restriction that makes semantic dedup
+    # feasible at web scale (vs all-pairs cosine). The oracle replays
+    # the unrolled k-means AND the pair cosine bit-for-bit.
+    return semdedup_pairs(t["embeddings"], **_SEMDEDUP)
+
+
+@query(
+    "text_kn_continuation_counts",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] != '' AND toks[i + 1] != ''
+    )
+    SELECT w2 AS word,
+           COUNT(DISTINCT w1) AS continuation_count,
+           COUNT(*) AS n_occurrences
+    FROM bg GROUP BY w2
+    ORDER BY continuation_count DESC, n_occurrences DESC, word
+    LIMIT 20
+    """,
+)
+def _text_kn_continuation_counts(spark, t):
+    # Kneser-Ney continuation counts — the statistic KN smoothing
+    # replaces raw unigram counts with: how many DISTINCT left
+    # contexts a word follows (|{w1 : c(w1,w) > 0}|). The canonical
+    # n-gram-LM training input over a corpus; one bigram explode, one
+    # word-grain aggregate (count_distinct + count in the same job),
+    # TakeOrdered top-20 with a full deterministic tie-break.
+    bigrams = (
+        t["documents"]
+        .select(
+            F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks")
+        )
+        .filter(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    return (
+        bigrams.groupBy(F.col("w2").alias("word"))
+        .agg(
+            F.count_distinct("w1").alias("continuation_count"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(
+            F.desc("continuation_count"), F.desc("n_occurrences"), "word"
+        )
+        .limit(20)
+    )
