@@ -1,0 +1,71 @@
+"""SemDeDup (operators/semdedup.py): within-cluster candidate
+restriction, threshold semantics, planted-duplicate recall. The
+full-pipeline DuckDB replay is pinned by the oracled
+``semdedup_pairs`` query (test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.operators.clustering import kmeans
+from udacitycapstonedataengineer_spark.operators.semdedup import (
+    semdedup_pairs,
+)
+from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+
+def _toy_embeddings(spark):
+    # two tight groups around orthogonal axes + one exact duplicate
+    # pair inside the first group
+    vecs = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),  # exact dup of 0
+        (2, [0.9, -0.05, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.03]),
+        (4, [0.05, 0.0, 0.95, -0.02]),
+        (5, [0.0, 0.1, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_semdedup_finds_planted_duplicate(spark):
+    emb = _toy_embeddings(spark)
+    pairs = semdedup_pairs(emb, k=2, iters=2, dim=4, threshold=0.99)
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs.collect()}
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - 1.0) < 1e-12
+
+
+def test_semdedup_pairs_never_cross_clusters(spark, sf_dir):
+    """Candidate restriction is real: every emitted pair shares a
+    k-means cell (the SemDeDup contract — cost is Σ|cell|², never
+    all-pairs), and every cosine clears the threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = semdedup_pairs(
+        emb, k=8, iters=2, dim=64, threshold=0.2
+    ).collect()
+    assert rows
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(emb, k=8, iters=2, dim=64).collect()
+    }
+    for r in rows:
+        assert r["cosine"] >= 0.2
+        assert cluster_of[r["vec_a"]] == r["cluster"]
+        assert cluster_of[r["vec_b"]] == r["cluster"]
+
+
+def test_semdedup_plan_is_cluster_equijoin(spark, sf_dir):
+    """The pair stage must be an equi-join on the cluster id (shuffle
+    or broadcast hash join) — never a cartesian over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        semdedup_pairs(emb, k=8, iters=2, dim=64, threshold=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
