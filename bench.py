@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "text_bm25_indexed_topk",
     "semdedup_pairs",
+    "semdedup_incremental_pairs",
     "text_kn_continuation_counts",
 ]
 

@@ -58,6 +58,35 @@ def test_semdedup_pairs_never_cross_clusters(spark, sf_dir):
         assert cluster_of[r["vec_b"]] == r["cluster"]
 
 
+def test_semdedup_incremental_matches_batch_pairs(spark, sf_dir):
+    """The incremental path (batch assigned to corpus-fitted standing
+    cells) finds exactly the batch↔corpus near-dups: a planted
+    batch duplicate of a corpus vector comes back at cosine 1, and no
+    emitted pair is corpus↔corpus or batch↔batch."""
+    from udacitycapstonedataengineer_spark.operators.semdedup import (
+        semdedup_incremental_pairs,
+    )
+
+    corpus = _toy_embeddings(spark)
+    new_batch = spark.createDataFrame(
+        [
+            (100, [1.0, 0.02, 0.0, 0.0]),  # dup of corpus vec 0 and 1
+            (101, [0.0, 0.0, -1.0, 0.0]),  # novel direction
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = semdedup_incremental_pairs(
+        corpus, new_batch, k=2, iters=2, dim=4, threshold=0.99
+    ).collect()
+    got = {(r["new_vec_id"], r["corpus_vec_id"]): r["cosine"] for r in rows}
+    assert (100, 0) in got and (100, 1) in got
+    assert abs(got[(100, 0)] - 1.0) < 1e-12
+    assert abs(got[(100, 1)] - 1.0) < 1e-12
+    assert all(c >= 0.99 for c in got.values())
+    assert all(nv in (100, 101) for nv, _ in got)  # batch side only
+    assert all(cv in range(6) for _, cv in got)  # corpus side only
+
+
 def test_semdedup_plan_is_cluster_equijoin(spark, sf_dir):
     """The pair stage must be an equi-join on the cluster id (shuffle
     or broadcast hash join) — never a cartesian over the corpus."""

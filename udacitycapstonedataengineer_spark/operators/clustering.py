@@ -68,6 +68,19 @@ def kmeans(
 ) -> DataFrame:
     """Lloyd's for ``iters`` iterations; returns final (vec_id,
     cluster). Deterministic on any cluster layout (see module doc)."""
+    vectors, centroids = kmeans_fit(emb, k, iters, vec_col, dim)
+    return kmeans_assign(vectors, centroids)
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, iters: int = 2, vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The trainer behind ``kmeans``, returning (vectors, centroids)
+    so the fitted model is REUSABLE: incremental pipelines (e.g.
+    ``semdedup.semdedup_incremental_pairs``) assign NEW batches to the
+    standing centroids without re-clustering the corpus — the model
+    is a k×dim table, the natural thing to persist between runs."""
     # persisted: consumed by the seed fetch, every iteration's
     # assign + re-aggregation join, and the final assign — without it
     # each consumer re-scans (and re-decodes) the embedding parquet
@@ -112,25 +125,38 @@ def kmeans(
                 ]
             ).alias("c"),
         )
-    return kmeans_assign(vectors, centroids)
+    return vectors, centroids
 
 
-def kmeans_oracle_sql(
-    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings"
-) -> str:
-    """DuckDB twin: the same iterations unrolled as CTEs, same
-    fixed-point update, same fold order (list_inner_product of the
-    per-dim diff list ≡ the sequential zip_with fold)."""
-    dist = (
+def _kmeans_dist_sql(dim: int, v: str = "e.v", c: str = "c.c") -> str:
+    return (
         "list_inner_product("
-        f"list_transform(generate_series(1, {dim}), i -> e.v[i] - c.c[i]),"
-        f"list_transform(generate_series(1, {dim}), i -> e.v[i] - c.c[i]))"
+        f"list_transform(generate_series(1, {dim}), i -> {v}[i] - {c}[i]),"
+        f"list_transform(generate_series(1, {dim}), i -> {v}[i] - {c}[i]))"
     )
+
+
+def kmeans_oracle_parts(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    fit_where: str = "",
+) -> tuple[list[str], str]:
+    """The unrolled-iteration CTE list behind ``kmeans_oracle_sql``,
+    reusable by oracles that COMPOSE on a fitted model (SemDeDup,
+    incremental assignment). Returns (parts, final_centroid_cte):
+    ``e`` = all vectors of ``table`` as DOUBLE[], ``ef`` = the fit
+    subset (``fit_where`` filters it; empty = fit on everything —
+    identical to plain kmeans), training runs on ``ef`` only."""
+    dist = _kmeans_dist_sql(dim)
+    w = f" WHERE {fit_where}" if fit_where else ""
     parts = [
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"ef AS (SELECT * FROM e{w})",
         f"""c0 AS (SELECT vec_id AS cid,
                list_transform(v, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE}) AS c
-        FROM e ORDER BY vec_id LIMIT {k})""",
+        FROM ef ORDER BY vec_id LIMIT {k})""",
     ]
     prev = "c0"
     for it in range(1, iters):
@@ -139,7 +165,7 @@ def kmeans_oracle_sql(
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                                           ORDER BY {dist}, c.cid) AS rn
-                FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+                FROM ef e CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
         parts.append(
             f"""c{it} AS (SELECT cid,
@@ -147,17 +173,37 @@ def kmeans_oracle_sql(
             FROM (SELECT a.cid, ds.d,
                          SUM(CAST(FLOOR(e.v[ds.d] * {SCALE}) AS BIGINT)) AS s,
                          count(*) AS n
-                  FROM e JOIN a{it} a USING (vec_id)
+                  FROM ef e JOIN a{it} a USING (vec_id)
                   CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) ds
                   GROUP BY a.cid, ds.d)
             GROUP BY cid)"""
         )
         prev = f"c{it}"
+    return parts, prev
+
+
+def kmeans_assign_sql(dim: int, src_cte: str, cent_cte: str) -> str:
+    """Assignment subquery: nearest ``cent_cte`` centroid for every
+    row of ``src_cte`` — the SQL twin of ``kmeans_assign``."""
+    dist = _kmeans_dist_sql(dim)
+    return f"""(SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {src_cte} e CROSS JOIN {cent_cte} c) WHERE rn = 1)"""
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """DuckDB twin: the same iterations unrolled as CTEs, same
+    fixed-point update, same fold order (list_inner_product of the
+    per-dim diff list ≡ the sequential zip_with fold)."""
+    parts, prev = kmeans_oracle_parts(k=k, iters=iters, dim=dim, table=table)
     return (
-        "WITH " + ",\n".join(parts) + f"""
-        SELECT vec_id, cid AS cluster FROM (
-            SELECT e.vec_id, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {dist}, c.cid) AS rn
-            FROM e CROSS JOIN {prev} c) WHERE rn = 1"""
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM "
+        + kmeans_assign_sql(dim, "e", prev)
+        + " t"
     )

@@ -31,7 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import kmeans, kmeans_oracle_sql
+from .clustering import (
+    _as_double_vec,
+    kmeans,
+    kmeans_assign,
+    kmeans_assign_sql,
+    kmeans_fit,
+    kmeans_oracle_parts,
+    kmeans_oracle_sql,
+)
 from .similarity import cosine_prenorm, cosine_sql, norm
 
 
@@ -77,6 +85,90 @@ def semdedup_pairs(
         .select("cluster", "vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_incremental_pairs(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(cluster, new_vec_id, corpus_vec_id, cosine): semantic near-dups
+    of a NEW batch against an already-clustered corpus — the
+    incremental twin of ``semdedup_pairs``, mirroring
+    ``dedup.minhash_candidates_incremental``: the model (k×dim
+    centroids) is fitted on the CORPUS only, the batch is assigned to
+    the standing cells (one broadcast, no re-clustering), and the pair
+    join compares batch rows against corpus members of the SAME cell
+    only. A daily ingest shuffles its own rows; the 100 TB corpus
+    contributes only its (vec_id, cluster) assignment — in production
+    a persisted table, exactly like the standing MinHash band index."""
+    vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
+    corpus_assign = kmeans_assign(vectors, centroids)
+    new_assign = kmeans_assign(
+        _as_double_vec(new_batch, "embedding"), centroids
+    )
+    a = (
+        new_batch.join(new_assign, "vec_id")
+        .select(
+            "cluster",
+            F.col("vec_id").alias("new_vec_id"),
+            F.col("embedding").alias("e_a"),
+            norm("embedding").alias("n_a"),
+        )
+    )
+    b = (
+        corpus.join(corpus_assign, "vec_id")
+        .select(
+            "cluster",
+            F.col("vec_id").alias("corpus_vec_id"),
+            F.col("embedding").alias("e_b"),
+            norm("embedding").alias("n_b"),
+        )
+    )
+    cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
+    return (
+        a.join(b, "cluster")
+        .select("cluster", "new_vec_id", "corpus_vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_incremental_oracle_sql(
+    new_where: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the incremental path: k-means CTEs fitted on
+    the corpus subset (NOT ``new_where``), both sides assigned to the
+    fitted centroids, pair join within cells with the same
+    sequential-fold cosine."""
+    cos = cosine_sql("a.embedding", "b.embedding")
+    parts, cents = kmeans_oracle_parts(
+        k=k, iters=iters, dim=dim, table=table,
+        fit_where=f"NOT ({new_where})",
+    )
+    parts = parts + [
+        f"newv AS (SELECT * FROM e WHERE {new_where})",
+        f"corpus_assign AS {kmeans_assign_sql(dim, 'ef', cents)}",
+        f"new_assign AS {kmeans_assign_sql(dim, 'newv', cents)}",
+    ]
+    joined = ",\n".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT na.cluster, a.vec_id AS new_vec_id, b.vec_id AS corpus_vec_id,
+           {cos} AS cosine
+    FROM new_assign na
+    JOIN {table} a ON a.vec_id = na.vec_id
+    JOIN corpus_assign ca ON ca.cluster = na.cluster
+    JOIN {table} b ON b.vec_id = ca.vec_id
+    WHERE {cos} >= {threshold}
+    """
 
 
 def semdedup_oracle_sql(

@@ -100,7 +100,12 @@ def _text_bm25_indexed_topk(spark, t):
     )
 
 
-from ..operators.semdedup import semdedup_oracle_sql, semdedup_pairs  # noqa: E402
+from ..operators.semdedup import (  # noqa: E402
+    semdedup_incremental_oracle_sql,
+    semdedup_incremental_pairs,
+    semdedup_oracle_sql,
+    semdedup_pairs,
+)
 
 _SEMDEDUP = dict(k=8, iters=2, dim=64, threshold=0.2)
 
@@ -113,6 +118,27 @@ def _semdedup_pairs(spark, t):
     # feasible at web scale (vs all-pairs cosine). The oracle replays
     # the unrolled k-means AND the pair cosine bit-for-bit.
     return semdedup_pairs(t["embeddings"], **_SEMDEDUP)
+
+
+_NEW_BATCH_WHERE = "vec_id % 10 = 7"
+
+
+@query(
+    "semdedup_incremental_pairs",
+    semdedup_incremental_oracle_sql(_NEW_BATCH_WHERE, **_SEMDEDUP),
+)
+def _semdedup_incremental_pairs(spark, t):
+    # The incremental twin: centroids fitted on the CORPUS only, the
+    # new batch (vec_id % 10 = 7 — a daily-ingest stand-in) assigned
+    # to the standing cells and compared against corpus members of the
+    # same cell. The oracle re-fits k-means on the corpus subset and
+    # replays both assignments — proving the model is genuinely
+    # corpus-only (training on the union would move centroids and
+    # hash-fail).
+    emb = t["embeddings"]
+    new_batch = emb.filter(F.expr(_NEW_BATCH_WHERE))
+    corpus = emb.filter(~F.expr(_NEW_BATCH_WHERE))
+    return semdedup_incremental_pairs(corpus, new_batch, **_SEMDEDUP)
 
 
 @query(
