@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate this round — the count is now derived from the raw
 # CORRECTNESS_r*.json files by tests/test_entry_contract.py, not a
 # hand-maintained comment — plus the full 30-query r03 cohort, which
-# fills the window: 1 flagship + 1 re-earn + 5 new + 43 rotation
+# fills the window: 1 flagship + 1 re-earn + 6 new + 42 rotation
 # = 50. After this round no registered query's latest driver green
-# is older than r03, and only three r03 queries (deferred to r9 —
+# is older than r03, and only four r03 queries (deferred to r9 —
 # see _DEFERRED_R03) remain below r04.):
 #   1. flagship
 #   2. changed this round — must re-earn their rows
@@ -60,6 +60,8 @@ _NEW_R8: list[str] = [
     "semdedup_pairs",
     # incremental SemDeDup: batch vs corpus-fitted standing cells
     "semdedup_incremental_pairs",
+    # IVF-PQ + exact re-rank refinement (FAISS refine stage)
+    "ann_topk_ivfpq_refined",
     # Kneser-Ney continuation counts (n-gram LM training statistic)
     "text_kn_continuation_counts",
 ]
@@ -79,19 +81,19 @@ _ROTATION_R8 = [
     "json_extract_props", "kmeans_clusters", "olap_grouping_sets",
     "pii_redact_contacts", "pivot_native_counts",
     "quality_expectation_report", "rollup_incremental_merge",
-    "sample_hash_orders", "scd2_nation_update", "sql_exists_semijoin",
+    "scd2_nation_update", "sql_exists_semijoin",
     "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
     "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
     "text_fingerprint", "text_lang_id", "text_token_stats",
     "text_top_terms",
-    # (unpivot_part_metrics + variant_extract_props +
-    # window_running_sum — also r03 — defer to r9; their slots went
-    # to semdedup/KN. test_stalest_cohort_rotates keeps them from
+    # (four r03 queries defer to r9; their slots went to the round-8
+    # new-query tier. test_stalest_cohort_rotates keeps them from
     # starving: r03 becomes the stalest cohort after this round and
     # must rotate next.)
 ]
 _DEFERRED_R03 = [
-    "unpivot_part_metrics", "variant_extract_props", "window_running_sum",
+    "sample_hash_orders", "unpivot_part_metrics",
+    "variant_extract_props", "window_running_sum",
 ]
 # prior-round tier lists (green in CORRECTNESS_r07; kept for registry
 # ordering beyond the checked prefix)

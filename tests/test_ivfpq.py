@@ -62,6 +62,50 @@ def test_ivfpq_index_integrity_and_retrieval(spark, sf_dir):
     idx.unpersist()
 
 
+def test_ivfpq_refined_rerank(spark, sf_dir):
+    """The refine stage: (a) with rerank = corpus size the refined
+    top-k IS the exact L2 top-k (re-rank math is exact); (b) at a
+    practical rerank the refined top-k's overlap with exact is at
+    least the plain-ADC overlap (refinement never hurts recall)."""
+    from udacitycapstonedataengineer_spark.operators.ivfpq import (
+        ivfpq_topk_refined,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents, books, index = ivfpq_build(emb, nlist=NLIST, m=M, k=K)
+    query = [float(v) for v in X[7]]
+
+    # (a) probing EVERY cell with rerank >= corpus: exact equality
+    full = ivfpq_topk_refined(
+        index, cents, books, emb, query,
+        nprobe=NLIST, rerank=len(ids), topk=10,
+    ).collect()
+    exact_order = np.lexsort(
+        (ids, ((X - X[7]) ** 2).sum(axis=1))
+    )[:10]
+    assert [r["vec_id"] for r in full] == [ids[i] for i in exact_order]
+
+    # (b) refined ⊇-recall vs plain ADC at the same probe budget
+    exact_ids = {ids[i] for i in exact_order}
+    adc = {
+        r["vec_id"]
+        for r in ivfpq_topk(index, cents, books, query, 2, 10).collect()
+    }
+    refined = {
+        r["vec_id"]
+        for r in ivfpq_topk_refined(
+            index, cents, books, emb, query, nprobe=2, rerank=50, topk=10
+        ).collect()
+    }
+    assert len(refined & exact_ids) >= len(adc & exact_ids)
+    assert ids[7] in refined
+
+
 def test_ivfpq_registered_query_recall_contract(spark, sf_dir):
     """The oracled ``ann_topk_ivfpq`` query (VERDICT r7 #3) carries an
     explicit recall-vs-exact-L2 contract column: recall@10 of the

@@ -186,27 +186,67 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_oracle_sql(
-    nlist: int = 8,
-    m: int = 8,
-    k: int = 16,
-    iters: int = 2,
-    dim: int = 64,
+def ivfpq_topk_refined(
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    emb: DataFrame,
+    query: list[float],
     nprobe: int = 2,
+    rerank: int = 50,
     topk: int = 10,
-    query_vec_id: int = 7,
-    exact_k: int = 10,
-    table: str = "embeddings",
-) -> str:
-    """DuckDB twin of the WHOLE IVF-PQ pipeline, generated (the
-    kmeans_oracle_sql pattern): coarse k-means unrolled per iteration,
-    residual subtraction, grouped per-subspace PQ training, encoding,
-    nprobe cell selection, per-cell ADC, and the exact-L2 recall
-    contract column — every float op in the same sequence the Spark
-    side executes (list_inner_product ≡ the sequential zip_with fold;
-    TRUNC for Spark's truncating double→long cast — DuckDB's bare
-    CAST rounds; list_reduce over sub-ordered LUT entries ≡ the
-    sequential aggregate() fold, exact because IEEE 0.0+x == x)."""
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS's refine stage: ADC shortlists ``rerank`` candidates from
+    the probed cells (compressed codes only), then the ORIGINAL
+    vectors of just those candidates are fetched and re-ranked by
+    exact squared-L2. Returns (vec_id, dist2) smallest-first.
+
+    Scale shape: the expensive full-precision distance touches only
+    ``rerank`` rows — the shortlist is broadcast into the embedding
+    scan (a join on vec_id that prunes before any vector math), so
+    refinement cost is O(rerank·dim) regardless of corpus size. This
+    recovers most of the recall PQ compression gives up (codes order
+    the shortlist, exact math orders the answer)."""
+    shortlist = ivfpq_topk(
+        index, coarse_centroids, codebooks, query, nprobe, topk=rerank
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    dist2 = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, w) -> acc + w)"
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double))"
+            ).alias("v"),
+        )
+        .withColumn("qv", qlit)
+        .select("vec_id", dist2.alias("dist2"))
+        .orderBy("dist2", "vec_id")
+        .limit(topk)
+    )
+
+
+def _ivfpq_oracle_parts(
+    nlist: int,
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    nprobe: int,
+    query_vec_id: int,
+    exact_k: int,
+    table: str,
+):
+    """Shared CTE list for the IVF-PQ oracles: build (coarse k-means
+    unrolled, residuals, grouped PQ train, encode), probe selection,
+    per-cell ADC (`adc` CTE), and the exact-L2 top set (`exact` CTE).
+    Returns (parts, dist) where dist(v, c, n) renders the sequential
+    squared-L2 fold."""
     from .clustering import SCALE
 
     dsub = dim // m
@@ -342,6 +382,33 @@ def ivfpq_oracle_sql(
                        ORDER BY {dist('e.v', 'q.qv', dim)}, e.vec_id) AS rn
             FROM e CROSS JOIN q) e WHERE rn <= {exact_k})""",
     ]
+    return parts, dist
+
+
+def ivfpq_oracle_sql(
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 10,
+    query_vec_id: int = 7,
+    exact_k: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of the WHOLE IVF-PQ pipeline, generated (the
+    kmeans_oracle_sql pattern): coarse k-means unrolled per iteration,
+    residual subtraction, grouped per-subspace PQ training, encoding,
+    nprobe cell selection, per-cell ADC, and the exact-L2 recall
+    contract column — every float op in the same sequence the Spark
+    side executes (list_inner_product ≡ the sequential zip_with fold;
+    TRUNC for Spark's truncating double→long cast — DuckDB's bare
+    CAST rounds; list_reduce over sub-ordered LUT entries ≡ the
+    sequential aggregate() fold, exact because IEEE 0.0+x == x)."""
+    parts, _ = _ivfpq_oracle_parts(
+        nlist, m, k, iters, dim, nprobe, query_vec_id, exact_k, table
+    )
     return (
         "WITH " + ",\n".join(parts) + f"""
         SELECT vec_id, adc_dist2, rank, in_exact_topk FROM (
@@ -349,5 +416,42 @@ def ivfpq_oracle_sql(
                    row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank,
                    vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
             FROM adc) WHERE rank <= {topk}
+        ORDER BY rank"""
+    )
+
+
+def ivfpq_refined_oracle_sql(
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 2,
+    rerank: int = 50,
+    topk: int = 10,
+    query_vec_id: int = 7,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``ivfpq_topk_refined``: the full-build CTEs,
+    ADC shortlist of ``rerank`` candidates, then EXACT squared-L2 on
+    only those candidates' original vectors (same sequential fold),
+    ranked (dist2, vec_id)."""
+    parts, dist = _ivfpq_oracle_parts(
+        nlist, m, k, iters, dim, nprobe, query_vec_id, topk, table
+    )
+    parts = parts + [
+        f"""short AS (SELECT vec_id FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS rn
+            FROM adc) WHERE rn <= {rerank})""",
+    ]
+    d = dist("e.v", "q.qv", dim)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT vec_id, dist2, rank FROM (
+            SELECT e.vec_id, {d} AS dist2,
+                   row_number() OVER (ORDER BY {d}, e.vec_id) AS rank
+            FROM e JOIN short USING (vec_id) CROSS JOIN q)
+        WHERE rank <= {topk}
         ORDER BY rank"""
     )

@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators.ivfpq import ivfpq_build, ivfpq_oracle_sql, ivfpq_topk
+from ..operators.ivfpq import (
+    ivfpq_build,
+    ivfpq_oracle_sql,
+    ivfpq_refined_oracle_sql,
+    ivfpq_topk,
+    ivfpq_topk_refined,
+)
 from ..operators.retrieval import bm25_search_topk, build_bm25_index
 from .registry import ORACLE, query
 
@@ -83,6 +89,40 @@ def _ann_topk_ivfpq(spark, t):
             "rank",
             F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
         )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "ann_topk_ivfpq_refined",
+    ivfpq_refined_oracle_sql(
+        dim=64,
+        nprobe=_NPROBE,
+        rerank=50,
+        topk=_TOPK,
+        query_vec_id=_QVEC_ID,
+        **_IVFPQ,
+    ),
+)
+def _ann_topk_ivfpq_refined(spark, t):
+    # FAISS's refine stage on the same index: ADC shortlists 50
+    # candidates from the probed cells (codes only), the original
+    # vectors of JUST those 50 are exact-L2 re-ranked — the pattern
+    # that recovers compression-lost recall at O(rerank·dim) cost.
+    # The oracle replays build + shortlist + re-rank bit-for-bit.
+    emb = t["embeddings"]
+    cents, books, index = ivfpq_build(emb, **_IVFPQ)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _QVEC_ID).head()["embedding"]
+    ]
+    top = ivfpq_topk_refined(
+        index, cents, books, emb, q, nprobe=_NPROBE, rerank=50, topk=_TOPK
+    )
+    w = Window.orderBy("dist2", "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "dist2", "rank")
         .orderBy("rank")
     )
 
