@@ -800,3 +800,75 @@ def test_foreach_batch_crash_replay_does_not_double_apply(
         spark.conf.set(
             "spark.sql.streaming.metadataCache.enabled", prev_cache
         )
+
+
+def test_stream_semdedup_matches_batch_incremental(spark, sf_dir, tmp_path):
+    """Streaming semantic dedup (streaming/vectors.py): arriving
+    vectors assigned to corpus-fitted standing cells by a STATELESS
+    argmin projection (array_min over (dist2, cid) structs — no
+    window, no state) and compared against same-cell corpus members
+    via a stream-static join. Across multiple micro-batches the union
+    of emissions must equal the batch incremental path EXACTLY,
+    cosine doubles included (same folds, same tie-breaks)."""
+    from udacitycapstonedataengineer_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from udacitycapstonedataengineer_spark.operators.semdedup import (
+        semdedup_incremental_pairs,
+    )
+    from udacitycapstonedataengineer_spark.streaming.vectors import (
+        build_corpus_index,
+        stream_semdedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new_batch = emb.filter("vec_id % 10 = 7")
+    corpus = emb.filter("vec_id % 10 != 7")
+
+    want = {
+        (r["cluster"], r["new_vec_id"], r["corpus_vec_id"], r["cosine"])
+        for r in semdedup_incremental_pairs(
+            corpus, new_batch, k=8, iters=2, dim=64, threshold=0.2
+        ).collect()
+    }
+    assert want, "no batch pairs at this sf — test would prove nothing"
+
+    vectors, centroids = kmeans_fit(corpus, k=8, iters=2, dim=64)
+    centroid_rows = centroids.collect()
+    corpus_index = build_corpus_index(
+        corpus, kmeans_assign(vectors, centroids)
+    )
+
+    landing = str(tmp_path / "vec_landing")
+    # two files → maxFilesPerTrigger=1 forces multiple micro-batches
+    new_batch.filter("vec_id % 20 = 7").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    new_batch.filter("vec_id % 20 = 17").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select("vec_id", "embedding")
+    )
+    q = (
+        stream_semdedup_pairs(
+            stream, corpus_index, centroid_rows, threshold=0.2
+        )
+        .writeStream.format("memory")
+        .queryName("t_semdedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    got = {
+        (r["cluster"], r["new_vec_id"], r["corpus_vec_id"], r["cosine"])
+        for r in spark.sql("SELECT * FROM t_semdedup_stream").collect()
+    }
+    assert got == want
