@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate this round — the count is now derived from the raw
 # CORRECTNESS_r*.json files by tests/test_entry_contract.py, not a
 # hand-maintained comment — plus the full 30-query r03 cohort, which
-# fills the window: 1 flagship + 1 re-earn + 6 new + 42 rotation
+# fills the window: 1 flagship + 1 re-earn + 7 new + 41 rotation
 # = 50. After this round no registered query's latest driver green
-# is older than r03, and only four r03 queries (deferred to r9 —
+# is older than r03, and only five r03 queries (deferred to r9 —
 # see _DEFERRED_R03) remain below r04.):
 #   1. flagship
 #   2. changed this round — must re-earn their rows
@@ -64,6 +64,8 @@ _NEW_R8: list[str] = [
     "ann_topk_ivfpq_refined",
     # Kneser-Ney continuation counts (n-gram LM training statistic)
     "text_kn_continuation_counts",
+    # rare-bigram (OOV) rate — corpus-statistics quality screen
+    "docs_oov_bigram_rate",
 ]
 _ROTATION_R8 = [
     # last green r02
@@ -81,7 +83,7 @@ _ROTATION_R8 = [
     "json_extract_props", "kmeans_clusters", "olap_grouping_sets",
     "pii_redact_contacts", "pivot_native_counts",
     "quality_expectation_report", "rollup_incremental_merge",
-    "scd2_nation_update", "sql_exists_semijoin",
+    "sql_exists_semijoin",
     "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
     "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
     "text_fingerprint", "text_lang_id", "text_token_stats",
@@ -92,7 +94,7 @@ _ROTATION_R8 = [
     # must rotate next.)
 ]
 _DEFERRED_R03 = [
-    "sample_hash_orders", "unpivot_part_metrics",
+    "sample_hash_orders", "scd2_nation_update", "unpivot_part_metrics",
     "variant_extract_props", "window_running_sum",
 ]
 # prior-round tier lists (green in CORRECTNESS_r07; kept for registry

@@ -156,6 +156,7 @@ HEADLINE = [
     "semdedup_pairs",
     "semdedup_incremental_pairs",
     "text_kn_continuation_counts",
+    "docs_oov_bigram_rate",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -181,6 +181,101 @@ def _semdedup_incremental_pairs(spark, t):
     return semdedup_incremental_pairs(corpus, new_batch, **_SEMDEDUP)
 
 
+def _doc_bigrams(docs):
+    """(doc_id, w1, w2): adjacent lowercased whitespace-token pairs —
+    shared by the KN-continuation and OOV-rate queries. 1-based
+    element_at ≡ DuckDB list indexing."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks"),
+        )
+        .filter(F.expr("size(toks) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+@query(
+    "docs_oov_bigram_rate",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] != '' AND toks[i + 1] != ''
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+    per_doc AS (
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN cnt.n <= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare
+        FROM bg JOIN cnt USING (w1, w2)
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_rate
+    FROM per_doc
+    ORDER BY rare_rate DESC, doc_id
+    LIMIT 25
+    """,
+)
+def _docs_oov_bigram_rate(spark, t):
+    # Rare-bigram (OOV-ish) rate per document — the cheap corpus-
+    # statistics proxy for LM-surprisal quality filters: documents
+    # whose adjacent-word pairs are mostly corpus-rare are boilerplate,
+    # mangled text, or junk. All counting is exact integers (order-
+    # free under any shuffle); the single terminal division is one
+    # double op per row, so the output hash-matches. Two shuffles:
+    # bigram-grain count, then doc-grain aggregate over the joined
+    # counts (the same join-back shape as tf-idf).
+    bg = _doc_bigrams(t["documents"])
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        bg.join(cnt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("n") <= 2, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (
+                F.col("n_rare").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("rare_rate"),
+        )
+        .orderBy(F.desc("rare_rate"), "doc_id")
+        .limit(25)
+    )
+
+
+
 @query(
     "text_kn_continuation_counts",
     r"""
