@@ -304,24 +304,7 @@ def _text_kn_continuation_counts(spark, t):
     # n-gram-LM training input over a corpus; one bigram explode, one
     # word-grain aggregate (count_distinct + count in the same job),
     # TakeOrdered top-20 with a full deterministic tie-break.
-    bigrams = (
-        t["documents"]
-        .select(
-            F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks")
-        )
-        .filter(F.expr("size(toks) >= 2"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), i -> "
-                    "struct(element_at(toks, i) AS w1, "
-                    "element_at(toks, i + 1) AS w2))"
-                )
-            ).alias("bg")
-        )
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-    )
+    bigrams = _doc_bigrams(t["documents"])  # doc_id pruned by Catalyst
     return (
         bigrams.groupBy(F.col("w2").alias("word"))
         .agg(
