@@ -82,6 +82,43 @@ def test_bm25_index_equals_scan_query(spark, sf_dir, tmp_path):
     assert via_index, "bm25 search unexpectedly empty at this sf"
 
 
+def test_bm25_incremental_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Index MAINTENANCE at 100 TB is append-only: a new doc batch
+    contributes its own postings rows ((term, doc) grain with the doc
+    length denormalized on — disjoint doc sets never rewrite existing
+    rows) and the corpus stats merge additively. Serving from
+    appended-postings + merged-stats must be bit-identical to a full
+    rebuild over the union corpus."""
+    from udacitycapstonedataengineer_spark.operators.retrieval import (
+        merge_bm25_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+
+    idx = str(tmp_path / "bm25_inc")
+    st = str(tmp_path / "bm25_inc_stats")
+    p_old, s_old = build_bm25_index(old)
+    p_old.write.mode("overwrite").parquet(idx)
+    s_old.write.mode("overwrite").parquet(st)
+    # the incremental step: ONLY the new batch is tokenized
+    p_new, s_new = build_bm25_index(new)
+    p_new.write.mode("append").parquet(idx)
+    merged_stats = merge_bm25_stats(spark.read.parquet(st), s_new)
+
+    via_incremental = bm25_search_topk(
+        spark.read.parquet(idx), merged_stats, BM25_TERMS, k=15
+    ).collect()
+
+    p_full, s_full = build_bm25_index(docs)
+    via_rebuild = bm25_search_topk(p_full, s_full, BM25_TERMS, k=15).collect()
+    assert [r.asDict() for r in via_incremental] == [
+        r.asDict() for r in via_rebuild
+    ]
+    assert via_incremental
+
+
 def test_bm25_term_filter_pushed(spark, sf_dir, tmp_path):
     """Serving reads ONLY the postings parquet (never the corpus) and
     the term predicate reaches the scan as a pushed filter."""

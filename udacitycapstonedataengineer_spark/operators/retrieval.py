@@ -134,6 +134,25 @@ def build_bm25_index(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     return postings, stats
 
 
+def merge_bm25_stats(stats_a: DataFrame, stats_b: DataFrame) -> DataFrame:
+    """Merge two corpus-stats tables (n_docs, total_tokens) — both
+    counters are additive, so incremental index maintenance is: append
+    the new batch's postings rows (postings are (term, doc) grain —
+    disjoint doc sets union cleanly, and dl is per-doc so it needs no
+    rewrite) + merge stats. `test_retrieval.py` pins append ≡ full
+    rebuild, serving results included."""
+    a = stats_a.select(
+        F.col("n_docs").alias("na"), F.col("total_tokens").alias("ta")
+    )
+    b = stats_b.select(
+        F.col("n_docs").alias("nb"), F.col("total_tokens").alias("tb")
+    )
+    return a.crossJoin(b).select(
+        (F.col("na") + F.col("nb")).alias("n_docs"),
+        (F.col("ta") + F.col("tb")).alias("total_tokens"),
+    )
+
+
 def _bm25_posting_score():
     """Per-posting BM25 score expression over columns
     (tf, dl, df, n_docs, total_tokens) — operation-for-operation the
