@@ -157,6 +157,7 @@ HEADLINE = [
     "semdedup_incremental_pairs",
     "text_kn_continuation_counts",
     "docs_oov_bigram_rate",
+    "ann_topk_int8",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -22,7 +22,7 @@ map, candidate pairing shuffles on (bucket) only.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 COSINE_EXPR = (
@@ -339,6 +339,118 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             " cast(0 as bigint), (acc, v) -> acc + v)"
         ).alias("qnorm_sq"),
     )
+
+
+def _int8_codes(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, q array<int>, qnorm_sq bigint): the int8 codes as an
+    array (the serving representation; ``quantize_int8`` emits the
+    csv-string form for oracle display stability)."""
+    maxabs = F.expr(_MAXABS_EXPR.format(e=vec_col))
+    q = F.expr(
+        f"CASE WHEN max_abs = 0D THEN transform({vec_col}, x -> 0)"
+        f" ELSE transform({vec_col},"
+        f"  x -> cast(round(cast(x as double) * (127.0D / max_abs)) as int))"
+        f" END"
+    )
+    return (
+        emb.withColumn("max_abs", maxabs)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "q",
+            F.expr(
+                "aggregate(transform(q, x -> cast(x as bigint) * x),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("qnorm_sq"),
+        )
+    )
+
+
+def ann_topk_int8(
+    emb: DataFrame, query_pred: F.Column, k: int = 5
+) -> DataFrame:
+    """Cosine top-k over INT8 codes — the compressed serving path:
+    per-pair math is one exact BIGINT dot product (the per-vector
+    ``max_abs`` scale factors CANCEL in cosine, so the quantized
+    cosine is dot/(√qnorm_a·√qnorm_b) with no float rescaling), plus
+    two sqrts and one division in a fixed order — portable and
+    hash-stable. 4× less IO than float32 scan; the integer dot is the
+    SIMD-friendly kernel. Output (query_id, cand_id, qcosine, rank)."""
+    codes = _int8_codes(emb)
+    qside = codes.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("qnorm_sq").alias("na"),
+    )
+    cside = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("qb"),
+        F.col("qnorm_sq").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    qcos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine"), "cand_id"
+    )
+    return (
+        cside.join(F.broadcast(qside))
+        .filter(
+            (F.col("query_id") != F.col("cand_id"))
+            & (F.col("na") > 0)
+            & (F.col("nb") > 0)
+        )
+        .withColumn("__dot", dot)
+        .select("query_id", "cand_id", qcos.alias("qcosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk_int8_sql(k: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of :func:`ann_topk_int8` (queries = vec_id < 8)."""
+    maxabs = _MAXABS_SQL.format(e="embedding")
+    dot = (
+        f"CAST(list_aggregate(list_transform(generate_series(1, {dim}),"
+        " i -> a.q[i]::BIGINT * b.q[i]), 'sum') AS BIGINT)"
+    )
+    return f"""
+    WITH codes AS (
+        SELECT vec_id, q,
+               CAST(list_aggregate(list_transform(q, x -> x::BIGINT * x),
+                    'sum') AS BIGINT) AS qnorm_sq
+        FROM (
+            SELECT vec_id,
+                   CASE WHEN max_abs = 0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding,
+                             x -> CAST(round(x::DOUBLE * (127.0 / max_abs))
+                                  AS INTEGER))
+                   END AS q
+            FROM (SELECT vec_id, embedding, {maxabs} AS max_abs
+                  FROM embeddings)
+        )
+    )
+    SELECT query_id, cand_id, qcosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               CAST({dot} AS DOUBLE)
+               / (sqrt(CAST(a.qnorm_sq AS DOUBLE))
+                  * sqrt(CAST(b.qnorm_sq AS DOUBLE))) AS qcosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST({dot} AS DOUBLE)
+                            / (sqrt(CAST(a.qnorm_sq AS DOUBLE))
+                               * sqrt(CAST(b.qnorm_sq AS DOUBLE))) DESC,
+                            b.vec_id) AS rank
+        FROM codes a CROSS JOIN codes b
+        WHERE a.vec_id < 8 AND a.vec_id != b.vec_id
+          AND a.qnorm_sq > 0 AND b.qnorm_sq > 0
+    ) WHERE rank <= {k}
+    """
 
 
 def quantize_int8_sql(vec_col: str = "embedding") -> str:
