@@ -192,3 +192,69 @@ def test_compact_parquet_binpacks_and_swaps(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_parquet(spark, str(tmp_path / "nothing"))
+
+
+def _toy_emb(spark, n=6, dim=4):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semdedup_incremental_on_empty_batch(spark):
+    """A quiet ingest day: an EMPTY new batch against a real corpus
+    must produce zero pairs without error (and never touch the corpus
+    pair-side)."""
+    from udacitycapstonedataengineer_spark.operators.semdedup import (
+        semdedup_incremental_pairs,
+    )
+
+    corpus = _toy_emb(spark)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert semdedup_incremental_pairs(
+        corpus, empty, k=2, iters=2, dim=4, threshold=0.0
+    ).count() == 0
+
+
+def test_bm25_on_empty_corpus_and_missing_terms(spark):
+    """Empty corpus → empty index (stats row still present with zero
+    counters); querying an index for terms it has never seen returns
+    empty, not an error."""
+    from udacitycapstonedataengineer_spark.operators.retrieval import (
+        bm25_search_topk,
+        build_bm25_index,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    postings, stats = build_bm25_index(empty)
+    assert postings.count() == 0
+    srow = stats.collect()[0]
+    assert srow["n_docs"] == 0 and srow["total_tokens"] is None
+    assert bm25_search_topk(postings, stats, ["anything"], k=5).count() == 0
+
+    real = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p2, s2 = build_bm25_index(real)
+    assert bm25_search_topk(p2, s2, ["never_seen_term"], k=5).count() == 0
+
+
+def test_int8_ann_on_zero_vectors(spark):
+    """All-zero vectors quantize to all-zero codes (qnorm 0) and are
+    excluded from ranking on BOTH sides instead of dividing by zero."""
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        ann_topk_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.5]), (2, [0.9, 0.6]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = ann_topk_int8(emb, F.col("vec_id") < 2, k=5).collect()
+    ids = {(r["query_id"], r["cand_id"]) for r in rows}
+    assert ids == {(1, 2)}  # zero-norm queries and candidates dropped
+    assert all(r["qcosine"] == r["qcosine"] for r in rows)  # no NaN
