@@ -27,6 +27,7 @@ JUSTIFIED_WARNS = {
     "ann_topk_lsh": "predicate-bounded query-vector set",
     "ann_topk_ivf": "predicate-bounded query set + centroid table (k rows)",
     "ann_topk_filtered": "predicate-bounded query-vector set",
+    "ann_topk_int8": "predicate-bounded query-vector set (int8 codes)",
     # sketch/membership builds: the broadcast is the sketch itself
     # (CMS/Bloom bit arrays — fixed size by construction)
     "bloom_membership_orders": "fixed-size Bloom bit array",
