@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate this round — the count is now derived from the raw
 # CORRECTNESS_r*.json files by tests/test_entry_contract.py, not a
 # hand-maintained comment — plus the full 30-query r03 cohort, which
-# fills the window: 1 flagship + 1 re-earn + 8 new + 40 rotation
+# fills the window: 1 flagship + 1 re-earn + 9 new + 39 rotation
 # = 50. After this round no registered query's latest driver green
-# is older than r03, and only six r03 queries (deferred to r9 —
+# is older than r03, and only seven r03 queries (deferred to r9 —
 # see _DEFERRED_R03) remain below r04.):
 #   1. flagship
 #   2. changed this round — must re-earn their rows
@@ -68,6 +68,8 @@ _NEW_R8: list[str] = [
     "docs_oov_bigram_rate",
     # int8-code cosine serving path (exact integer dot products)
     "ann_topk_int8",
+    # SemDeDup keep policy: closure over semantic pairs
+    "semdedup_clusters",
 ]
 _ROTATION_R8 = [
     # last green r02
@@ -89,7 +91,6 @@ _ROTATION_R8 = [
     "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
     "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
     "text_lang_id", "text_token_stats",
-    "text_top_terms",
     # (four r03 queries defer to r9; their slots went to the round-8
     # new-query tier. test_stalest_cohort_rotates keeps them from
     # starving: r03 becomes the stalest cohort after this round and
@@ -97,7 +98,8 @@ _ROTATION_R8 = [
 ]
 _DEFERRED_R03 = [
     "sample_hash_orders", "scd2_nation_update", "text_fingerprint",
-    "unpivot_part_metrics", "variant_extract_props", "window_running_sum",
+    "text_top_terms", "unpivot_part_metrics", "variant_extract_props",
+    "window_running_sum",
 ]
 # prior-round tier lists (green in CORRECTNESS_r07; kept for registry
 # ordering beyond the checked prefix)

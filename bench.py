@@ -158,6 +158,7 @@ HEADLINE = [
     "text_kn_continuation_counts",
     "docs_oov_bigram_rate",
     "ann_topk_int8",
+    "semdedup_clusters",
 ]
 
 # Previous-round bench (committed by the driver) — per-query regression

@@ -28,7 +28,7 @@ def spark():
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _sweep_persisted_blocks(request):
+def _sweep_persisted_blocks():
     """Between test MODULES, drop every cached DataFrame and persisted
     RDD (incl. localCheckpoint blocks, which spark.catalog.clearCache
     does NOT touch). Registered queries persist intermediates they can

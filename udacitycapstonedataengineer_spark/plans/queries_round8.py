@@ -160,6 +160,47 @@ def _semdedup_pairs(spark, t):
     return semdedup_pairs(t["embeddings"], **_SEMDEDUP)
 
 
+@query(
+    "semdedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM ( {semdedup_oracle_sql(**_SEMDEDUP)} ) q
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY vec_id
+    """,
+)
+def _semdedup_clusters(spark, t):
+    # the full SemDeDup KEEP policy: transitive closure over the
+    # within-cell cosine pairs — keep one exemplar (min vec_id) per
+    # component, exactly the dedup_clusters composition with semantic
+    # edges instead of MinHash edges. Spark runs the same
+    # connected-components operator; DuckDB replays k-means + pair
+    # cosine + a recursive-CTE reachability closure.
+    from ..operators.graph import connected_components
+
+    pairs = semdedup_pairs(t["embeddings"], **_SEMDEDUP).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        connected_components(pairs)
+        .select(
+            F.col("node").alias("vec_id"), F.col("comp").alias("component")
+        )
+        .orderBy("vec_id")
+    )
+
+
 _NEW_BATCH_WHERE = "vec_id % 10 = 7"
 
 
