@@ -363,9 +363,12 @@ def _stats_corr_exact(spark, t):
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    corr = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
+    # zero variance (a constant column within a group) → correlation
+    # undefined → NULL, matching DuckDB's x/0 → NULL; unguarded this
+    # errors under ANSI mode (same landmine hypothesis found in
+    # orders_daily_autocorr, round 8)
+    denom = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    corr = F.when(denom != 0, (nd * sxy - sx * sy) / denom)
     return moments.select(
         "l_returnflag", "n_rows", corr.alias("corr_qty_price")
     )

@@ -149,9 +149,12 @@ def _orders_daily_autocorr(spark, t):
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    corr = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
+    # zero variance on either side → autocorr undefined → NULL. DuckDB
+    # division by zero already yields NULL, so the oracle agrees; an
+    # unguarded divide errors under Spark's ANSI mode (hypothesis
+    # found the constant-series case in round 8).
+    denom = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    corr = F.when(denom != 0, (nd * sxy - sx * sy) / denom)
     return m.select("lag_days", "n_pairs", corr.alias("autocorr")).orderBy(
         "lag_days"
     )
