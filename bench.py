@@ -161,6 +161,25 @@ HEADLINE = [
     "semdedup_clusters",
 ]
 
+def _drop_persisted(spark) -> None:
+    """Between queries, drop cached DataFrames AND persisted RDDs
+    (localCheckpoint blocks included). The index-building queries
+    (IVF-PQ, SemDeDup/k-means, BM25) persist intermediates every
+    invocation; without this sweep a single bench session accumulates
+    hundreds of blocks and LATER queries measure memory pressure, not
+    their plan (observed round 8: unrelated sub-second queries drifted
+    1.5-1.8x once the heavy index queries joined the headline tier —
+    scripts/scale_probe.py has cleared per-query since round 3 for the
+    same reason). Each query's 3 runs still share warm codegen/cache;
+    only CROSS-query state is dropped."""
+    try:
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001 — sweeping must never fail the bench
+        pass
+
+
 # Previous-round bench (committed by the driver) — per-query regression
 # reference. Timings at sf0.1 are LOAD-NOISY (whole-suite swings of 2×
 # under background load were observed with no code change), so the
@@ -195,6 +214,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        _drop_persisted(spark)
 
     # full-registry sweep tier (VERDICT r6 #3): every registered query
     # gets ONE timing datapoint per round — single-shot (no median-of-3,
@@ -215,6 +235,7 @@ def main() -> None:
                 sweep[name] = -1.0  # sink the whole sweep; -1 = errored
                 continue
             sweep[name] = round(time.perf_counter() - t0, 3)
+            _drop_persisted(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
