@@ -62,6 +62,35 @@ def test_ivfpq_index_integrity_and_retrieval(spark, sf_dir):
     idx.unpersist()
 
 
+def test_ivfpq_index_partition_pruned_serving(spark, sf_dir, tmp_path):
+    """The module docstring's scale claim, made mechanical: persist
+    the code index partitioned by CELL, and a probe's ``cell isin``
+    filter must land as a PartitionFilter on the parquet scan — the
+    query reads nprobe/nlist of the files, not the index. Results
+    from the persisted index must equal the in-memory build exactly."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, index = ivfpq_build(emb, nlist=NLIST, m=M, k=K)
+    path = str(tmp_path / "ivfpq_index")
+    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    query = [
+        float(v) for v in emb.filter("vec_id = 7").head()["embedding"]
+    ]
+    served = ivfpq_topk(back, cents, books, query, nprobe=2, topk=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:3000]
+    mem = ivfpq_topk(index, cents, books, query, nprobe=2, topk=10)
+    assert [r.asDict() for r in served.collect()] == [
+        r.asDict() for r in mem.collect()
+    ]
+
+
 def test_ivfpq_refined_rerank(spark, sf_dir):
     """The refine stage: (a) with rerank = corpus size the refined
     top-k IS the exact L2 top-k (re-rank math is exact); (b) at a
