@@ -202,6 +202,14 @@ def test_batched_trainer_equals_sequential_adversarial(spark):
         {"abc": 4, "bca": 4, "cab": 4},
         # marker-pair tie against a disjoint pair of equal count
         {"abc": 10, "de": 10, "fg": 10},
+        # VERDICT r8 #1 judge repro: doubled pair (e,e) is its OWN
+        # spawn dominator — 'eee'->M0'e' spawns (M0,e)=2 which must
+        # beat the disjoint (a,a)=1 the old rule accepted in-batch
+        {"aa": 1, "eee": 2},
+        # doubled-pair chains: runs of one symbol spawn (M,a)/(M,M)
+        {"aaaaaa": 3, "bb": 2, "cc": 1},
+        # doubled pair whose floor(n/2) cap TIES the next candidate
+        {"eeee": 2, "ab": 2, "cd": 1},
     ]
     for wf in corpora:
         df = spark.createDataFrame(list(wf.items()), "w string, f long")

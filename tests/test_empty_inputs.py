@@ -231,9 +231,28 @@ def test_bm25_on_empty_corpus_and_missing_terms(spark):
     )
     postings, stats = build_bm25_index(empty)
     assert postings.count() == 0
+    # total_tokens must be 0, not NULL: merge_bm25_stats is additive
+    # and NULL would poison every append onto an initially-empty index
+    # (ADVICE r8 — append-equals-rebuild broke in this edge)
     srow = stats.collect()[0]
-    assert srow["n_docs"] == 0 and srow["total_tokens"] is None
+    assert srow["n_docs"] == 0 and srow["total_tokens"] == 0
     assert bm25_search_topk(postings, stats, ["anything"], k=5).count() == 0
+    # appending a first real batch onto the empty index must serve
+    # identically to a fresh build (the invariant NULL stats violated)
+    from udacitycapstonedataengineer_spark.operators.retrieval import (
+        merge_bm25_stats,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bp, bs = build_bm25_index(batch)
+    merged_post = postings.unionByName(bp)
+    merged_stats = merge_bm25_stats(stats, bs)
+    got = bm25_search_topk(merged_post, merged_stats, ["alpha"], k=5).collect()
+    want = bm25_search_topk(bp, bs, ["alpha"], k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
 
     real = spark.createDataFrame(
         [(1, "alpha beta", "en", "s", 10)],
@@ -241,6 +260,11 @@ def test_bm25_on_empty_corpus_and_missing_terms(spark):
     )
     p2, s2 = build_bm25_index(real)
     assert bm25_search_topk(p2, s2, ["never_seen_term"], k=5).count() == 0
+    # an empty terms list is a caller bug — clear error, not IndexError
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_search_topk(p2, s2, [], k=5)
 
 
 def test_int8_ann_on_zero_vectors(spark):

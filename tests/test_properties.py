@@ -651,7 +651,7 @@ def test_drawdown_matches_running_max_reference(spark, day_counts):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(
     st.dictionaries(
         st.text(

@@ -156,7 +156,11 @@ def ivfpq_topk(
     luts: dict[int, list[float]] = {}
     for cell in probed:
         resid = q - cents[cell]
-        lut = [0.0] * (m * k)
+        # +inf sentinel for (sub, cid) slots the codebook never emits:
+        # a served index whose codes exceed the codebook must rank
+        # those rows LAST, not score the subquantizer as distance 0
+        # (ADVICE r8 — pq_adc_topk's original sentinel semantics)
+        lut = [float("inf")] * (m * k)
         for r in cb:
             qs = resid[r["sub"] * dsub : (r["sub"] + 1) * dsub]
             d2 = 0.0

@@ -128,8 +128,15 @@ def build_bm25_index(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    # coalesce: an EMPTY corpus must emit total_tokens=0, not NULL —
+    # merge_bm25_stats is additive and NULL + x = NULL would poison
+    # every future append onto an initially-empty index (ADVICE r8)
     stats = documents.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.select(F.sum("dl").alias("total_tokens"))
+        dl.select(
+            F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias(
+                "total_tokens"
+            )
+        )
     )
     return postings, stats
 
@@ -204,6 +211,8 @@ def bm25_search_topk(
     - top-k is orderBy+limit → TakeOrderedAndProject, per-partition
       heaps, never a global sort.
     """
+    if not terms:
+        raise ValueError("bm25_search_topk needs at least one query term")
     matched = postings.filter(F.col("term").isin(list(terms)))
     dfreq = matched.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")  # one posting row per (term, doc)
