@@ -15,6 +15,14 @@ from udacitycapstonedataengineer_spark.plans.queries import ORACLE, QUERIES
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# The build round this registry targets. Gates that derive staleness
+# from committed CORRECTNESS_r*.json files consider only rounds BELOW
+# this (the window rotates at round OPEN, but the driver commits the
+# round's results file at round CLOSE — without the exclusion the
+# stalest-cohort gate is guaranteed-red between those two moments,
+# the r8→r9 boundary failure ADVICE r8 flagged).
+_ROUND = 9
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -22,64 +30,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks a fixed-size 50-row prefix of this
-# dict, so ordering is part of the contract. ADVICE r5 found the
-# round-5 boundary comment had drifted to slot 51 (dropping
-# docs_char_class_profile), so the window is now an explicit
-# constant: _DRIVER_WINDOW = the first 50 of the pool below, and
-# tests/test_entry_contract.py asserts (a) the window is exactly 50,
-# (b) every query in the must-check tiers lands inside it, and
-# (c) every registered query is either driver-green in a committed
-# CORRECTNESS_r*.json or inside the window — rotations can't silently
-# starve a query again.
+# dict, so ordering is part of the contract: _DRIVER_WINDOW = the
+# first 50 of the pool below. tests/test_entry_contract.py asserts
+# (a) the window is exactly 50 and all-oracled, (b) every query in
+# the must-check tiers lands inside it, (c) every registered query is
+# either driver-green in a committed CORRECTNESS_r*.json or inside
+# the window, and (d) the stalest cohort (computed from the raw
+# CORRECTNESS files for rounds < _ROUND — never a hand-counted
+# comment) rotates in full.
 #
-# Round-8 tiers, in order (VERDICT r7 #1: ALL 16 r02-stale queries
-# rotate this round — the count is now derived from the raw
-# CORRECTNESS_r*.json files by tests/test_entry_contract.py, not a
-# hand-maintained comment — plus the full 30-query r03 cohort, which
-# fills the window: 1 flagship + 1 re-earn + 9 new + 39 rotation
-# = 50. After this round no registered query's latest driver green
-# is older than r03, and only seven r03 queries (deferred to r9 —
-# see _DEFERRED_R03) remain below r04.):
+# Round-9 tiers, in order:
 #   1. flagship
 #   2. changed this round — must re-earn their rows
-#   3. new round-8 queries — earn rows immediately
-#   4. staleness rotation: every query whose LAST driver-green round
-#      is r02 (16 queries: the near-dup dedup family, projection
-#      basics, TPC-H q19-q22) then the whole r03 cohort (30).
-_REEARN_R8 = [
-    # png_decode gained the whole-image filter-0/2 fast path — the
-    # registered roundtrip query must re-earn its row on the new code
-    "multimodal_png_roundtrip",
-]
-_NEW_R8: list[str] = [
-    # composed IVF-PQ index, full-pipeline DuckDB replay + recall contract
-    "ann_topk_ivfpq",
-    # BM25 served from the standing postings index (scan twin's oracle)
+#   3. new round-9 queries — earn rows immediately
+#   4. staleness rotation: the 7 r03-deferred queries (VERDICT r8
+#      #2), the full 27-query r04 cohort, and 8 of the 47-query r05
+#      cohort (the remaining 39 r05 queries are the r10 rotation
+#      debt — they become the stalest cohort once CORRECTNESS_r09
+#      lands and must fill the r10 window).
+_REEARN_R9 = [
+    # retrieval.py changed (empty-corpus stats coalesce to 0,
+    # empty-terms guard) — the indexed serving path re-earns its row
     "text_bm25_indexed_topk",
-    # SemDeDup: k-means cells + within-cell cosine, full oracle replay
-    "semdedup_pairs",
-    # incremental SemDeDup: batch vs corpus-fitted standing cells
-    "semdedup_incremental_pairs",
-    # IVF-PQ + exact re-rank refinement (FAISS refine stage)
+    # ivfpq.py changed (+inf LUT sentinel for out-of-codebook codes)
+    "ann_topk_ivfpq",
     "ann_topk_ivfpq_refined",
-    # Kneser-Ney continuation counts (n-gram LM training statistic)
-    "text_kn_continuation_counts",
-    # rare-bigram (OOV) rate — corpus-statistics quality screen
-    "docs_oov_bigram_rate",
-    # int8-code cosine serving path (exact integer dot products)
-    "ann_topk_int8",
-    # SemDeDup keep policy: closure over semantic pairs
-    "semdedup_clusters",
 ]
-_ROTATION_R8 = [
-    # last green r02
-    "dedup_exact_groups", "dedup_exact_keep_canonical",
+_NEW_R9: list[str] = [
+    # IVF-PQ probe served from the WRITTEN cell-partitioned index —
+    # driver proves written ≡ in-memory ≡ DuckDB (VERDICT r8 #4)
+    "ann_topk_ivfpq_served",
+    # incremental maintenance: batch encoded against the frozen
+    # corpus model, appended, probed; corpus-only-fit oracle (r8 #5)
+    "ann_topk_ivfpq_incremental",
+    # interpolated Kneser-Ney bigram probabilities, D=0.75 (r8 #6)
+    "text_kn_bigram_prob",
+    # SemDeDup keep policy end-to-end: surviving corpus + per-label
+    # savings, survivor set hash-checked (r8 #7)
+    "semdedup_survivors",
+]
+_ROTATION_R9 = [
+    # last green r03 — the 7 deferred from the r8 window
+    "sample_hash_orders", "scd2_nation_update", "text_fingerprint",
+    "text_top_terms", "unpivot_part_metrics", "variant_extract_props",
+    "window_running_sum",
+    # last green r04 — the full 27-query cohort
+    "ann_topk_ivf", "ann_topk_lsh", "approx_distinct_users",
+    "approx_percentile_price", "docs_chunk_windows", "events_debounce",
+    "events_mode_value_per_type", "events_rolling_7d_active_users",
+    "events_zscore_outliers", "grouped_median_dev",
+    "grouped_median_dev_native", "ml_split_assignment",
+    "orders_column_profile", "orders_equidepth_deciles",
+    "orders_outlier_iqr", "orders_price_histogram",
+    "orders_snapshot_diff", "orders_winsorized_sum",
+    "sample_stratified_by_status", "sketch_distinct_users_daily",
+    "sketch_value_quantiles", "sql_fact_dim_join", "sql_qualified_star",
+    "text_fuzzy_pairs_levenshtein", "text_inverted_index",
+    "text_pseudonymize_sha2", "text_quality_score",
+    # r05 fill — 8 of 47, alphabetical; the other 39 rotate in r10
+    "ann_topk_filtered", "basket_part_pairs", "bloom_membership_orders",
+    "cms_point_counts", "corpus_source_overlap", "customer_rfm_segments",
+    "customer_segment_value_profile", "dedup_minhash_incremental",
+]
+
+_WINDOW_TIERS = (
+    ["star_revenue_by_region_year"] + _REEARN_R9 + _NEW_R9 + _ROTATION_R9
+)
+
+# Registry tail beyond the checked window: every other registered
+# query, ordered by prior-round tiers (kept for stable registry
+# ordering; all are driver-green in committed CORRECTNESS files).
+_GREEN_R8 = [
+    "multimodal_png_roundtrip", "semdedup_pairs",
+    "semdedup_incremental_pairs", "semdedup_clusters",
+    "text_kn_continuation_counts", "docs_oov_bigram_rate",
+    "ann_topk_int8", "dedup_exact_groups", "dedup_exact_keep_canonical",
     "dedup_incremental_anti", "dedup_minhash_lsh", "dedup_simhash",
     "ngram_jaccard_pairs", "derive_column", "drop_columns",
     "project_select", "rename_columns", "filter_predicate", "fact_orders",
     "tpch_q19_disjunctive", "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
-    # last green r03
     "docs_contamination_check", "docs_global_dup_spans",
     "docs_repetition_stats", "embedding_neardup_pairs",
     "embedding_quantize_int8", "events_forward_fill",
@@ -91,18 +121,7 @@ _ROTATION_R8 = [
     "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
     "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
     "text_lang_id", "text_token_stats",
-    # (four r03 queries defer to r9; their slots went to the round-8
-    # new-query tier. test_stalest_cohort_rotates keeps them from
-    # starving: r03 becomes the stalest cohort after this round and
-    # must rotate next.)
 ]
-_DEFERRED_R03 = [
-    "sample_hash_orders", "scd2_nation_update", "text_fingerprint",
-    "text_top_terms", "unpivot_part_metrics", "variant_extract_props",
-    "window_running_sum",
-]
-# prior-round tier lists (green in CORRECTNESS_r07; kept for registry
-# ordering beyond the checked prefix)
 _GREEN_R7 = [
     "dedup_clusters", "text_bpe_pair_stats",
     "docs_ngram_repetition", "orders_benford_screen",
@@ -167,17 +186,16 @@ _GREEN_R6 = [
     "orders_snapshot_diff", "orders_equidepth_deciles",
 ]
 # driver-green in earlier rounds, kept registered after the window
+# (the 39-query r05 rotation debt lives here)
 _GREEN_BACKLOG = [
     "docs_novelty_hapax", "text_keyword_search_topk",
-    "corpus_source_overlap", "cms_point_counts",
-    "dedup_minhash_incremental", "ann_topk_filtered",
     "events_mad_outliers", "events_user_streaks",
-    "bloom_membership_orders", "orders_profile_drift",
-    "scd2_point_in_time_read", "basket_part_pairs",
+    "orders_profile_drift",
+    "scd2_point_in_time_read",
     "events_conversion_latency_stats", "lineitem_shipping_lag_stats",
     "docs_length_percentiles_by_source", "events_power_users_pareto",
     "orders_monthly_seasonality",
-    "customer_rfm_segments", "docs_quality_gate_funnel",
+    "docs_quality_gate_funnel",
     "supplier_lead_time_trend", "events_first_touch_attribution",
     "referential_integrity_audit", "events_hourly_heatmap",
     "orders_open_backlog_daily", "docs_shingle_containment",
@@ -193,38 +211,18 @@ _GREEN_BACKLOG = [
     "orders_first_vs_repeat_revenue", "events_new_vs_returning_daily",
     "part_brand_supplier_hhi",
     "docs_langid_agreement", "lineitem_discount_band_revenue",
-    "customer_segment_value_profile",
     "orders_value_gini",
-    "ann_topk_lsh", "ann_topk_ivf",
-    "text_quality_score", "docs_chunk_windows",
-    "sql_fact_dim_join",
-    "orders_outlier_iqr", "events_debounce",
-    "sketch_distinct_users_daily",
-    "grouped_median_dev", "grouped_median_dev_native",
-    "sql_qualified_star",
-    "text_fuzzy_pairs_levenshtein",
-    "text_pseudonymize_sha2",
-    "ml_split_assignment",
-    "orders_price_histogram",
-    "orders_winsorized_sum",
-    "events_zscore_outliers",
-    "orders_column_profile", "events_mode_value_per_type",
-    "text_inverted_index",
-    "approx_percentile_price", "approx_distinct_users",
-    "sample_stratified_by_status",
-    "sketch_value_quantiles",
-    "events_rolling_7d_active_users",
 ]
 
-_PRIORITY = (
-    ["star_revenue_by_region_year"]
-    + _REEARN_R8
-    + _NEW_R8
-    + _ROTATION_R8
-    + _GREEN_R7
-    + _GREEN_R6
-    + _GREEN_BACKLOG
-)
+_PRIORITY = _WINDOW_TIERS + [
+    n
+    for n in (_GREEN_R8 + _GREEN_R7 + _GREEN_R6 + _GREEN_BACKLOG)
+    if n not in set(_WINDOW_TIERS)
+]
+# dedupe the tail while preserving order (r6 list historically
+# repeats two names that now also rotate in the window)
+_seen: set[str] = set()
+_PRIORITY = [n for n in _PRIORITY if not (n in _seen or _seen.add(n))]
 # the driver's correctness gate reads exactly this prefix
 _DRIVER_WINDOW = _PRIORITY[:50]
 

@@ -159,6 +159,13 @@ HEADLINE = [
     "docs_oov_bigram_rate",
     "ann_topk_int8",
     "semdedup_clusters",
+    # round-9: served-from-parquet IVF-PQ probe (write + read-back
+    # partition-pruned); incremental append under the frozen model;
+    # interpolated KN bigram probs; SemDeDup survivor corpus
+    "ann_topk_ivfpq_served",
+    "ann_topk_ivfpq_incremental",
+    "text_kn_bigram_prob",
+    "semdedup_survivors",
 ]
 
 def _drop_persisted(spark) -> None:

@@ -121,6 +121,51 @@ def ivfpq_build(
     return centroids, codebooks, index
 
 
+def ivfpq_encode_batch(
+    batch_emb: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a NEW batch against the FROZEN model — incremental index
+    maintenance (VERDICT r8 #5, the ANN sibling of BM25's
+    append-equals-rebuild): assign each batch vector to the standing
+    coarse cells (one broadcast of nlist centroids, no re-clustering),
+    subtract that cell's centroid, PQ-encode the residual with the
+    frozen codebooks. Returns (vec_id, cell, codes) rows that append
+    onto the cell-partitioned index — a daily ingest shuffles only its
+    own rows; the corpus index is untouched parquet.
+
+    ``test_ivfpq_incremental_append_equals_rebuild`` pins append ≡
+    re-encode-everything-under-the-frozen-model, probe results
+    included."""
+    vectors = batch_emb.select(
+        "vec_id",
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    cells = kmeans_assign(vectors, coarse_centroids).withColumnRenamed(
+        "cluster", "cell"
+    )
+    residuals = (
+        vectors.join(cells, "vec_id")
+        .join(
+            F.broadcast(
+                coarse_centroids.select(F.col("cid").alias("cell"), "c")
+            ),
+            "cell",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(v, c, (x, y) -> x - y)").alias("embedding"),
+        )
+    )
+    return residuals.select("vec_id", "cell").join(
+        pq_encode(residuals, codebooks, m=m), "vec_id"
+    )
+
+
 def ivfpq_topk(
     index: DataFrame,
     coarse_centroids: DataFrame,
@@ -245,12 +290,20 @@ def _ivfpq_oracle_parts(
     query_vec_id: int,
     exact_k: int,
     table: str,
+    fit_where: str | None = None,
 ):
     """Shared CTE list for the IVF-PQ oracles: build (coarse k-means
     unrolled, residuals, grouped PQ train, encode), probe selection,
     per-cell ADC (`adc` CTE), and the exact-L2 top set (`exact` CTE).
     Returns (parts, dist) where dist(v, c, n) renders the sequential
-    squared-L2 fold."""
+    squared-L2 fold.
+
+    ``fit_where`` (incremental maintenance): when given, the MODEL —
+    coarse seeds + k-means iterations, PQ seeds + training — fits on
+    only the rows matching it, while assignment/encoding/probing still
+    cover every row; the twin of freezing the corpus model and
+    appending a batch encoded against it (the semdedup_incremental
+    corpus-only-fit CTE pattern)."""
     from .clustering import SCALE
 
     dsub = dim // m
@@ -271,10 +324,16 @@ def _ivfpq_oracle_parts(
     parts = [
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
         f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})",
+    ]
+    fit = "e"
+    if fit_where is not None:
+        parts.append(f"ef AS (SELECT * FROM e WHERE {fit_where})")
+        fit = "ef"
+    parts.append(
         f"""cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                             AS BIGINT) AS cid, {quant('v')} AS c
-             FROM (SELECT * FROM e ORDER BY vec_id LIMIT {nlist}))""",
-    ]
+             FROM (SELECT * FROM {fit} ORDER BY vec_id LIMIT {nlist}))"""
+    )
     prev = "cc0"
     for it in range(1, iters):
         parts.append(
@@ -282,7 +341,7 @@ def _ivfpq_oracle_parts(
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {dist('e.v', 'c.c', dim)}, c.cid) AS rn
-                FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+                FROM {fit} AS e CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
         # truncating update: Spark's (sum/n).cast(long) — TRUNC, not CAST
         parts.append(
@@ -318,11 +377,13 @@ def _ivfpq_oracle_parts(
                   list_slice(rv, su.sub * {dsub} + 1,
                              su.sub * {dsub} + {dsub}) AS v
            FROM r CROSS JOIN {subs} su)""",
+        f"""svf AS (SELECT sv.* FROM sv
+            WHERE vec_id IN (SELECT vec_id FROM {fit}))""",
         f"""pq0 AS (SELECT sub,
                    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id)
                         - 1 AS INT) AS cid, {quant('v')} AS c
             FROM sv WHERE vec_id IN
-                 (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))""",
+                 (SELECT vec_id FROM {fit} ORDER BY vec_id LIMIT {k}))""",
     ]
     pprev = "pq0"
     for it in range(1, iters):
@@ -331,7 +392,7 @@ def _ivfpq_oracle_parts(
                 SELECT sv.vec_id, sv.sub, c.cid,
                        row_number() OVER (PARTITION BY sv.vec_id, sv.sub
                            ORDER BY {dist('sv.v', 'c.c', dsub)}, c.cid) AS rn
-                FROM sv JOIN {pprev} c USING (sub)) WHERE rn = 1)"""
+                FROM svf AS sv JOIN {pprev} c USING (sub)) WHERE rn = 1)"""
         )
         parts.append(
             f"""pqn{it} AS (SELECT sub, cid,
@@ -400,6 +461,7 @@ def ivfpq_oracle_sql(
     query_vec_id: int = 7,
     exact_k: int = 10,
     table: str = "embeddings",
+    fit_where: str | None = None,
 ) -> str:
     """DuckDB twin of the WHOLE IVF-PQ pipeline, generated (the
     kmeans_oracle_sql pattern): coarse k-means unrolled per iteration,
@@ -411,7 +473,8 @@ def ivfpq_oracle_sql(
     CAST rounds; list_reduce over sub-ordered LUT entries ≡ the
     sequential aggregate() fold, exact because IEEE 0.0+x == x)."""
     parts, _ = _ivfpq_oracle_parts(
-        nlist, m, k, iters, dim, nprobe, query_vec_id, exact_k, table
+        nlist, m, k, iters, dim, nprobe, query_vec_id, exact_k, table,
+        fit_where=fit_where,
     )
     return (
         "WITH " + ",\n".join(parts) + f"""
