@@ -55,6 +55,11 @@ _REEARN_R9 = [
     # ivfpq.py changed (+inf LUT sentinel for out-of-codebook codes)
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_refined",
+    # graph.py changed (connected-components convergence fix: the
+    # multi-parent probe — r9's raised-budget property suite found
+    # glued-star states the old single probe accepted as converged)
+    "dedup_clusters",
+    "semdedup_clusters",
 ]
 _NEW_R9: list[str] = [
     # IVF-PQ probe served from the WRITTEN cell-partitioned index —
@@ -87,10 +92,9 @@ _ROTATION_R9 = [
     "sketch_value_quantiles", "sql_fact_dim_join", "sql_qualified_star",
     "text_fuzzy_pairs_levenshtein", "text_inverted_index",
     "text_pseudonymize_sha2", "text_quality_score",
-    # r05 fill — 8 of 47, alphabetical; the other 39 rotate in r10
+    # r05 fill — 6 of 47, alphabetical; the other 41 rotate in r10
     "ann_topk_filtered", "basket_part_pairs", "bloom_membership_orders",
     "cms_point_counts", "corpus_source_overlap", "customer_rfm_segments",
-    "customer_segment_value_profile", "dedup_minhash_incremental",
 ]
 
 _WINDOW_TIERS = (
@@ -212,6 +216,7 @@ _GREEN_BACKLOG = [
     "part_brand_supplier_hhi",
     "docs_langid_agreement", "lineitem_discount_band_revenue",
     "orders_value_gini",
+    "customer_segment_value_profile", "dedup_minhash_incremental",
 ]
 
 _PRIORITY = _WINDOW_TIERS + [

@@ -125,6 +125,10 @@ PROBE_QUERIES = [
     "orders_zorder_key",
     "text_bm25_linear_topk",
     "parts_copurchase_triangles",
+    # round-9: bigram-grain KN smoothing; SemDeDup keep policy
+    # (k-means + within-cell pairs + CC closure + anti-join)
+    "text_kn_bigram_prob",
+    "semdedup_survivors",
 ]
 
 # SF-PROPORTIONAL replication (VERDICT r7 #6). The old ×N clone kept

@@ -169,6 +169,20 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                     20: 20, 21: 20, 22: 20}
 
+    # round-9 regression (found by the raised-budget property suite):
+    # the path 0-4-3-2-1 drives one large+small-star round into
+    # {(2,0),(2,1),(4,0),(3,1)} — parents {0,1} never appear as
+    # children, so the old single-probe convergence test declared a
+    # star forest while child 2 pointed at BOTH roots: the component
+    # split in two and node 2 got duplicate labels. The fix adds the
+    # multi-parent probe.
+    glued = spark.createDataFrame(
+        [(0, 4), (1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(glued, max_iter=40).collect()
+    assert len(rows) == 5  # exactly one label per node — no dups
+    assert {r.node: r.comp for r in rows} == {i: 0 for i in range(5)}
+
 
 def test_dedup_transitive_closure(spark, sf_dir):
     """Transitive dedup: one survivor per cluster, and NO surviving

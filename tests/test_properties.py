@@ -16,7 +16,7 @@ from udacitycapstonedataengineer_spark.functions.dates import sas_date_decode
 from udacitycapstonedataengineer_spark.functions.exact import money_avg, money_sum
 from udacitycapstonedataengineer_spark.operators.cleaning import dedup_by_key
 
-_SETTINGS = dict(max_examples=10, deadline=None)
+_SETTINGS = dict(max_examples=40, deadline=None)
 
 
 @settings(**_SETTINGS)
@@ -97,7 +97,7 @@ def test_dedup_by_key_partition_invariant(spark):
         max_size=8,
     )
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_chunk_windows_cover_and_align(spark, texts):
     """Chunking invariants for any ascii text (INCLUDING the empty
     string, which must yield zero chunks — not Spark's descending
@@ -131,7 +131,7 @@ def test_chunk_windows_cover_and_align(spark, texts):
         assert rebuilt == t
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     edges=st.lists(
         st.tuples(
@@ -173,7 +173,7 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -214,7 +214,7 @@ def test_activity_bitmap_popcount_equals_distinct_days(spark, pairs):
         assert r["first_day"] == min(days) and r["last_day"] == max(days)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -252,7 +252,7 @@ def test_pagerank_mass_is_bounded_and_positive(spark, seq):
     assert sum(ranks) <= _PR_SCALE
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     st.lists(
         st.sampled_from([f"i{k}" for k in range(30)]),
@@ -290,7 +290,7 @@ def test_mg_two_pass_heavy_hitters_always_exact(spark, items, capacity):
     assert got == brute
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -345,7 +345,7 @@ def test_attribution_daygrain_rewrite_equivalence(spark, rows):
     assert naive == daygrain
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -386,7 +386,7 @@ def test_incremental_ltv_equals_full_recompute(spark, rows):
     assert full == inc
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -477,7 +477,7 @@ def test_banded_invoice_join_catches_double_month_boundary(spark):
     assert len(rows) == 1 and rows[0]["day_gap"] == 30
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -527,7 +527,7 @@ def test_price_bands_match_sorted_reference(spark, rows):
         assert got[ym] == ref, (ym, got[ym], ref)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.integers(min_value=0, max_value=500),
@@ -609,7 +609,7 @@ def test_heavy_hitters_invariant_to_partition_layout(spark, sf_dir):
     assert outs[0]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.integers(min_value=1, max_value=9),

@@ -94,14 +94,21 @@ def connected_components(
     Convergence test: both star operations preserve the connected
     components of the edge set, and every small-star output edge
     points child→parent with parent < child — so the edge set is the
-    fixed point EXACTLY when it is a star forest (no parent node also
-    appears as a child; each component then being connected must be a
-    single depth-1 star whose root, smaller than every member, is the
-    component min). Checking star-forest-ness (a semi-join probe on
-    the checkpointed edges) detects convergence at the END of the
-    round that produced it — one full round cheaper than the classic
-    "run another round and compare edge sets" test, which matters
-    because real dedup graphs converge in 1-2 rounds.
+    fixed point EXACTLY when it is a star forest, which needs BOTH
+    probes (round-9 bug fix, found by the raised-budget property
+    suite): (a) no parent node also appears as a child, AND (b) no
+    child has two distinct parents. Probe (a) alone passed on the
+    path 0-4-3-2-1 after one round, whose edge set
+    {(2,0),(2,1),(4,0),(3,1)} has parent-only parents but child 2
+    pointing at BOTH roots 0 and 1 — two stars glued at a child is
+    still one component, and labeling it as two silently split
+    components (and emitted duplicate labels for the shared child).
+    With both probes: single-parent children + parent-only parents
+    force each component to be one depth-1 star whose root, smaller
+    than every member, is the component min. Both probes run on the
+    checkpointed edges and detect convergence at the END of the round
+    that produced it — still one full round cheaper than the classic
+    "run another round and compare edge sets" test.
 
     ``stats``, if supplied, receives {"rounds": int} — the probe hook
     for round-count assertions vs hash-min.
@@ -134,7 +141,17 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            if non_star == 0:
+            # (b): a child with two distinct parents means two stars
+            # glued together — not converged even if (a) passes (cur
+            # is distinct, so a plain count is the parent count)
+            multi_parent = (
+                cur.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("n_parents"))
+                .where(F.col("n_parents") > 1)
+                .limit(1)
+                .count()
+            )
+            if non_star == 0 and multi_parent == 0:
                 break
         else:
             raise RuntimeError(
