@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 9
+_ROUND = 10
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,47 +39,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-9 tiers, in order:
+# Round-10 tiers, in order (tier sizes are never hand-counted here —
+# test_stalest_cohort_rotates derives the cohort from the committed
+# CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
 #   2. changed this round — must re-earn their rows
-#   3. new round-9 queries — earn rows immediately
-#   4. staleness rotation: the 7 r03-deferred queries (VERDICT r8
-#      #2), the full 27-query r04 cohort, and 8 of the 47-query r05
-#      cohort (the remaining 39 r05 queries are the r10 rotation
-#      debt — they become the stalest cohort once CORRECTNESS_r09
-#      lands and must fill the r10 window).
-_REEARN_R9 = [
-    # retrieval.py changed (empty-corpus stats coalesce to 0,
-    # empty-terms guard) — the indexed serving path re-earns its row
-    "text_bm25_indexed_topk",
-    # ivfpq.py changed (+inf LUT sentinel for out-of-codebook codes)
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_refined",
-    # graph.py changed (connected-components convergence fix: the
-    # multi-parent probe — r9's raised-budget property suite found
-    # glued-star states the old single probe accepted as converged)
+#   3. new round-10 queries — earn rows immediately
+#   4. staleness rotation: the FULL r05-stale cohort (the entire
+#      remaining freshness debt, VERDICT r9 #1), plus the first
+#      r06-stale queries (alphabetical) to fill the window to 50.
+_REEARN_R10 = [
+    # graph.py changed (the two connected-components convergence
+    # probes fused into one count job per round — VERDICT r9 #3), so
+    # every CC consumer in the registry re-earns its row
     "dedup_clusters",
     "semdedup_clusters",
-]
-_NEW_R9: list[str] = [
-    # IVF-PQ probe served from the WRITTEN cell-partitioned index —
-    # driver proves written ≡ in-memory ≡ DuckDB (VERDICT r8 #4)
-    "ann_topk_ivfpq_served",
-    # incremental maintenance: batch encoded against the frozen
-    # corpus model, appended, probed; corpus-only-fit oracle (r8 #5)
-    "ann_topk_ivfpq_incremental",
-    # interpolated Kneser-Ney bigram probabilities, D=0.75 (r8 #6)
-    "text_kn_bigram_prob",
-    # SemDeDup keep policy end-to-end: surviving corpus + per-label
-    # savings, survivor set hash-checked (r8 #7)
     "semdedup_survivors",
 ]
-_ROTATION_R9 = [
-    # last green r03 — the 7 deferred from the r8 window
+_NEW_R10: list[str] = [
+    # interpolated Kneser-Ney trigram probabilities with recursive
+    # continuation back-off through the bigram level (VERDICT r9 #7)
+    "text_kn_trigram_prob",
+    # IVF-PQ index-staleness governance: per-cell fill + fixed-point
+    # residual energy of corpus vs frozen-encoded batch (r9 #5)
+    "ivfpq_index_drift",
+    # SemDeDup keep policy at the incremental layer: batch survivors
+    # decided against the standing exemplar set (r9 #8)
+    "semdedup_survivors_incremental",
+]
+_ROTATION_R10 = [
+    # last green r05 — the full cohort (test_stalest_cohort_rotates
+    # recomputes this list from the raw CORRECTNESS files)
+    "customer_segment_value_profile", "dedup_minhash_incremental",
+    "dedup_threshold_sweep", "docs_dedup_savings_by_source",
+    "docs_langid_agreement", "docs_length_percentiles_by_source",
+    "docs_novelty_hapax", "docs_pack_budget_sweep",
+    "docs_quality_gate_funnel", "docs_shingle_containment",
+    "docs_token_rarity", "embeddings_label_centroid",
+    "events_activity_bitmap", "events_churn_buckets",
+    "events_conversion_latency_stats", "events_dau_mau_stickiness",
+    "events_first_touch_attribution", "events_hourly_heatmap",
+    "events_mad_outliers", "events_new_vs_returning_daily",
+    "events_power_users_pareto", "events_session_duration_stats",
+    "events_user_streaks", "graph_pagerank_eventtypes",
+    "lineitem_discount_band_revenue", "lineitem_shipping_lag_stats",
+    "nation_top_customers_concat", "orders_daily_status_spine",
+    "orders_first_vs_repeat_revenue", "orders_hot_keys_skew",
+    "orders_interorder_gap_stats", "orders_monthly_seasonality",
+    "orders_open_backlog_daily", "orders_profile_drift",
+    "orders_value_gini", "part_brand_supplier_hhi",
+    "referential_integrity_audit", "scd2_point_in_time_read",
+    "supplier_lead_time_trend", "text_keyword_search_topk",
+    "text_vocab_coverage",
+    # r06 fill — first of the next-stalest cohort, alphabetical
+    "ann_topk_bruteforce", "calendar_dim",
+]
+
+_WINDOW_TIERS = (
+    ["star_revenue_by_region_year"] + _REEARN_R10 + _NEW_R10 + _ROTATION_R10
+)
+
+# green in CORRECTNESS_r09 (the r9 window), kept registered after the
+# window rotates
+_GREEN_R9 = [
+    "text_bm25_indexed_topk", "ann_topk_ivfpq", "ann_topk_ivfpq_refined",
+    "ann_topk_ivfpq_served", "ann_topk_ivfpq_incremental",
+    "text_kn_bigram_prob",
     "sample_hash_orders", "scd2_nation_update", "text_fingerprint",
     "text_top_terms", "unpivot_part_metrics", "variant_extract_props",
     "window_running_sum",
-    # last green r04 — the full 27-query cohort
     "ann_topk_ivf", "ann_topk_lsh", "approx_distinct_users",
     "approx_percentile_price", "docs_chunk_windows", "events_debounce",
     "events_mode_value_per_type", "events_rolling_7d_active_users",
@@ -92,14 +120,9 @@ _ROTATION_R9 = [
     "sketch_value_quantiles", "sql_fact_dim_join", "sql_qualified_star",
     "text_fuzzy_pairs_levenshtein", "text_inverted_index",
     "text_pseudonymize_sha2", "text_quality_score",
-    # r05 fill — 6 of 47, alphabetical; the other 41 rotate in r10
     "ann_topk_filtered", "basket_part_pairs", "bloom_membership_orders",
     "cms_point_counts", "corpus_source_overlap", "customer_rfm_segments",
 ]
-
-_WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _REEARN_R9 + _NEW_R9 + _ROTATION_R9
-)
 
 # Registry tail beyond the checked window: every other registered
 # query, ordered by prior-round tiers (kept for stable registry
@@ -190,7 +213,8 @@ _GREEN_R6 = [
     "orders_snapshot_diff", "orders_equidepth_deciles",
 ]
 # driver-green in earlier rounds, kept registered after the window
-# (the 39-query r05 rotation debt lives here)
+# (formerly the r05 rotation debt — all rotated through the r10
+# window above; entries here are deduped against the window)
 _GREEN_BACKLOG = [
     "docs_novelty_hapax", "text_keyword_search_topk",
     "events_mad_outliers", "events_user_streaks",
@@ -221,7 +245,7 @@ _GREEN_BACKLOG = [
 
 _PRIORITY = _WINDOW_TIERS + [
     n
-    for n in (_GREEN_R8 + _GREEN_R7 + _GREEN_R6 + _GREEN_BACKLOG)
+    for n in (_GREEN_R9 + _GREEN_R8 + _GREEN_R7 + _GREEN_R6 + _GREEN_BACKLOG)
     if n not in set(_WINDOW_TIERS)
 ]
 # dedupe the tail while preserving order (r6 list historically

@@ -166,6 +166,12 @@ HEADLINE = [
     "ann_topk_ivfpq_incremental",
     "text_kn_bigram_prob",
     "semdedup_survivors",
+    # round-10: trigram KN with recursive back-off; IVF-PQ drift
+    # governance (frozen-model residual stats); incremental SemDeDup
+    # survivors against the standing exemplar set
+    "text_kn_trigram_prob",
+    "ivfpq_index_drift",
+    "semdedup_survivors_incremental",
 ]
 
 def _drop_persisted(spark) -> None:

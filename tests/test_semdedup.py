@@ -98,3 +98,86 @@ def test_semdedup_plan_is_cluster_equijoin(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_semdedup_incremental_survivors_standing_tables(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 #8 done-criterion (append ≡ recompute): the
+    production shape persists the frozen model (k×dim centroids) and
+    the standing survivor-member table as parquet; a daily batch is
+    decided by reading those tables back — no corpus refit, no corpus
+    reclosure. The persisted-standing-tables decision must equal the
+    registered one-shot query EXACTLY (reason strings included)."""
+    from udacitycapstonedataengineer_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        cosine_prenorm,
+    )
+    from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        _BATCH_WHERE,
+        _cell_members,
+        _decide_batch,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    want = [
+        r.asDict()
+        for r in QUERIES["semdedup_survivors_incremental"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert any(not r["kept"] for r in want), (
+        "no batch row dropped at this sf — equality would prove nothing"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(f"NOT ({_BATCH_WHERE})")
+    batch = emb.filter(_BATCH_WHERE)
+
+    # build + PERSIST the standing tables (the corpus-refresh job)
+    vectors, centroids = kmeans_fit(corpus, k=8, iters=2, dim=64)
+    cm = _cell_members(
+        corpus, kmeans_assign(vectors, centroids), "vec_a", "e_a", "n_a"
+    )
+    cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
+    cpairs = (
+        cm.join(
+            cm.select(
+                "cluster",
+                F.col("vec_a").alias("vec_b"),
+                F.col("e_a").alias("e_b"),
+                F.col("n_a").alias("n_b"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.2)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(cpairs, a="vec_a", b="vec_b")
+    dropped = comp.filter("node != comp").select(F.col("node").alias("vec_a"))
+    cent_path = str(tmp_path / "standing_centroids")
+    surv_path = str(tmp_path / "standing_survivors")
+    centroids.write.mode("overwrite").parquet(cent_path)
+    cm.join(dropped, "vec_a", "left_anti").write.mode("overwrite").parquet(
+        surv_path
+    )
+
+    # the daily-batch job: decide against the READ-BACK standing tables
+    got = [
+        r.asDict()
+        for r in _decide_batch(
+            batch,
+            spark.read.parquet(cent_path),
+            spark.read.parquet(surv_path),
+            0.2,
+        ).collect()
+    ]
+    assert got == want

@@ -486,5 +486,6 @@ from . import queries_round6  # noqa: E402,F401
 from . import queries_round7  # noqa: E402,F401
 from . import queries_round8  # noqa: E402,F401
 from . import queries_round9  # noqa: E402,F401
+from . import queries_round10  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
