@@ -46,8 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. changed this round — must re-earn their rows
 #   3. new round-10 queries — earn rows immediately
 #   4. staleness rotation: the FULL r05-stale cohort (the entire
-#      remaining freshness debt, VERDICT r9 #1), plus the first
-#      r06-stale queries (alphabetical) to fill the window to 50.
+#      remaining freshness debt, VERDICT r9 #1).
 _REEARN_R10 = [
     # graph.py changed (the two connected-components convergence
     # probes fused into one count job per round — VERDICT r9 #3), so
@@ -66,6 +65,12 @@ _NEW_R10: list[str] = [
     # SemDeDup keep policy at the incremental layer: batch survivors
     # decided against the standing exemplar set (r9 #8)
     "semdedup_survivors_incremental",
+    # recall@k vs nprobe curve — the ANN recall/latency tuning knob,
+    # one build + one cheap probe per point
+    "ann_ivfpq_recall_curve",
+    # SCALING.md's rebuild-when thresholds as a one-row governance
+    # endpoint over the drift stats
+    "ivfpq_rebuild_decision",
 ]
 _ROTATION_R10 = [
     # last green r05 — the full cohort (test_stalest_cohort_rotates
@@ -91,8 +96,6 @@ _ROTATION_R10 = [
     "referential_integrity_audit", "scd2_point_in_time_read",
     "supplier_lead_time_trend", "text_keyword_search_topk",
     "text_vocab_coverage",
-    # r06 fill — first of the next-stalest cohort, alphabetical
-    "ann_topk_bruteforce", "calendar_dim",
 ]
 
 _WINDOW_TIERS = (

@@ -41,9 +41,15 @@ from ..operators.clustering import (
     kmeans_oracle_parts,
 )
 from ..operators.graph import connected_components
-from ..operators.ivfpq import _ivfpq_oracle_parts, ivfpq_build
+from ..operators.ivfpq import (
+    _ivfpq_oracle_parts,
+    ivfpq_build,
+    ivfpq_oracle_sql,
+    ivfpq_topk,
+)
 from ..operators.similarity import cosine_prenorm, cosine_sql, norm
 from .queries_round8 import _IVFPQ, _NPROBE, _QVEC_ID, _SEMDEDUP, _TOPK
+from .queries_round9 import _exact_topk_flags
 from .registry import query
 
 # the standing split every incremental query in the repo uses: the
@@ -563,3 +569,197 @@ def _semdedup_survivors_incremental(spark, t):
     corpus = emb.filter(~F.expr(_BATCH_WHERE))
     batch = emb.filter(F.expr(_BATCH_WHERE))
     return semdedup_incremental_survivors(corpus, batch, **_SEMDEDUP)
+
+
+_RECALL_NPROBES = (1, 2, 4, 8)
+
+
+def _ivfpq_recall_curve_oracle_sql() -> str:
+    """DuckDB twin of ``ann_ivfpq_recall_curve``: one full build+probe
+    derived table per nprobe (each is the UNCHANGED ``ivfpq_oracle_sql``
+    text, so the per-point semantics are exactly the driver-gated
+    single-probe query's), recall aggregated per point."""
+    points = []
+    for np_ in _RECALL_NPROBES:
+        inner = ivfpq_oracle_sql(
+            dim=64,
+            nprobe=np_,
+            topk=_TOPK,
+            query_vec_id=_QVEC_ID,
+            exact_k=_TOPK,
+            **_IVFPQ,
+        )
+        points.append(
+            f"""SELECT {np_} AS nprobe,
+                CAST(COUNT(CASE WHEN in_exact_topk THEN 1 END) AS BIGINT)
+                    AS hits
+                FROM ({inner}) q{np_}"""
+        )
+    u = "\nUNION ALL\n".join(points)
+    return f"""
+    SELECT nprobe, hits,
+           CAST(hits AS DOUBLE) / {float(_TOPK)} AS recall
+    FROM ({u})
+    ORDER BY nprobe
+    """
+
+
+@query("ann_ivfpq_recall_curve", _ivfpq_recall_curve_oracle_sql())
+def _ann_ivfpq_recall_curve(spark, t):
+    # The recall-vs-cost curve every ANN deployment tunes against:
+    # recall@k of the ADC probe vs the exact top-k, at nprobe ∈
+    # {1,2,4,8} (probing 1/8 .. all of the nlist=8 cells). Spark
+    # builds the index ONCE and probes it once per point — each probe
+    # is one filter+fold+TakeOrdered job over the probed cells' code
+    # rows, so the whole curve costs build + 4 cheap probes; the
+    # oracle replays the full build per point (same SQL text as the
+    # driver-gated ann_topk_ivfpq). hits is an exact integer; recall
+    # is the one shared float division. At 100 TB the same loop runs
+    # against the written index with partition pruning per point —
+    # the curve is how nprobe (the recall/latency knob) gets chosen,
+    # and re-running it after appends is the recall-decay check that
+    # complements ivfpq_index_drift's distribution view.
+    emb = t["embeddings"]
+    cents, books, index = ivfpq_build(emb, **_IVFPQ)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _QVEC_ID).head()["embedding"]
+    ]
+    exact = _exact_topk_flags(emb, q, _TOPK)
+    points = []
+    for np_ in _RECALL_NPROBES:
+        top = ivfpq_topk(index, cents, books, q, nprobe=np_, topk=_TOPK)
+        points.append(
+            top.join(F.broadcast(exact), "vec_id", "left")
+            .agg(
+                F.count(F.when(F.col("in_exact_topk"), 1)).alias("hits")
+            )
+            .select(F.lit(np_).alias("nprobe"), "hits")
+        )
+    curve = points[0]
+    for p in points[1:]:
+        curve = curve.unionByName(p)
+    return curve.select(
+        "nprobe",
+        "hits",
+        (F.col("hits").cast("double") / F.lit(float(_TOPK))).alias("recall"),
+    ).orderBy("nprobe")
+
+
+def _ivfpq_rebuild_decision_oracle_sql() -> str:
+    """DuckDB twin of ``ivfpq_rebuild_decision``: the drift oracle as
+    a derived table, aggregated into the three SCALING.md thresholds."""
+    drift = _ivfpq_drift_oracle_sql()
+    return f"""
+    WITH d AS ({drift}),
+    agg AS (
+        SELECT CAST(SUM(corpus_n) AS BIGINT) AS tc,
+               CAST(SUM(batch_n) AS BIGINT) AS tb,
+               CAST(SUM(corpus_energy) AS BIGINT) AS ec,
+               CAST(SUM(batch_energy) AS BIGINT) AS eb,
+               CAST(SUM(CASE WHEN batch_n * 8 > tbx.tb2 * 2
+                             AND (batch_n * tcx.tc2 > 2 * corpus_n * tbx.tb2
+                                  OR batch_n * tcx.tc2 * 2
+                                     < corpus_n * tbx.tb2)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS skew_cells
+        FROM d
+        CROSS JOIN (SELECT CAST(SUM(batch_n) AS BIGINT) AS tb2 FROM d) tbx
+        CROSS JOIN (SELECT CAST(SUM(corpus_n) AS BIGINT) AS tc2 FROM d) tcx
+    )
+    SELECT
+        (CAST(eb AS DOUBLE) / CAST(tb AS DOUBLE))
+            / (CAST(ec AS DOUBLE) / CAST(tc AS DOUBLE)) AS energy_ratio,
+        skew_cells AS fill_skew_cells,
+        CAST(tb AS DOUBLE) / CAST(tb + tc AS DOUBLE) AS appended_fraction,
+        (CAST(eb AS DOUBLE) / CAST(tb AS DOUBLE))
+            / (CAST(ec AS DOUBLE) / CAST(tc AS DOUBLE)) > 1.5
+            AS rebuild_energy,
+        skew_cells > 0 AS rebuild_fill,
+        CAST(tb AS DOUBLE) / CAST(tb + tc AS DOUBLE) > 0.3
+            AS rebuild_fraction,
+        ((CAST(eb AS DOUBLE) / CAST(tb AS DOUBLE))
+            / (CAST(ec AS DOUBLE) / CAST(tc AS DOUBLE)) > 1.5)
+        OR (skew_cells > 0)
+        OR (CAST(tb AS DOUBLE) / CAST(tb + tc AS DOUBLE) > 0.3)
+            AS rebuild
+    FROM agg
+    """
+
+
+@query("ivfpq_rebuild_decision", _ivfpq_rebuild_decision_oracle_sql())
+def _ivfpq_rebuild_decision(spark, t):
+    # SCALING.md's rebuild-when policy AS CODE — the one-row
+    # governance endpoint a scheduler polls after each append:
+    #   rebuild_energy:   pooled batch energy-per-vector > 1.5× the
+    #                     corpus's (quantizer off-distribution);
+    #   rebuild_fill:     some cell holds > 2/nlist of the batch AND
+    #                     its batch/corpus fill-share ratio is outside
+    #                     [0.5, 2] (mass piling into skewed cells) —
+    #                     both sides of the ratio test are CROSS-
+    #                     MULTIPLIED so the comparison stays in exact
+    #                     64-bit integers (no float division at all;
+    #                     headroom: per-cell count × total count must
+    #                     stay under 2⁶³ — at corpus sizes where that
+    #                     binds, normalize shares to fixed-point per
+    #                     mille first);
+    #   rebuild_fraction: appended rows > 30% of the indexed total.
+    # The two reported ratios are the usual shared-expression doubles
+    # over exact integer sums; the booleans are what the scheduler
+    # consumes. Composes the committed drift stats — one residual
+    # pass + one nlist-row aggregate on top.
+    emb = t["embeddings"]
+    corpus = emb.filter(~F.expr(_BATCH_WHERE))
+    cents, _books, _index = ivfpq_build(corpus, **_IVFPQ)
+    d = ivfpq_drift_stats(emb, cents)
+    tb = F.sum("batch_n")
+    tc = F.sum("corpus_n")
+    totals = d.agg(
+        tc.alias("tc"),
+        tb.alias("tb"),
+        F.sum("corpus_energy").alias("ec"),
+        F.sum("batch_energy").alias("eb"),
+    )
+    skew = (
+        d.crossJoin(F.broadcast(totals.select("tb", "tc")))
+        .select(
+            F.when(
+                (F.col("batch_n") * 8 > F.col("tb") * 2)
+                & (
+                    (
+                        F.col("batch_n") * F.col("tc")
+                        > F.lit(2) * F.col("corpus_n") * F.col("tb")
+                    )
+                    | (
+                        F.col("batch_n") * F.col("tc") * 2
+                        < F.col("corpus_n") * F.col("tb")
+                    )
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("s")
+        )
+        .agg(F.sum("s").alias("skew_cells"))
+    )
+    energy_ratio = (
+        F.col("eb").cast("double") / F.col("tb").cast("double")
+    ) / (F.col("ec").cast("double") / F.col("tc").cast("double"))
+    appended = F.col("tb").cast("double") / (
+        F.col("tb") + F.col("tc")
+    ).cast("double")
+    return (
+        totals.crossJoin(F.broadcast(skew))
+        .select(
+            energy_ratio.alias("energy_ratio"),
+            F.col("skew_cells").alias("fill_skew_cells"),
+            appended.alias("appended_fraction"),
+            (energy_ratio > 1.5).alias("rebuild_energy"),
+            (F.col("skew_cells") > 0).alias("rebuild_fill"),
+            (appended > 0.3).alias("rebuild_fraction"),
+            (
+                (energy_ratio > 1.5)
+                | (F.col("skew_cells") > 0)
+                | (appended > 0.3)
+            ).alias("rebuild"),
+        )
+    )
