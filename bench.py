@@ -172,6 +172,8 @@ HEADLINE = [
     "text_kn_trigram_prob",
     "ivfpq_index_drift",
     "semdedup_survivors_incremental",
+    "ann_ivfpq_recall_curve",
+    "ivfpq_rebuild_decision",
 ]
 
 def _drop_persisted(spark) -> None:

@@ -48,6 +48,15 @@ JUSTIFIED_WARNS = {
     # is demoted from the headline bench (VERDICT r6 #2) — the
     # daygrain rewrite is the shape that ships
     "events_linear_attribution": "oracle/probe twin of the daygrain rewrite",
+    # frozen-model assignment: kmeans_assign broadcasts the k/nlist-row
+    # centroid table (fixed size by construction — the model, not data);
+    # the established IVF-PQ queries hide the same join behind their
+    # persisted index, these consume the assignment directly
+    "ivfpq_index_drift": "frozen coarse-centroid table (nlist rows)",
+    "ivfpq_rebuild_decision": "frozen coarse-centroid table (nlist rows)",
+    "semdedup_survivors_incremental": (
+        "frozen k-row centroid model (two kmeans_assign broadcasts)"
+    ),
     # self-join shapes whose compared side is cell/parameter-grain
     "ngram_jaccard_pairs": "capped shingle-bucket pair join",
     "dedup_threshold_sweep": "3-row threshold parameter dim",

@@ -677,3 +677,136 @@ def test_batched_bpe_equals_sequential_reference(spark, corpus, batch_k):
     want = _reference_bpe(corpus, n_merges=8)
     got = train_bpe_batched(df, n_merges=8, batch_k=batch_k)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0]),
+            st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0]),
+            st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0]),
+            st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0]),
+        ),
+        min_size=6,
+        max_size=16,
+    )
+)
+def test_semdedup_incremental_survivors_matches_reference(spark, vecs):
+    """The incremental SemDeDup decision layer against an independent
+    pure-Python reimplementation: given Spark's own frozen model
+    (centroids + cell assignments), re-derive the standing survivor
+    set and the corpus_dup / batch_dup / novel classification with a
+    union-find and the same sequential-fold cosine, and require exact
+    agreement row-for-row. Covers glued components, cells with no
+    survivors, threshold boundary cosines, and empty batch-pair sets —
+    the states the r9 convergence bug taught us to enumerate."""
+    import math
+
+    from udacitycapstonedataengineer_spark.operators.clustering import (
+        _as_double_vec,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        semdedup_incremental_survivors,
+    )
+
+    k, iters, dim, threshold = 2, 2, 4, 0.5
+    rows = [(i, list(v), f"l{i % 2}") for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    corpus = emb.filter("vec_id % 3 != 0")
+    batch = emb.filter("vec_id % 3 = 0")
+
+    got = {
+        r["vec_id"]: (r["label"], r["reason"], r["kept"])
+        for r in semdedup_incremental_survivors(
+            corpus, batch, k=k, iters=iters, dim=dim, threshold=threshold
+        ).collect()
+    }
+
+    # ---- independent reference: same model, pure-Python decision ----
+    vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
+    c_cell = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(vectors, centroids).collect()
+    }
+    b_cell = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            _as_double_vec(batch, "embedding"), centroids
+        ).collect()
+    }
+    v = {i: vec for i, vec, _ in rows}
+    lab = {i: la for i, _, la in rows}
+
+    def cos(a, b):  # the engine's sequential folds, replayed exactly
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    cids = sorted(c_cell)
+    for i in cids:
+        for j in cids:
+            if i < j and c_cell[i] == c_cell[j] and cos(v[i], v[j]) >= threshold:
+                union(i, j)
+    comp_min = {}
+    for i in cids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    survivors = {i for i in cids if comp_min[find(i)] == i}
+
+    bids = sorted(b_cell)
+    hit = {
+        b
+        for b in bids
+        if any(
+            c_cell[s] == b_cell[b] and cos(v[s], v[b]) >= threshold
+            for s in survivors
+        )
+    }
+    passed = [b for b in bids if b not in hit]
+    parent = {}
+    for i in passed:
+        for j in passed:
+            if i < j and b_cell[i] == b_cell[j] and cos(v[i], v[j]) >= threshold:
+                union(i, j)
+    comp_min = {}
+    for i in passed:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    bdrop = {i for i in passed if comp_min[find(i)] != i}
+
+    want = {}
+    for b in bids:
+        reason = (
+            "corpus_dup" if b in hit else
+            "batch_dup" if b in bdrop else "novel"
+        )
+        want[b] = (lab[b], reason, reason == "novel")
+
+    assert got == want

@@ -941,3 +941,70 @@ def test_stream_ivfpq_encode_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ivfpq_drift_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming drift evidence (streaming/vectors.py): arriving
+    vectors' frozen-model cells and fixed-point residual energies as a
+    stateless projection, appended via foreachBatch; the per-cell
+    aggregation over the appended stats across multiple micro-batches
+    must equal the batch drift query's batch-side stats EXACTLY
+    (exact-BIGINT energies — no float tolerance needed)."""
+    from udacitycapstonedataengineer_spark.operators.ivfpq import ivfpq_build
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        _BATCH_WHERE,
+        ivfpq_drift_stats,
+    )
+    from udacitycapstonedataengineer_spark.streaming.vectors import (
+        stream_ivfpq_drift_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(f"NOT ({_BATCH_WHERE})")
+    batch = emb.filter(_BATCH_WHERE)
+    cents, _books, _index = ivfpq_build(corpus, nlist=8, m=8, k=16, iters=2)
+
+    want = {
+        r["cell"]: (r["batch_n"], r["batch_energy"])
+        for r in ivfpq_drift_stats(emb, cents).collect()
+        if r["batch_n"] > 0
+    }
+    assert want, "no batch rows at this sf — test would prove nothing"
+
+    landing = str(tmp_path / "drift_landing")
+    batch.filter("vec_id % 20 = 7").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    batch.filter("vec_id % 20 = 17").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stats_dir = str(tmp_path / "drift_stats_append")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select("vec_id", "embedding")
+    )
+    q = (
+        stream_ivfpq_drift_stats(stream, cents.collect())
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(stats_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+    got = {
+        r["cell"]: (r["n"], r["energy"])
+        for r in spark.read.parquet(stats_dir)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("energy").alias("energy")
+        )
+        .collect()
+    }
+    assert got == want

@@ -115,17 +115,28 @@ def connected_components(
     ``stats``, if supplied, receives {"rounds": int} — the probe hook
     for round-count assertions vs hash-min.
     """
-    nodes = (
-        edges.select(F.col(a).alias("node"))
-        .union(edges.select(F.col(b).alias("node")))
-        .distinct()
-    )
-    cur = (
+    # Materialize the INPUT edge plan exactly once: both the node
+    # spine and the working edge set derive from this checkpoint.
+    # Without it, `nodes` (and through it every consumer of the label
+    # output) re-executes the whole upstream pair pipeline — for the
+    # SemDeDup/MinHash callers that upstream is a k-means fit plus a
+    # within-cell self-join, and it was being recomputed 2-4× per
+    # query (r10 A/B: semdedup_survivors 29 s → see PERF_NOTES).
+    # distinct BEFORE the checkpoint: band-join callers emit each
+    # near-dup pair once per matching band, and storing the raw
+    # multiset OOMed the sf0.1 bench — the checkpoint holds the edge
+    # SET (self-loops kept: they carry isolated nodes for the spine).
+    pre = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        pre.select(F.col("u").alias("node"))
+        .union(pre.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = pre.where(F.col("u") != F.col("v"))
     rounds = 0
     if not cur.isEmpty():
         for _ in range(max_iter):

@@ -169,3 +169,59 @@ def stream_ivfpq_encode(
         )
         .select("vec_id", "cell", F.expr(codes_expr).alias("codes"))
     )
+
+
+def stream_ivfpq_drift_stats(
+    new_stream: DataFrame,
+    centroid_rows: list,
+    energy_scale: int = 1000,
+) -> DataFrame:
+    """Append-mode stream of (vec_id, cell, energy): each arriving
+    vector's frozen-model cell and fixed-point residual energy
+    (floor(r·scale)² summed — the exact-BIGINT statistic
+    ``plans/queries_round10.ivfpq_drift_stats`` aggregates), as a
+    stateless projection. The per-cell drift aggregation happens at
+    read time over the appended stats table (or in the foreachBatch
+    sink), so the stream itself stays shuffle-free and append-safe —
+    the governance twin of ``stream_ivfpq_encode``: the encode stream
+    maintains the index, this stream maintains the evidence for WHEN
+    to stop trusting the frozen model (SCALING.md rebuild-when).
+
+    ``test_stream_ivfpq_drift_matches_batch`` pins multi-micro-batch
+    append ≡ the batch drift stats, cell energies included."""
+    cents = sorted(centroid_rows, key=lambda r: r["cid"])
+    if [int(r["cid"]) for r in cents] != list(range(len(cents))):
+        raise ValueError(
+            "stream_ivfpq_drift_stats: coarse cids must be dense 0..n-1"
+        )
+    cent_arr = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r["c"]) + ")"
+            for r in cents
+        )
+        + ")"
+    )
+    energy = (
+        f"aggregate(transform(rv, x -> "
+        f"CAST(FLOOR(x * {energy_scale}.0) AS BIGINT)"
+        f" * CAST(FLOOR(x * {energy_scale}.0) AS BIGINT)), "
+        f"0L, (acc, w) -> acc + w)"
+    )
+    return (
+        new_stream.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "v"
+            ),
+        )
+        .withColumn("cell", centroid_assign_expr(centroid_rows))
+        .withColumn(
+            "rv",
+            F.expr(
+                f"zip_with(v, element_at({cent_arr}, "
+                "cast(cell as int) + 1), (x, y) -> x - y)"
+            ),
+        )
+        .select("vec_id", "cell", F.expr(energy).alias("energy"))
+    )
