@@ -456,3 +456,39 @@ def test_triangle_count_vs_bruteforce(spark):
         assert row["n_triangles"] == brute, name
         assert row["n_edges"] == len(canon), name
         assert row["n_nodes"] == len(nodes), name
+
+
+def test_connected_components_materializes_input_once(spark):
+    """r10 perf contract (PERF_NOTES: 2-3× on the semdedup closure
+    queries): connected_components must cut the INPUT edge plan with
+    one checkpoint — its label output's physical plan may contain
+    ONLY the final node-spine join over checkpointed scans, never the
+    caller's edge-producing pipeline. Regression here means every
+    consumer of the labels silently re-runs candidate generation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    # expensive-shaped upstream: a join producing the edges — if the
+    # operator leaks its input plan, a join/Range from HERE shows up
+    # in the output plan
+    a = spark.range(20).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("k")
+    )
+    b = spark.range(20).select(
+        F.col("id").alias("doc_b"), F.col("id").alias("k")
+    )
+    comp = connected_components(a.join(b, "k").select("doc_a", "doc_b"))
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan
+    )
+    assert len(joins) == 1, f"expected only the label join, got: {joins}"
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "Range (" not in plan, (
+        "input edge plan leaked into the label output:\n" + plan[:2000]
+    )

@@ -710,7 +710,11 @@ def _ivfpq_rebuild_decision(spark, t):
     emb = t["embeddings"]
     corpus = emb.filter(~F.expr(_BATCH_WHERE))
     cents, _books, _index = ivfpq_build(corpus, **_IVFPQ)
-    d = ivfpq_drift_stats(emb, cents)
+    # persisted: the totals and skew branches below each consume the
+    # drift stats — without this the residual pass over corpus+batch
+    # runs once per branch (the recompute-amplification class the CC
+    # checkpoint fix documents)
+    d = ivfpq_drift_stats(emb, cents).persist()
     tb = F.sum("batch_n")
     tc = F.sum("corpus_n")
     totals = d.agg(
