@@ -282,3 +282,24 @@ def test_int8_ann_on_zero_vectors(spark):
     ids = {(r["query_id"], r["cand_id"]) for r in rows}
     assert ids == {(1, 2)}  # zero-norm queries and candidates dropped
     assert all(r["qcosine"] == r["qcosine"] for r in rows)  # no NaN
+
+
+def test_semdedup_incremental_survivors_on_empty_batch(spark):
+    """Quiet ingest day at the SURVIVOR layer: an empty batch against
+    a real standing corpus must return an empty, correctly-shaped
+    decision table (both closures run on empty edge sets) — no error,
+    no rows."""
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        semdedup_incremental_survivors,
+    )
+
+    corpus = _toy_emb(spark).withColumn("label", F.lit("a"))
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label string"
+    )
+    out = semdedup_incremental_survivors(
+        corpus, empty, k=2, iters=2, dim=4, threshold=0.0
+    )
+    assert out.columns == ["vec_id", "label", "reason", "kept"]
+    assert out.count() == 0
