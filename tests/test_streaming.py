@@ -1008,3 +1008,153 @@ def test_stream_ivfpq_drift_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_semdedup_survivor_pipeline_sequential(spark, sf_dir, tmp_path):
+    """The production ingest loop for incremental SemDeDup survivors:
+    each micro-batch is decided against the STANDING survivor table
+    (frozen model), and its kept rows are appended into that table
+    before the next micro-batch — so a duplicate arriving after its
+    exemplar dies as corpus_dup even across micro-batch boundaries.
+    The streamed decisions must equal applying the batch operator
+    sequentially (B1 then B2 with the survivor append in between) —
+    the sequencing-honest contract, exactly."""
+    from udacitycapstonedataengineer_spark.operators.clustering import (
+        _as_double_vec,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from udacitycapstonedataengineer_spark.operators.graph import (
+        connected_components,
+    )
+    from udacitycapstonedataengineer_spark.operators.similarity import (
+        cosine_prenorm,
+        norm,
+    )
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round10 import (
+        _BATCH_WHERE,
+        _cell_members,
+        _decide_batch,
+    )
+
+    threshold = 0.2
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(f"NOT ({_BATCH_WHERE})")
+    b1 = emb.filter("vec_id % 20 = 7")
+    b2 = emb.filter("vec_id % 20 = 17")
+
+    # standing tables (the corpus-refresh job), persisted as parquet
+    vectors, centroids = kmeans_fit(corpus, k=8, iters=2, dim=64)
+    cm = _cell_members(
+        corpus, kmeans_assign(vectors, centroids), "vec_a", "e_a", "n_a"
+    )
+    cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
+    cpairs = (
+        cm.join(
+            cm.select(
+                "cluster",
+                F.col("vec_a").alias("vec_b"),
+                F.col("e_a").alias("e_b"),
+                F.col("n_a").alias("n_b"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(cpairs, a="vec_a", b="vec_b")
+    dropped = comp.filter("node != comp").select(F.col("node").alias("vec_a"))
+    cent_path = str(tmp_path / "pipe_centroids")
+    surv_path = str(tmp_path / "pipe_survivors")
+    centroids.write.mode("overwrite").parquet(cent_path)
+    cm.join(dropped, "vec_a", "left_anti").write.mode("overwrite").parquet(
+        surv_path
+    )
+
+    def survivor_members(batch, decisions):
+        kept = decisions.filter("kept").select("vec_id")
+        kb = batch.join(kept, "vec_id")
+        assign = kmeans_assign(
+            _as_double_vec(kb, "embedding"),
+            spark.read.parquet(cent_path),
+        )
+        return kb.join(assign, "vec_id").select(
+            "cluster",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("e_a"),
+            norm("embedding").alias("n_a"),
+        )
+
+    # ---- want: the batch operator applied sequentially ----
+    want_rows = []
+    standing = spark.read.parquet(surv_path)
+    d1 = _decide_batch(b1, spark.read.parquet(cent_path), standing, threshold)
+    d1p = str(tmp_path / "want_d1")
+    d1.write.mode("overwrite").parquet(d1p)
+    want_rows += [
+        r.asDict() for r in spark.read.parquet(d1p).collect()
+    ]
+    survivor_members(b1, spark.read.parquet(d1p)).write.mode(
+        "append"
+    ).parquet(surv_path)
+    d2 = _decide_batch(
+        b2,
+        spark.read.parquet(cent_path),
+        spark.read.parquet(surv_path),
+        threshold,
+    )
+    d2p = str(tmp_path / "want_d2")
+    d2.write.mode("overwrite").parquet(d2p)
+    want_rows += [r.asDict() for r in spark.read.parquet(d2p).collect()]
+    want = {r["vec_id"]: (r["label"], r["reason"], r["kept"]) for r in want_rows}
+
+    # ---- got: the STREAMING loop over a fresh standing table ----
+    surv2_path = str(tmp_path / "pipe_survivors_stream")
+    cm.join(dropped, "vec_a", "left_anti").write.mode("overwrite").parquet(
+        surv2_path
+    )
+    landing = str(tmp_path / "pipe_landing")
+    decisions_path = str(tmp_path / "pipe_decisions")
+
+    def decide_and_append(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        dec = _decide_batch(
+            batch_df,
+            spark.read.parquet(cent_path),
+            spark.read.parquet(surv2_path),
+            threshold,
+        )
+        dec.write.mode("append").parquet(decisions_path)
+        survivor_members(
+            batch_df, spark.read.parquet(decisions_path)
+        ).join(
+            batch_df.select("vec_id").withColumnRenamed("vec_id", "vec_a"),
+            "vec_a",
+        ).write.mode("append").parquet(surv2_path)
+
+    schema = b1.schema
+    for piece in (b1, b2):  # one file per ingest wave, decided in order
+        piece.coalesce(1).write.mode("append").parquet(landing)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(decide_and_append)
+            .option("checkpointLocation", str(tmp_path / "pipe_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        r["vec_id"]: (r["label"], r["reason"], r["kept"])
+        for r in spark.read.parquet(decisions_path).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # the cross-micro-batch contract is actually exercised: some B2
+    # row must have died against a B1-appended survivor OR the split
+    # must at least produce kept B1 rows that B2 was compared against
+    assert any(r["kept"] for r in want_rows), "no survivors at all?"
