@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 10
+_ROUND = 11
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,42 +39,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-10 tiers, in order (tier sizes are never hand-counted here —
+# Round-11 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. changed this round — must re-earn their rows
-#   3. new round-10 queries — earn rows immediately
-#   4. staleness rotation: the FULL r05-stale cohort (the entire
-#      remaining freshness debt, VERDICT r9 #1).
-_REEARN_R10 = [
-    # graph.py changed (the two connected-components convergence
-    # probes fused into one count job per round — VERDICT r9 #3), so
-    # every CC consumer in the registry re-earns its row
-    "dedup_clusters",
-    "semdedup_clusters",
-    "semdedup_survivors",
+#   2. changed this round — must re-earn their rows (none: r11
+#      deliberately touches NO shared operator files so the full
+#      r06-stale cohort fits — VERDICT r10 #1; the ivfpq_coarse_fit
+#      refactor and its ~9 re-earns are budgeted for r12)
+#   3. new round-11 queries — earn rows immediately
+#   4. staleness rotation: the FULL r06-stale cohort (the entire
+#      remaining freshness debt, VERDICT r10 #1).
+_REEARN_R11: list[str] = []
+_NEW_R11: list[str] = [
+    # recall@k vs nprobe curve probed from the WRITTEN cell-partitioned
+    # index — the post-append recall-decay check as production runs it
+    # (VERDICT r10 #5)
+    "ann_ivfpq_recall_curve_served",
+    # append ≡ rebuild for the Kneser-Ney count tables: additive
+    # bigram counts + distinct-left-context merge of the continuation
+    # statistics, hashed against the full-corpus oracle (r10 #6)
+    "text_kn_bigram_incremental",
 ]
-_NEW_R10: list[str] = [
-    # interpolated Kneser-Ney trigram probabilities with recursive
-    # continuation back-off through the bigram level (VERDICT r9 #7)
-    "text_kn_trigram_prob",
-    # IVF-PQ index-staleness governance: per-cell fill + fixed-point
-    # residual energy of corpus vs frozen-encoded batch (r9 #5)
-    "ivfpq_index_drift",
-    # SemDeDup keep policy at the incremental layer: batch survivors
-    # decided against the standing exemplar set (r9 #8)
-    "semdedup_survivors_incremental",
-    # recall@k vs nprobe curve — the ANN recall/latency tuning knob,
-    # one build + one cheap probe per point
-    "ann_ivfpq_recall_curve",
-    # SCALING.md's rebuild-when thresholds as a one-row governance
-    # endpoint over the drift stats
-    "ivfpq_rebuild_decision",
-]
-_ROTATION_R10 = [
-    # last green r05 — the full cohort (test_stalest_cohort_rotates
+_ROTATION_R11 = [
+    # last green r06 — the full cohort (test_stalest_cohort_rotates
     # recomputes this list from the raw CORRECTNESS files)
+    "ann_topk_bruteforce", "calendar_dim", "cast_types",
+    "corpus_mixture_sample", "corpus_sample_exact_counts",
+    "country_dim", "dedup_by_key", "distinct_rows",
+    "docs_char_class_profile", "docs_crosslingual_template_leakage",
+    "docs_pack_sequences", "docs_source_lang_mix", "dropna_rows",
+    "embeddings_norm_outliers", "events_bot_regularity_audit",
+    "events_daily_anomaly_seasonal", "events_error_burst_windows",
+    "events_heavy_hitters", "events_linear_attribution",
+    "events_linear_attribution_daygrain", "events_type_weekday_chisq",
+    "global_counts", "groupby_avg", "initcap_labels", "join_dedup",
+    "join_left_broadcast", "join_string_keys",
+    "lineitem_selfjoin_fanout_profile", "nation_revenue_share",
+    "null_profile", "orders_cohort_ltv", "orders_cohort_ltv_incremental",
+    "orders_cohort_survival", "orders_daily_autocorr",
+    "orders_daily_drawdown", "orders_duplicate_invoice_pairs",
+    "orders_monthly_forecast_eval", "orders_monthly_price_bands",
+    "orders_scd2_asof_revenue", "part_sourcing_risk_grid",
+    "priority_dim", "sas_date_decode", "sas_labels_decode",
+    "supplier_nation_trade_matrix", "text_bigram_pmi",
+    "text_tfidf_top_terms", "tpch_q15_top_supplier",
+]
+
+_WINDOW_TIERS = (
+    ["star_revenue_by_region_year"] + _REEARN_R11 + _NEW_R11 + _ROTATION_R11
+)
+
+# green in CORRECTNESS_r10 (the r10 window), kept registered after the
+# window rotates
+_GREEN_R10 = [
+    "dedup_clusters", "semdedup_clusters", "semdedup_survivors",
+    "text_kn_trigram_prob", "ivfpq_index_drift",
+    "semdedup_survivors_incremental", "ann_ivfpq_recall_curve",
+    "ivfpq_rebuild_decision",
     "customer_segment_value_profile", "dedup_minhash_incremental",
     "dedup_threshold_sweep", "docs_dedup_savings_by_source",
     "docs_langid_agreement", "docs_length_percentiles_by_source",
@@ -97,10 +119,6 @@ _ROTATION_R10 = [
     "supplier_lead_time_trend", "text_keyword_search_topk",
     "text_vocab_coverage",
 ]
-
-_WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _REEARN_R10 + _NEW_R10 + _ROTATION_R10
-)
 
 # green in CORRECTNESS_r09 (the r9 window), kept registered after the
 # window rotates
@@ -248,7 +266,14 @@ _GREEN_BACKLOG = [
 
 _PRIORITY = _WINDOW_TIERS + [
     n
-    for n in (_GREEN_R9 + _GREEN_R8 + _GREEN_R7 + _GREEN_R6 + _GREEN_BACKLOG)
+    for n in (
+        _GREEN_R10
+        + _GREEN_R9
+        + _GREEN_R8
+        + _GREEN_R7
+        + _GREEN_R6
+        + _GREEN_BACKLOG
+    )
     if n not in set(_WINDOW_TIERS)
 ]
 # dedupe the tail while preserving order (r6 list historically

@@ -174,7 +174,19 @@ HEADLINE = [
     "semdedup_survivors_incremental",
     "ann_ivfpq_recall_curve",
     "ivfpq_rebuild_decision",
+    # round-11: recall curve served from the written cell-partitioned
+    # index; KN append-equals-rebuild merge over standing count tables
+    "ann_ivfpq_recall_curve_served",
+    "text_kn_bigram_incremental",
 ]
+
+# Session-contamination canary (VERDICT r10 #2): a fixed trivial query
+# timed (median-of-3) immediately after warmup AND again after the
+# full headline+sweep run. A last/first ratio > 1.5 means the session
+# itself degraded — every regression flagged from that session is
+# auto-annotated as contaminated rather than adjudicated as code.
+CANARY = "global_counts"
+_CANARY_LIMIT = 1.5
 
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
@@ -214,6 +226,19 @@ def main() -> None:
     # warm the JVM + file listing so query 1 doesn't pay startup cost
     QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _canary_run() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[CANARY](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        _drop_persisted(spark)
+        return round(sorted(runs)[1], 3)
+
+    canary_first = _canary_run()
+
     # median-of-3 (VERDICT r7 #2): a single-run / best-of-2 harness
     # cannot support regression calls against a documented 0.9-1.4×
     # ambient noise floor — the median of three runs (the first still
@@ -252,6 +277,8 @@ def main() -> None:
             sweep[name] = round(time.perf_counter() - t0, 3)
             _drop_persisted(spark)
 
+    canary_last = _canary_run()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -260,7 +287,19 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
+        "canary": {
+            "query": CANARY,
+            "first_sec": canary_first,
+            "last_sec": canary_last,
+            "ratio": round(canary_last / canary_first, 3)
+            if canary_first > 0
+            else None,
+        },
     }
+    if canary_first > 0 and canary_last / canary_first > _CANARY_LIMIT:
+        # the session degraded under its own weight — regression flags
+        # from this run measure session state, not plans
+        out["canary_contaminated"] = True
     if sweep:
         out["sweep_queries"] = sweep
         out["sweep_n"] = len(sweep)
@@ -295,6 +334,9 @@ def main() -> None:
             if n in baseline and baseline[n] > 0 and t > 1.5 * baseline[n]
         }
         if regressions:
+            if out.get("canary_contaminated"):
+                for row in regressions.values():
+                    row["contaminated"] = True
             out["regressions"] = regressions
     _write_detail(out)
     print(json.dumps(_fit_line(out)))

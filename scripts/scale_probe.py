@@ -137,6 +137,10 @@ PROBE_QUERIES = [
     "text_kn_trigram_prob",
     "ivfpq_index_drift",
     "semdedup_survivors_incremental",
+    # round-11: served recall curve (build+write+4 pruned probes);
+    # KN standing-table merge (O(batch grams) given the standing side)
+    "ann_ivfpq_recall_curve_served",
+    "text_kn_bigram_incremental",
 ]
 
 # SF-PROPORTIONAL replication (VERDICT r7 #6). The old ×N clone kept

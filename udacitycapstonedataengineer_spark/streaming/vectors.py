@@ -131,6 +131,12 @@ def stream_ivfpq_encode(
             "stream_ivfpq_encode: coarse cids must be dense 0..nlist-1"
         )
     dim = len(cents[0]["c"])
+    if dim % m != 0:
+        # a silent floor-divide would drop the trailing dim % m
+        # dimensions from every residual slice
+        raise ValueError(
+            f"stream_ivfpq_encode: dim {dim} not divisible by m {m}"
+        )
     dsub = dim // m
     cent_arr = (
         "array("
@@ -143,6 +149,12 @@ def stream_ivfpq_encode(
     by_sub: dict[int, list] = {}
     for r in codebook_rows:
         by_sub.setdefault(int(r["sub"]), []).append(r)
+    missing = [s for s in range(m) if s not in by_sub]
+    if missing:
+        raise ValueError(
+            f"stream_ivfpq_encode: codebook missing subspaces {missing} "
+            f"(expected 0..{m - 1})"
+        )
     code_entries = []
     for s in range(m):
         entries = []
