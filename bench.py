@@ -182,11 +182,29 @@ HEADLINE = [
 
 # Session-contamination canary (VERDICT r10 #2): a fixed trivial query
 # timed (median-of-3) immediately after warmup AND again after the
-# full headline+sweep run. A last/first ratio > 1.5 means the session
-# itself degraded — every regression flagged from that session is
-# auto-annotated as contaminated rather than adjudicated as code.
+# full headline+sweep run. Three contamination signatures, any of
+# which auto-annotates every regression flagged from that session as
+# contaminated rather than adjudicated as code:
+#   ratio high  (last/first > 1.5)  — session degraded under its own
+#                                     weight; late-slot timings lie;
+#   ratio low   (last/first < 1/3)  — session started loaded;
+#                                     early-slot timings lie;
+#   level high  (min(first,last) > 1.5× the canary's committed
+#               baseline) — loaded THROUGHOUT, ratio ≈ 1 — the r10
+#               driver session's actual signature: every sub-second
+#               query read ~2-3× high at once, which a pure ratio
+#               test cannot see.
+# The low-side limit is asymmetric by calibration, not symmetry: even
+# after warm runs, an IDLE session's first reading sits ~2× its last
+# (JVM tiered compilation — the end-of-session value benefits from
+# the whole session's warmth), so idle ratios measure ~0.4-0.5 and a
+# symmetric 1/1.5 bound false-positives every run. A genuinely
+# loaded-at-start session pushes the first reading further: the one
+# contended session observed this round read 0.31 (r11 calibration
+# runs: idle 0.42/0.50, contended 0.31).
 CANARY = "global_counts"
 _CANARY_LIMIT = 1.5
+_CANARY_LOW = 1.0 / 3.0
 
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
@@ -237,6 +255,12 @@ def main() -> None:
         _drop_persisted(spark)
         return round(sorted(runs)[1], 3)
 
+    # warm the canary's own codegen so the first MEASURED reading is
+    # as comparable to the last as early-JVM state allows (see note)
+    for _ in range(3):
+        QUERIES[CANARY](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     canary_first = _canary_run()
 
     # median-of-3 (VERDICT r7 #2): a single-run / best-of-2 harness
@@ -296,9 +320,9 @@ def main() -> None:
             else None,
         },
     }
-    if canary_first > 0 and canary_last / canary_first > _CANARY_LIMIT:
-        # the session degraded under its own weight — regression flags
-        # from this run measure session state, not plans
+    ratio = canary_last / canary_first if canary_first > 0 else None
+    if ratio is not None and (ratio > _CANARY_LIMIT or ratio < _CANARY_LOW):
+        # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True
     if sweep:
         out["sweep_queries"] = sweep
@@ -306,6 +330,13 @@ def main() -> None:
         out["sweep_total"] = round(sum(v for v in sweep.values() if v > 0), 3)
         out["bench_coverage"] = f"{len(timings) + len(sweep)}/{len(QUERIES)}"
     baseline, baseline_src, sweep_sourced = _load_baseline()
+    canary_base = baseline.get(CANARY) if baseline else None
+    if canary_base and canary_base > 0:
+        out["canary"]["baseline_sec"] = canary_base
+        if min(canary_first, canary_last) > _CANARY_LIMIT * canary_base:
+            # loaded THROUGHOUT (ratio ≈ 1 but the level is high) —
+            # the uniform-load signature a ratio test cannot see
+            out["canary_contaminated"] = True
     if baseline:
         # round-over-round on the SHARED query set (VERDICT r4 #8):
         # machine-readable so the judge reads the ratio instead of
