@@ -206,6 +206,23 @@ CANARY = "global_counts"
 _CANARY_LIMIT = 1.5
 _CANARY_LOW = 1.0 / 3.0
 
+
+def canary_verdict(
+    first: float, last: float, baseline: float | None = None
+) -> bool:
+    """True = the session is contaminated (any of the three
+    signatures above). Pure so the decision is unit-testable
+    (tests/test_round11.py) — the bench's regression flags inherit
+    whatever this returns."""
+    if first and first > 0:
+        ratio = last / first
+        if ratio > _CANARY_LIMIT or ratio < _CANARY_LOW:
+            return True
+    if baseline and baseline > 0:
+        if min(first, last) > _CANARY_LIMIT * baseline:
+            return True
+    return False
+
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
     (localCheckpoint blocks included). The index-building queries
@@ -320,8 +337,7 @@ def main() -> None:
             else None,
         },
     }
-    ratio = canary_last / canary_first if canary_first > 0 else None
-    if ratio is not None and (ratio > _CANARY_LIMIT or ratio < _CANARY_LOW):
+    if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True
     if sweep:
@@ -333,9 +349,9 @@ def main() -> None:
     canary_base = baseline.get(CANARY) if baseline else None
     if canary_base and canary_base > 0:
         out["canary"]["baseline_sec"] = canary_base
-        if min(canary_first, canary_last) > _CANARY_LIMIT * canary_base:
-            # loaded THROUGHOUT (ratio ≈ 1 but the level is high) —
-            # the uniform-load signature a ratio test cannot see
+        if canary_verdict(canary_first, canary_last, canary_base):
+            # includes loaded-THROUGHOUT (ratio ≈ 1 but the level is
+            # high) — the uniform-load signature a ratio test misses
             out["canary_contaminated"] = True
     if baseline:
         # round-over-round on the SHARED query set (VERDICT r4 #8):

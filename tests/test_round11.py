@@ -114,6 +114,38 @@ def test_kn_bigram_merge_on_empty_batch(spark, sf_dir):
     assert typesm.collect() == ftypes.collect()
 
 
+def test_canary_verdict_signatures():
+    """The bench canary's three contamination signatures as a pure
+    decision table (the r11 calibration data as fixtures): degraded
+    during run, started loaded, loaded throughout — and the idle
+    structural ratios (~0.4-0.5) must NOT trip it."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    v = bench.canary_verdict
+    # idle sessions observed this round: clean
+    assert not v(0.373, 0.185, 0.199)   # bench5 (the committed anchor)
+    assert not v(0.403, 0.203, 0.199)   # bench3
+    assert not v(0.25, 0.25, 0.199)     # flat and at level
+    # started loaded (ratio < 1/3): bench4's transient-load session
+    assert v(1.132, 0.201, 0.199)
+    # degraded during the run (ratio > 1.5)
+    assert v(0.2, 0.35)
+    # loaded THROUGHOUT: ratio ≈ 1 but both readings over level
+    assert v(0.6, 0.55, 0.199)
+    # no baseline → level test silently off, ratio tests still live
+    assert not v(0.6, 0.55)
+    # degenerate first: no ratio, level may still decide
+    assert not v(0.0, 0.2)
+    assert v(0.4, 0.4, 0.199)
+
+
 def test_derive_k_policy():
     """The policy itself: ⌈n/target⌉ with a floor, deterministic,
     monotone in n — doubling the corpus at least doubles-ish k, so
@@ -176,6 +208,57 @@ def test_semdedup_survivors_scaled_matches_fixed_k_semantics(spark, sf_dir):
     assert sorted(r["vec_id"] for r in scaled.collect()) == sorted(
         r["vec_id"] for r in fixed.collect()
     )
+
+
+def test_kn_bigram_merge_fuzz_vs_python_rebuild(spark):
+    """Hypothesis fuzz of the merge ALGEBRA: random standing/batch
+    bigram count tables over a tiny alphabet (forcing heavy type
+    overlap, batch-only left contexts, standing-only types, and both
+    sides empty), merged via kn_bigram_merge and compared against a
+    pure-Python rebuild of the full-corpus statistics. The tiny
+    alphabet is the adversarial part — the distinct-left-context
+    anti-join is maximally stressed when most batch types collide
+    with standing types."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "b", "c"])
+    table = st.dictionaries(
+        st.tuples(words, words), st.integers(1, 5), max_size=9
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(s=table, b=table)
+    def check(s, b):
+        s12 = spark.createDataFrame(
+            [(w1, w2, c) for (w1, w2), c in sorted(s.items())],
+            "w1 string, w2 string, c_s long",
+        )
+        b12 = spark.createDataFrame(
+            [(w1, w2, c) for (w1, w2), c in sorted(b.items())],
+            "w1 string, w2 string, c_b long",
+        )
+        m12, c1m, contm, typesm = kn_bigram_merge(s12, b12)
+        full = Counter(s)
+        full.update(b)
+        # pure-Python rebuild from the merged multiset
+        exp_c1, exp_n1p, exp_cont = Counter(), Counter(), Counter()
+        for (w1, w2), c in full.items():
+            exp_c1[w1] += c
+            exp_n1p[w1] += 1
+            exp_cont[w2] += 1
+        got_m12 = {(r["w1"], r["w2"]): r["c12"] for r in m12.collect()}
+        assert got_m12 == dict(full)
+        got_c1 = {r["w1"]: (r["c1"], r["n1p"]) for r in c1m.collect()}
+        assert got_c1 == {
+            w: (exp_c1[w], exp_n1p[w]) for w in exp_c1
+        }
+        got_cont = {r["w2"]: r["cont"] for r in contm.collect()}
+        assert got_cont == dict(exp_cont)
+        assert typesm.collect()[0]["n_types"] == len(full)
+
+    check()
 
 
 def test_stream_ivfpq_encode_validates_model_shape(spark):
