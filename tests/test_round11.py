@@ -287,6 +287,35 @@ def test_stream_ivfpq_encode_validates_model_shape(spark):
         stream_ivfpq_encode(stream, cents, [books[0]], m=2)
 
 
+def test_coarse_fit_equals_ivfpq_build_centroids(spark, sf_dir):
+    """r12 pre-landing (VERDICT r10 #3): ivfpq_coarse_fit must return
+    centroids BIT-identical to ivfpq_build's — including the
+    truncating update and empty-cell retention that distinguish the
+    IVF coarse stage from clustering.kmeans_fit — so the r12
+    call-site switch in the two governance queries cannot move their
+    oracle hashes. Checked at two configs (the registered _IVFPQ
+    shape and a small odd one)."""
+    from udacitycapstonedataengineer_spark.operators.coarse import (
+        ivfpq_coarse_fit,
+    )
+    from udacitycapstonedataengineer_spark.operators.ivfpq import ivfpq_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for nlist, iters in [(8, 2), (3, 3)]:
+        built, _books, _index = ivfpq_build(
+            emb, nlist=nlist, m=8, k=16, iters=iters
+        )
+        fit = ivfpq_coarse_fit(emb, nlist=nlist, iters=iters)
+        a = sorted(
+            (r["cid"], tuple(r["c"])) for r in built.collect()
+        )
+        b = sorted((r["cid"], tuple(r["c"])) for r in fit.collect())
+        assert a == b, (nlist, iters)
+    # contract check from the build: nlist > corpus raises the same way
+    with pytest.raises(ValueError, match="nlist"):
+        ivfpq_coarse_fit(emb.limit(2), nlist=5)
+
+
 def test_ivfpq_drift_stats_on_empty_batch_raise(spark, sf_dir):
     """ADVICE r10: the drift/rebuild pair's fill-share divisions have
     no zero guard, so an empty batch RAISES (ANSI DIVIDE_BY_ZERO)
