@@ -1158,3 +1158,78 @@ def test_stream_semdedup_survivor_pipeline_sequential(spark, sf_dir, tmp_path):
     # row must have died against a B1-appended survivor OR the split
     # must at least produce kept B1 rows that B2 was compared against
     assert any(r["kept"] for r in want_rows), "no survivors at all?"
+
+
+def test_stream_kn_bigram_counts_matches_rebuild(spark, sf_dir, tmp_path):
+    """Streaming KN count maintenance (streaming/text.py, round 11):
+    documents streamed in MULTIPLE micro-batches land append-only
+    partial bigram counts; the compacted standing table must equal a
+    full batch rebuild EXACTLY, and feeding it (plus an empty batch)
+    through kn_bigram_merge must reproduce the full-corpus derived
+    statistics — the streamed table is a drop-in standing side for
+    text_kn_bigram_incremental. Restart over the same checkpoint must
+    land nothing new (exactly-once)."""
+    from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round8 import (
+        _doc_bigrams,
+    )
+    from udacitycapstonedataengineer_spark.plans.queries_round11 import (
+        kn_bigram_merge,
+    )
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        kn_counts_compact,
+        stream_kn_bigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "kn_landing")
+    # two files → maxFilesPerTrigger=1 forces multiple micro-batches
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    table = str(tmp_path / "kn_counts")
+    ckpt = str(tmp_path / "kn_ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_kn_bigram_counts(stream, table, ckpt)
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+
+    want = {
+        (r["w1"], r["w2"], r["c12"])
+        for r in _doc_bigrams(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .collect()
+    }
+    standing = kn_counts_compact(spark, table)
+    got = {(r["w1"], r["w2"], r["c12"]) for r in standing.collect()}
+    assert got == want
+
+    # the streamed table is a valid standing side for the merge: with
+    # an empty batch the derived statistics equal the full rebuild's
+    empty = spark.createDataFrame([], "w1 string, w2 string, c_b long")
+    m12, c1m, contm, typesm = kn_bigram_merge(
+        standing.withColumnRenamed("c12", "c_s"), empty
+    )
+    assert {(r["w1"], r["w2"], r["c12"]) for r in m12.collect()} == want
+    n_types = typesm.collect()[0]["n_types"]
+    assert n_types == len(want)
+
+    # restart over the same checkpoint: offset log replays nothing
+    n_rows = spark.read.parquet(table).count()
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_kn_bigram_counts(stream2, table, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(table).count() == n_rows
