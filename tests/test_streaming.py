@@ -1233,3 +1233,82 @@ def test_stream_kn_bigram_counts_matches_rebuild(spark, sf_dir, tmp_path):
     q2 = stream_kn_bigram_counts(stream2, table, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(table).count() == n_rows
+
+
+def test_recall_curve_served_from_streamed_appends(spark, sf_dir, tmp_path):
+    """The full production ANN loop, end-to-end (round 11): the corpus
+    index is WRITTEN cell-partitioned, a new batch arrives as a STREAM
+    (multiple micro-batches, frozen-model encode, foreachBatch append
+    into the same cell-partitioned table), and the recall curve is
+    then probed from the appended table — every probe point must (a)
+    equal the batch-append path exactly (codes, cells, ADC distances)
+    and (b) still carry a PartitionFilter on cell, i.e. streaming
+    appends preserve the pruned serving layout the curve relies on."""
+    from udacitycapstonedataengineer_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_encode_batch,
+        ivfpq_topk,
+    )
+    from udacitycapstonedataengineer_spark.streaming.vectors import (
+        stream_ivfpq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 10 != 7")
+    batch = emb.filter("vec_id % 10 = 7")
+    cents, books, corpus_index = ivfpq_build(
+        corpus, nlist=8, m=8, k=16, iters=2
+    )
+    index_dir = str(tmp_path / "ivfpq_index_loop")
+    corpus_index.write.partitionBy("cell").mode("overwrite").parquet(
+        index_dir
+    )
+
+    landing = str(tmp_path / "loop_landing")
+    batch.filter("vec_id % 20 = 7").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    batch.filter("vec_id % 20 = 17").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select("vec_id", "embedding")
+    )
+    q = (
+        stream_ivfpq_encode(stream, cents.collect(), books.collect(), m=8)
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.partitionBy("cell")
+            .mode("append")
+            .parquet(index_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "loop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+
+    back = spark.read.parquet(index_dir).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    batch_appended = corpus_index.unionByName(
+        ivfpq_encode_batch(batch, cents, books, m=8)
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    for np_ in (1, 2, 4, 8):
+        served = ivfpq_topk(back, cents, books, qvec, nprobe=np_, topk=10)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1][:200], (np_, plan[:2000])
+        want = [
+            (r["vec_id"], r["adc_dist2"])
+            for r in ivfpq_topk(
+                batch_appended, cents, books, qvec, nprobe=np_, topk=10
+            ).collect()
+        ]
+        got = [(r["vec_id"], r["adc_dist2"]) for r in served.collect()]
+        assert sorted(got) == sorted(want), np_
