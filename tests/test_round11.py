@@ -261,6 +261,70 @@ def test_kn_bigram_merge_fuzz_vs_python_rebuild(spark):
     check()
 
 
+def test_exact_topk_multi_matches_per_query(spark, sf_dir):
+    """The one-pass multi-query ground truth must equal the per-query
+    `_exact_topk_flags` (the exact-top-k every driver-gated ANN query
+    hashes against) for each sampled query — same distances, same
+    vec_id tie-break."""
+    from udacitycapstonedataengineer_spark.operators.recall_eval import (
+        exact_topk_multi,
+    )
+    from udacitycapstonedataengineer_spark.plans.queries_round9 import (
+        _exact_topk_flags,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [7, 13, 101]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    multi = exact_topk_multi(emb, [(q, qvecs[q]) for q in qids], 10)
+    got = {
+        q: sorted(
+            r["vec_id"]
+            for r in multi.filter(F.col("query_vec_id") == q).collect()
+        )
+        for q in qids
+    }
+    for q in qids:
+        want = sorted(
+            r["vec_id"] for r in _exact_topk_flags(emb, qvecs[q], 10).collect()
+        )
+        assert got[q] == want, q
+
+
+def test_ivfpq_recall_at_k_sample(spark, sf_dir):
+    """Sampled recall eval over the SAME model the registered curve
+    uses: the pinned query's per-query recall must equal the
+    registered ann_ivfpq_recall_curve's value at the same nprobe, all
+    recalls lie in [0,1], and an unknown query id raises."""
+    from udacitycapstonedataengineer_spark.operators.ivfpq import ivfpq_build
+    from udacitycapstonedataengineer_spark.operators.recall_eval import (
+        ivfpq_recall_at_k,
+    )
+    from udacitycapstonedataengineer_spark.plans.queries_round8 import (
+        _IVFPQ,
+        _QVEC_ID,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, index = ivfpq_build(emb, **_IVFPQ)
+    rows = ivfpq_recall_at_k(
+        index, cents, books, emb, [_QVEC_ID, 13, 101], k=10, nprobe=2
+    ).collect()
+    assert [r["query_vec_id"] for r in rows] == [_QVEC_ID, 13, 101]
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    curve = {
+        r["nprobe"]: r["recall"]
+        for r in QUERIES["ann_ivfpq_recall_curve"](spark, sf_dir).collect()
+    }
+    pinned = next(r for r in rows if r["query_vec_id"] == _QVEC_ID)
+    assert pinned["recall"] == curve[2]
+    with pytest.raises(ValueError, match="unknown query ids"):
+        ivfpq_recall_at_k(index, cents, books, emb, [10**9], k=10)
+
+
 def test_stream_ivfpq_encode_validates_model_shape(spark):
     """ADVICE r10: a codebook missing a subspace raised a bare
     KeyError and dim % m != 0 silently truncated the trailing

@@ -1,0 +1,118 @@
+"""Sampled recall@k evaluation for the ANN serving path.
+
+``ann_ivfpq_recall_curve`` / ``_served`` (plans/queries_round10/11)
+measure recall for ONE pinned query vector — hash-checkable against
+DuckDB, but a production index is tuned against a SAMPLE of real
+queries. This module is that offline eval job:
+
+- ``exact_topk_multi``: the exact-L2 top-k for ALL sampled queries in
+  ONE corpus pass — the Q query vectors broadcast as a literal
+  array-of-structs, exploded per corpus row, per-query top-k via a
+  (query-partitioned) rank window. Q·N candidate rows through one
+  shuffle: the honest cost of exact ground truth, linear in the
+  corpus for a fixed sample (never Q separate scans).
+- ``ivfpq_recall_at_k``: per sampled query, the ADC probe
+  (``ivfpq_topk`` — one filter+fold+TakeOrdered over the probed
+  cells, partition-pruned on a written index) joined against the
+  ground truth; returns (query_vec_id, hits, recall) plus a 1-row
+  pooled mean. The per-query probes are a driver loop over
+  sample-sized Q, exactly like the recall-curve points — model-sized
+  state only, no per-query corpus scan beyond the pruned cells.
+
+Gates: ``test_exact_topk_multi_matches_per_query`` (one-pass ground
+truth ≡ the per-query `_exact_topk_flags` used by every driver-gated
+ANN query) and ``test_ivfpq_recall_at_k_sample`` (pinned-query recall
+equals the registered curve's value at the same nprobe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_topk_multi(
+    emb: DataFrame, queries: list[tuple[int, list[float]]], k: int
+) -> DataFrame:
+    """(query_vec_id, vec_id): the exact-L2 top ``k`` corpus ids for
+    every (query_vec_id, vector) in ``queries``, one corpus pass.
+    Ties broken by vec_id, matching ``_exact_topk_flags``."""
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    w = Window.partitionBy("query_vec_id").orderBy("d2", "vec_id")
+    return (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "v"
+            ),
+        )
+        .select("vec_id", "v", F.explode(qarr).alias("q"))
+        .select(
+            F.col("q.qid").alias("query_vec_id"),
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, q.qv, (x, y) -> (x - y) * (x - y)),"
+                " 0D, (acc, w) -> acc + w)"
+            ).alias("d2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_vec_id", "vec_id")
+    )
+
+
+def ivfpq_recall_at_k(
+    index: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_vec_id, hits, recall) per sampled query, ordered by id —
+    the per-query recall@k of the ADC probe against the one-pass exact
+    ground truth. Callers tune nprobe on the POOLED mean
+    (``recall.agg(avg)``); the per-query rows expose the tail (a mean
+    hides queries whose cell was mis-probed)."""
+    from .ivfpq import ivfpq_topk
+
+    id_rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin([int(q) for q in query_ids])
+        ).collect()
+    }
+    missing = [q for q in query_ids if q not in id_rows]
+    if missing:
+        raise ValueError(f"ivfpq_recall_at_k: unknown query ids {missing}")
+    exact = exact_topk_multi(
+        emb, [(q, id_rows[q]) for q in query_ids], k
+    ).persist()
+    per_query = []
+    for q in query_ids:
+        top = ivfpq_topk(index, cents, books, id_rows[q], nprobe, k)
+        truth = exact.filter(F.col("query_vec_id") == q).select("vec_id")
+        per_query.append(
+            top.join(F.broadcast(truth), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(q).alias("query_vec_id"),
+                "hits",
+                (F.col("hits").cast("double") / F.lit(float(k))).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_vec_id")
