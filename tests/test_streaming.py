@@ -1312,3 +1312,77 @@ def test_recall_curve_served_from_streamed_appends(spark, sf_dir, tmp_path):
         ]
         got = [(r["vec_id"], r["adc_dist2"]) for r in served.collect()]
         assert sorted(got) == sorted(want), np_
+
+
+def test_ivfpq_index_cell_compaction_preserves_serving(
+    spark, sf_dir, tmp_path
+):
+    """The maintenance job behind the streamed-append index (round
+    11): appends accrete small files per cell partition;
+    compact_parquet applied PER CELL DIRECTORY (the unit the module
+    docstring prescribes) must shrink the file count while leaving
+    every probe's results and the PartitionFilters pruning intact —
+    append ingest + periodic per-partition compaction is the standing
+    index's full lifecycle."""
+    import glob
+    import os
+
+    from udacitycapstonedataengineer_spark.operators.compaction import (
+        compact_parquet,
+    )
+    from udacitycapstonedataengineer_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_encode_batch,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 10 != 7")
+    batch = emb.filter("vec_id % 10 = 7")
+    cents, books, corpus_index = ivfpq_build(
+        corpus, nlist=8, m=8, k=16, iters=2
+    )
+    path = str(tmp_path / "ivfpq_compact")
+    corpus_index.write.partitionBy("cell").mode("overwrite").parquet(path)
+    # two append rounds (≡ the streamed micro-batches the stream-encode
+    # test pins) — each adds files to the touched cell partitions
+    for where in ("vec_id % 20 = 7", "vec_id % 20 = 17"):
+        ivfpq_encode_batch(
+            batch.filter(where), cents, books, m=8
+        ).write.partitionBy("cell").mode("append").parquet(path)
+
+    def read_back():
+        return spark.read.parquet(path).withColumn(
+            "cell", F.col("cell").cast("long")
+        )
+
+    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    want = [
+        (r["vec_id"], r["adc_dist2"])
+        for r in ivfpq_topk(
+            read_back(), cents, books, qvec, nprobe=8, topk=10
+        ).collect()
+    ]
+
+    cell_dirs = sorted(glob.glob(os.path.join(path, "cell=*")))
+    assert cell_dirs, path
+    before = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in cell_dirs
+    )
+    stats = [compact_parquet(spark, d) for d in cell_dirs]
+    after = sum(s["files_after"] for s in stats)
+    assert after < before, (before, after)
+    assert after == len(cell_dirs)  # tiny cells → one file each
+
+    served = ivfpq_topk(read_back(), cents, books, qvec, nprobe=2, topk=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    got = [
+        (r["vec_id"], r["adc_dist2"])
+        for r in ivfpq_topk(
+            read_back(), cents, books, qvec, nprobe=8, topk=10
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
