@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 11
+_ROUND = 12
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,31 +39,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-11 tiers, in order (tier sizes are never hand-counted here —
+# Round-12 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. changed this round — must re-earn their rows (none: r11
-#      deliberately touches NO shared operator files so the full
-#      r06-stale cohort fits — VERDICT r10 #1; the ivfpq_coarse_fit
-#      refactor and its ~9 re-earns are budgeted for r12)
-#   3. new round-11 queries — earn rows immediately
-#   4. staleness rotation: the FULL r06-stale cohort (the entire
-#      remaining freshness debt, VERDICT r10 #1).
-_REEARN_R11: list[str] = []
-_NEW_R11: list[str] = [
-    # recall@k vs nprobe curve probed from the WRITTEN cell-partitioned
-    # index — the post-append recall-decay check as production runs it
-    # (VERDICT r10 #5)
-    "ann_ivfpq_recall_curve_served",
-    # append ≡ rebuild for the Kneser-Ney count tables: additive
-    # bigram counts + distinct-left-context merge of the continuation
-    # statistics, hashed against the full-corpus oracle (r10 #6)
-    "text_kn_bigram_incremental",
+#   2. changed this round — must re-earn their rows: the IVF-PQ
+#      governance pair switched to ivfpq_coarse_fit (dropping
+#      pq_train's discarded work, VERDICT r11 wrong #1) and the
+#      rebuild fill-skew literal now interpolates _IVFPQ['nlist']
+#      (ADVICE r10 #1).
+#   3. new round-12 queries — NONE: 1 + 2 + 47 fills the window
+#      exactly (VERDICT r11 #2); r12 capabilities land as test-pinned
+#      surfaces instead.
+#   4. staleness rotation: the FULL r07-stale cohort (the entire
+#      remaining oldest-freshness debt).
+_REEARN_R12: list[str] = [
+    "ivfpq_index_drift",
+    "ivfpq_rebuild_decision",
 ]
-_ROTATION_R11 = [
-    # last green r06 — the full cohort (test_stalest_cohort_rotates
+_NEW_R12: list[str] = []
+_ROTATION_R12 = [
+    # last green r07 — the full cohort (test_stalest_cohort_rotates
     # recomputes this list from the raw CORRECTNESS files)
+    "docs_ngram_repetition", "embeddings_gram_matrix",
+    "events_asof_last_purchase", "events_cohort_retention",
+    "events_funnel_conversion", "events_lag_lead_ntile",
+    "events_markov_transition", "events_pivot_by_type",
+    "events_range_join_click_error", "events_session_window_native",
+    "events_sessionize", "events_topk_per_group",
+    "events_trailing_hour_sum", "events_window_agg",
+    "multimodal_audio_windows", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_meta_stats",
+    "olap_cube_counts", "olap_rollup_counts", "orders_benford_screen",
+    "orders_zorder_key", "parts_copurchase_triangles",
+    "percentile_by_status", "set_except", "set_intersect",
+    "set_union_distinct", "text_bm25_linear_topk",
+    "text_bpe_pair_stats", "topk_orders_global",
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+]
+
+_WINDOW_TIERS = (
+    ["star_revenue_by_region_year"] + _REEARN_R12 + _NEW_R12 + _ROTATION_R12
+)
+
+# green in CORRECTNESS_r11 (the r11 window), kept registered after the
+# window rotates
+_GREEN_R11 = [
+    "ann_ivfpq_recall_curve_served", "text_kn_bigram_incremental",
     "ann_topk_bruteforce", "calendar_dim", "cast_types",
     "corpus_mixture_sample", "corpus_sample_exact_counts",
     "country_dim", "dedup_by_key", "distinct_rows",
@@ -85,10 +115,6 @@ _ROTATION_R11 = [
     "supplier_nation_trade_matrix", "text_bigram_pmi",
     "text_tfidf_top_terms", "tpch_q15_top_supplier",
 ]
-
-_WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _REEARN_R11 + _NEW_R11 + _ROTATION_R11
-)
 
 # green in CORRECTNESS_r10 (the r10 window), kept registered after the
 # window rotates
@@ -267,7 +293,8 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _GREEN_R10
+        _GREEN_R11
+        + _GREEN_R10
         + _GREEN_R9
         + _GREEN_R8
         + _GREEN_R7
