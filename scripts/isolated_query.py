@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,7 +60,10 @@ def main() -> None:
             {
                 "query": name,
                 "runs": runs,
-                "median": sorted(runs)[len(runs) // 2],
+                # statistics.median interpolates even run counts
+                # (ADVICE r11 #2: the upper-middle element reads
+                # biased-high for runs=4)
+                "median": round(statistics.median(runs), 3),
             }
         )
     )

@@ -1,0 +1,248 @@
+"""Round-12 pins: the IVF-PQ governance pair runs coarse-only (no PQ
+training jobs — VERDICT r11 wrong #1 done-criterion) and the rebuild
+trigger's fill-skew threshold tracks ``_IVFPQ['nlist']`` (ADVICE r10
+#1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
+from udacitycapstonedataengineer_spark.plans.queries import QUERIES
+
+
+def test_governance_pair_runs_no_pq_training(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #1 done-criterion: ``ivfpq_index_drift`` and
+    ``ivfpq_rebuild_decision`` consume only the frozen coarse
+    quantizer — if either still reaches ``pq_train`` (the seed collect
+    + codebook training whose output both queries used to discard),
+    this gate goes red. Both patch points covered: the name bound into
+    operators.ivfpq at import time AND the defining module."""
+    import udacitycapstonedataengineer_spark.operators.ivfpq as ivfpq_mod
+    import udacitycapstonedataengineer_spark.operators.pq as pq_mod
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "pq_train reached from a coarse-only governance query"
+        )
+
+    monkeypatch.setattr(ivfpq_mod, "pq_train", _boom)
+    monkeypatch.setattr(pq_mod, "pq_train", _boom)
+
+    drift = QUERIES["ivfpq_index_drift"](spark, sf_dir).collect()
+    assert len(drift) > 0 and all(r["corpus_n"] >= 0 for r in drift)
+    decision = QUERIES["ivfpq_rebuild_decision"](spark, sf_dir).collect()
+    assert len(decision) == 1
+    assert isinstance(decision[0]["rebuild"], bool)
+
+
+def test_rebuild_fill_skew_threshold_tracks_nlist():
+    """ADVICE r10 #1 done-criterion: the fill-skew branch's
+    ``batch_n * nlist > total_batch * 2`` comparison must interpolate
+    the configured ``_IVFPQ['nlist']`` in BOTH engines' query text —
+    a hardcoded 8 silently mis-gates any future nlist change."""
+    import inspect
+
+    from udacitycapstonedataengineer_spark.plans import queries_round10 as q10
+
+    nlist = q10._IVFPQ["nlist"]
+    oracle = q10._ivfpq_rebuild_decision_oracle_sql()
+    assert f"batch_n * {nlist} > tbx.tb2 * 2" in oracle
+    src = inspect.getsource(q10._ivfpq_rebuild_decision)
+    assert '_IVFPQ["nlist"]' in src
+    assert "* 8 >" not in src
+
+
+def _bench_mod():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_r12", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_canary_reading_hot_levels():
+    """VERDICT r11 #3: per-reading level rulings. The first reading
+    gets 2× slack (idle sessions structurally read ~2× baseline at
+    position 0 — r11 calibration first 0.396 / baseline 0.199), every
+    later reading is judged at the plain 1.5× limit; no baseline →
+    no absolute ruling."""
+    b = _bench_mod()
+    base = 0.2
+    # idle endpoints (r11 calibration values) must NOT flag
+    assert not b.canary_reading_hot(0.396, base, is_first=True)
+    assert not b.canary_reading_hot(0.188, base)
+    # a mid-session reading at 2× baseline IS hot
+    assert b.canary_reading_hot(0.4, base)
+    assert not b.canary_reading_hot(0.29, base)
+    # first-reading slack: hot only past 3× baseline
+    assert b.canary_reading_hot(0.65, base, is_first=True)
+    # no baseline → never an absolute ruling
+    assert not b.canary_reading_hot(5.0, None)
+    assert not b.canary_reading_hot(5.0, 0.0)
+
+
+def test_canary_segment_context_adjudicates_mid_session_spike():
+    """The r11 parts_copurchase_triangles shape: endpoints clean, one
+    hot reading in the middle — queries inside the hot segment rule
+    contaminated, queries elsewhere stay clean."""
+    b = _bench_mod()
+    base = 0.2
+    readings = [
+        {"after_n": 0, "sec": 0.40},   # endpoint first (structural 2×)
+        {"after_n": 25, "sec": 0.21},
+        {"after_n": 50, "sec": 0.66},  # mid-session spike
+        {"after_n": 75, "sec": 0.20},
+        {"after_n": 100, "sec": 0.19},  # endpoint last — ratio clean
+    ]
+    # endpoint signatures all pass: the old canary is blind here
+    assert not b.canary_verdict(0.40, 0.19, base)
+    spiked = b.canary_segment_context(readings, 40, base)
+    assert spiked["segment_hot"]
+    assert spiked["canary_before"] == 0.21
+    assert spiked["canary_after"] == 0.66
+    also = b.canary_segment_context(readings, 60, base)
+    assert also["segment_hot"] and also["canary_before"] == 0.66
+    clean = b.canary_segment_context(readings, 80, base)
+    assert not clean["segment_hot"]
+    early = b.canary_segment_context(readings, 10, base)
+    assert not early["segment_hot"]  # first-reading slack holds
+    # position past the last reading: only the 'before' side exists
+    tail = b.canary_segment_context(readings, 100, base)
+    assert "canary_after" not in tail and not tail["segment_hot"]
+
+
+def test_governance_pair_parity_fast(spark, sf_dir):
+    """Direct oracle parity for the two re-earned queries (they also
+    run in the full test_oracle_parity sweep; this pins the r12 switch
+    in a module-local gate so a coarse_fit regression is attributable
+    without the sweep)."""
+    from tests.oracle_check import assert_parity
+
+    for name in ("ivfpq_index_drift", "ivfpq_rebuild_decision"):
+        assert_parity(spark, name, sf_dir)
+
+
+def test_batch_bigram_counts_matches_doc_bigrams(spark, sf_dir):
+    """ADVICE r11 #4: the streamed landing path re-implements
+    _doc_bigrams' tokenize/explode pipeline — if the round-8
+    tokenization ever changes, the streamed counts must diverge HERE
+    (red), not silently against the driver-gated batch/oracle path."""
+    from udacitycapstonedataengineer_spark.plans.queries_round8 import (
+        _doc_bigrams,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        _batch_bigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    streamed = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in _batch_bigram_counts(docs).collect()
+    }
+    batch = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in _doc_bigrams(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_recall_at_k_rejects_duplicate_query_ids(spark, sf_dir):
+    """ADVICE r11 #3: duplicate ids would collapse into one
+    row_number partition in exact_topk_multi (corrupting that query's
+    ground truth) and double-emit its row — entry must raise."""
+    import pytest
+
+    from udacitycapstonedataengineer_spark.operators.recall_eval import (
+        ivfpq_recall_at_k,
+    )
+
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ivfpq_recall_at_k(None, None, None, None, [7, 11, 7], k=10)
+
+
+def test_recall_at_k_draft_oracle_parity(spark, sf_dir):
+    """VERDICT r11 #5 pre-work done-criterion: the drafted
+    ann_ivfpq_recall_at_k oracle matches the Spark body end-to-end at
+    sf0.001, so the r13 registration is purely mechanical (move the
+    @query decoration + spend the window slot)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _ann_ivfpq_recall_at_k_draft,
+        _ivfpq_recall_at_k_oracle_sql,
+    )
+    from udacitycapstonedataengineer_spark.session import (
+        pin_oracle_semantics,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    got = _ann_ivfpq_recall_at_k_draft(spark, load_tables(spark, sf_dir))
+    compare_frames(
+        got.toPandas(),
+        run_oracle(_ivfpq_recall_at_k_oracle_sql(), sf_dir),
+        "ann_ivfpq_recall_at_k (draft)",
+    )
+
+
+def test_kn_compaction_policy_over_simulated_week(spark, sf_dir, tmp_path):
+    """VERDICT r11 #6 done-criterion: across a simulated week of daily
+    appends the trigger FIRES (amplification crosses 2×), the rewrite
+    shrinks the partial table to one row per type, serving
+    (kn_counts_compact) is bit-unchanged by the swap, and the
+    re-measured trigger disarms. Appends land via the same
+    _batch_bigram_counts path the stream's foreachBatch uses."""
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        _batch_bigram_counts,
+        kn_compact_due,
+        kn_compact_if_due,
+        kn_compaction_stats,
+        kn_counts_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = str(tmp_path / "kn_partials")
+    fired_day = None
+    for day in range(7):
+        batch = docs.filter(F.col("doc_id") % 7 == day)
+        _batch_bigram_counts(batch).write.mode("append").parquet(table)
+        if fired_day is None:
+            row = kn_compaction_stats(spark, table).head()
+            if kn_compact_due(row["partial_rows"], row["distinct_types"]):
+                fired_day = day
+    assert fired_day is not None, "trigger never fired across the week"
+    assert fired_day >= 1, "trigger must not fire on a fresh table"
+
+    served_before = sorted(
+        tuple(r) for r in kn_counts_compact(spark, table).collect()
+    )
+    stats = kn_compaction_stats(spark, table).head()
+    did, rows_before, types_before = kn_compact_if_due(spark, table)
+    assert did
+    assert (rows_before, types_before) == (
+        stats["partial_rows"],
+        stats["distinct_types"],
+    )
+    # post-swap: one partial row per type, serving unchanged, disarmed
+    after = kn_compaction_stats(spark, table).head()
+    assert after["partial_rows"] == after["distinct_types"] == types_before
+    served_after = sorted(
+        tuple(r) for r in kn_counts_compact(spark, table).collect()
+    )
+    assert served_after == served_before
+    did2, *_ = kn_compact_if_due(spark, table)
+    assert not did2
+    # and appends continue over the swapped table (schema unchanged)
+    _batch_bigram_counts(docs.limit(5)).write.mode("append").parquet(table)
+    assert kn_counts_compact(spark, table).count() == types_before

@@ -6,8 +6,11 @@ DuckDB, but a production index is tuned against a SAMPLE of real
 queries. This module is that offline eval job:
 
 - ``exact_topk_multi``: the exact-L2 top-k for ALL sampled queries in
-  ONE corpus pass — the Q query vectors broadcast as a literal
-  array-of-structs, exploded per corpus row, per-query top-k via a
+  ONE corpus pass — the Q query vectors shipped as a broadcast
+  DataFrame (createDataFrame + crossJoin(broadcast), ADVICE r11 #5:
+  per-float literals put Q·dim nodes in the plan and risk
+  codegen/plan-size limits as the sample grows; the broadcast table
+  keeps the plan O(1) in Q), per-query top-k via a
   (query-partitioned) rank window. Q·N candidate rows through one
   shuffle: the honest cost of exact ground truth, linear in the
   corpus for a fixed sample (never Q separate scans).
@@ -36,15 +39,12 @@ def exact_topk_multi(
 ) -> DataFrame:
     """(query_vec_id, vec_id): the exact-L2 top ``k`` corpus ids for
     every (query_vec_id, vector) in ``queries``, one corpus pass.
-    Ties broken by vec_id, matching ``_exact_topk_flags``."""
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(qid).alias("qid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
-            )
-            for qid, vec in queries
-        ]
+    Ties broken by vec_id, matching ``_exact_topk_flags``. The query
+    sample rides a broadcast DataFrame, so the plan stays O(1) in Q —
+    only the broadcast payload (Q·dim doubles, sample-sized) grows."""
+    qdf = emb.sparkSession.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_vec_id bigint, qv array<double>",
     )
     w = Window.partitionBy("query_vec_id").orderBy("d2", "vec_id")
     return (
@@ -54,12 +54,12 @@ def exact_topk_multi(
                 "v"
             ),
         )
-        .select("vec_id", "v", F.explode(qarr).alias("q"))
+        .crossJoin(F.broadcast(qdf))
         .select(
-            F.col("q.qid").alias("query_vec_id"),
+            "query_vec_id",
             "vec_id",
             F.expr(
-                "aggregate(zip_with(v, q.qv, (x, y) -> (x - y) * (x - y)),"
+                "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
                 " 0D, (acc, w) -> acc + w)"
             ).alias("d2"),
         )
@@ -85,6 +85,15 @@ def ivfpq_recall_at_k(
     hides queries whose cell was mis-probed)."""
     from .ivfpq import ivfpq_topk
 
+    # ADVICE r11 #3: duplicate ids would collapse into one row_number
+    # partition in exact_topk_multi (corrupting that query's ground
+    # truth) and double-emit its per-query row — reject at entry,
+    # alongside the missing-id check below
+    dupes = sorted({q for q in query_ids if query_ids.count(q) > 1})
+    if dupes:
+        raise ValueError(
+            f"ivfpq_recall_at_k: duplicate query ids {dupes}"
+        )
     id_rows = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.filter(
