@@ -26,10 +26,58 @@ helper — a 2-query re-earn that fits its window — and may then fold
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import SCALE, _quantize_vec, kmeans_assign
+from .clustering import SCALE, _quantize_vec
+
+
+def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
+    """struct(cid, c, d): the nearest frozen centroid for the row's
+    ``v_col`` vector — computed as a PER-ROW expression over the
+    collected model (``cent_rows`` = [(cid, c array<double>)],
+    model-sized: nlist×dim). Replaces ``kmeans_assign``'s
+    crossJoin + row_number window for frozen-model consumers: the
+    window shuffles nlist·N rows and forces a corpus-grain join-back
+    to recover ``v`` — assignment against a frozen model is
+    embarrassingly parallel, so at 100 TB the right plan is map-only
+    (the shuffle-free plan this returns). Decision-identical to
+    ``kmeans_assign``: the same _DIST2 fold (zip_with square-diff,
+    sequential 0D sum) per centroid, candidates folded in ascending
+    cid order with a strict ``<`` — the first minimum wins, which IS
+    the (dist2, cid) tie-break."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cid"])
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda ctr: F.struct(
+            ctr["cid"].alias("cid"),
+            ctr["c"].alias("c"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(v_col), ctr["c"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            ).alias("d"),
+        ),
+    )
+    return F.aggregate(
+        dists,
+        F.lit(None).cast(
+            "struct<cid:bigint,c:array<double>,d:double>"
+        ),
+        lambda best, x: F.when(
+            best.isNull() | (x["d"] < best["d"]), x
+        ).otherwise(best),
+    )
 
 
 def ivfpq_coarse_fit(
@@ -41,8 +89,14 @@ def ivfpq_coarse_fit(
     """(cid, c array<double>): the frozen coarse quantizer, exactly
     ``ivfpq_build(...)[0]`` without training codebooks or encoding
     the corpus. One persisted double-vector scan + (iters-1)
-    assign/re-aggregate rounds; the model is nlist×dim — driver-sized
-    at any corpus scale."""
+    map-only assign/re-aggregate rounds (``coarse_argmin`` — the
+    round's centroids are already model-sized, so each round collects
+    them and assigns per-row with NO shuffle before the cluster-grain
+    sums); the model is nlist×dim — driver-sized at any corpus
+    scale. Centroids stay bit-identical to the crossJoin+window path
+    (same distance fold, same tie-break, and the fixed-point sums are
+    order-free BIGINTs) — pinned by
+    ``test_coarse_fit_equals_ivfpq_build_centroids``."""
     vectors = emb.select(
         "vec_id",
         F.expr(
@@ -60,9 +114,11 @@ def ivfpq_coarse_fit(
     ).select("cid", F.expr(_quantize_vec("c")).alias("c"))
     dim = len(seed[0]["v"])
     for _ in range(iters - 1):
-        assigned = kmeans_assign(vectors, centroids)
+        cent_rows = centroids.collect()
         sums = (
-            vectors.join(assigned, "vec_id")
+            vectors.select(
+                "v", coarse_argmin(cent_rows)["cid"].alias("cluster")
+            )
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),

@@ -40,7 +40,7 @@ from ..operators.clustering import (
     kmeans_fit,
     kmeans_oracle_parts,
 )
-from ..operators.coarse import ivfpq_coarse_fit
+from ..operators.coarse import coarse_argmin, ivfpq_coarse_fit
 from ..operators.graph import connected_components
 from ..operators.ivfpq import (
     _ivfpq_oracle_parts,
@@ -247,28 +247,29 @@ def ivfpq_drift_stats(emb, centroids, batch_where: str = _BATCH_WHERE):
     """(cell, corpus_n, batch_n, corpus_energy, batch_energy, fill
     shares, per-vector energies): the drift measurement behind
     ``ivfpq_index_drift``, factored so tests can feed shifted batches.
-    ``centroids`` is the FROZEN coarse quantizer (cid, c)."""
+    ``centroids`` is the FROZEN coarse quantizer (cid, c) — collected
+    (model-sized, nlist×dim) so assignment + residual run as ONE
+    map-only pass over corpus+batch (``coarse_argmin``); the only
+    corpus-grain shuffles left are the two cell-grain aggregates. The
+    previous shape paid a nlist·N row_number window plus an N⋈N
+    join-back for the same numbers."""
     s = _ENERGY_SCALE
     vectors = _as_double_vec(emb, "embedding")
-    cells = kmeans_assign(vectors, centroids).withColumnRenamed(
-        "cluster", "cell"
-    )
+    cent_rows = centroids.collect()
     energy = F.expr(
         f"aggregate(transform(rv, x -> "
         f"CAST(FLOOR(x * {s}.0) AS BIGINT)"
         f" * CAST(FLOOR(x * {s}.0) AS BIGINT)), "
         f"0L, (acc, w) -> acc + w)"
     )
+    best = coarse_argmin(cent_rows)
     ren = (
-        vectors.join(cells, "vec_id")
-        .join(
-            F.broadcast(centroids.select(F.col("cid").alias("cell"), "c")),
-            "cell",
-        )
-        .select(
+        vectors.select(
             "vec_id",
-            "cell",
-            F.expr("zip_with(v, c, (x, y) -> x - y)").alias("rv"),
+            best["cid"].alias("cell"),
+            F.zip_with(
+                F.col("v"), best["c"], lambda x, y: x - y
+            ).alias("rv"),
         )
         .select("vec_id", "cell", energy.alias("energy"))
     )
