@@ -381,15 +381,16 @@ def test_coarse_fit_equals_ivfpq_build_centroids(spark, sf_dir):
 
 
 def test_ivfpq_drift_stats_on_empty_batch_raise(spark, sf_dir):
-    """ADVICE r10: the drift/rebuild pair's fill-share divisions have
-    no zero guard, so an empty batch RAISES (ANSI DIVIDE_BY_ZERO)
-    rather than emitting NULL shares. Pinned as the current contract:
-    an empty batch means no append happened, so polling the drift
-    measurement is a caller error and a loud failure beats silently
-    publishing NULL governance stats. (A CASE guard mirrored into the
-    oracle is scheduled for the r12 ivfpq window, where the forced
-    re-earns are already budgeted — changing the committed query text
-    this round would evict rotation slots.)"""
+    """ADVICE r10 #2, decided FINAL in r12 (VERDICT r11 #7): the
+    drift/rebuild pair's fill-share divisions keep NO zero guard — an
+    empty batch RAISES (ANSI DIVIDE_BY_ZERO) by design. An empty
+    batch means no append happened; polling the drift measurement
+    then is a caller error, and for governance stats a loud failure
+    beats publishing fill_share_batch = NULL-or-0.0, which would read
+    as "no drift" and silently green-light a stale index. The
+    per-CELL energy divisions stay CASE-guarded (an individual empty
+    cell is normal); only the batch/corpus TOTALS crash. Decision
+    rationale recorded in PERF_NOTES §r12."""
     from udacitycapstonedataengineer_spark.operators.ivfpq import ivfpq_build
     from udacitycapstonedataengineer_spark.plans.queries_round10 import (
         ivfpq_drift_stats,

@@ -195,6 +195,39 @@ def test_recall_at_k_draft_oracle_parity(spark, sf_dir):
     )
 
 
+def test_tmpindex_lifecycle(monkeypatch, tmp_path):
+    """ADVICE r11 #1: the served queries' pid-scoped temp index dirs
+    must not accumulate — this process's dirs are registered for
+    atexit removal (cleanup_own), and dirs left by dead pids are
+    swept on import (sweep_stale). Live foreign pids are never
+    touched."""
+    import os
+
+    from udacitycapstonedataengineer_spark import tmpindex
+
+    monkeypatch.setattr(
+        tmpindex.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    mine = tmp_path / f"spark_graft_ivfpq_curve_served_{os.getpid()}"
+    dead = tmp_path / "spark_graft_ivfpq_served_999999999"
+    live = tmp_path / f"spark_graft_ivfpq_served_{os.getppid()}"
+    notdir = tmp_path / "spark_graft_file_999999998"
+    nonpid = tmp_path / "spark_graft_ivfpq_served_manual"
+    for d in (mine, dead, live, nonpid):
+        d.mkdir()
+    notdir.write_text("x")
+
+    assert tmpindex.own_dirs() == [str(mine)]
+    removed = tmpindex.sweep_stale()
+    assert removed == [str(dead)]
+    assert live.exists() and nonpid.exists() and notdir.exists()
+    assert mine.exists()  # own pid is atexit's job, not the sweep's
+
+    tmpindex.cleanup_own()  # what atexit fires at process teardown
+    assert not mine.exists()
+    assert live.exists() and nonpid.exists()
+
+
 def test_kn_compaction_policy_over_simulated_week(spark, sf_dir, tmp_path):
     """VERDICT r11 #6 done-criterion: across a simulated week of daily
     appends the trigger FIRES (amplification crosses 2×), the rewrite

@@ -18,3 +18,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# registers the exit-time cleanup + stale-pid sweep for the served
+# queries' pid-scoped temp index dirs (ADVICE r11 #1) — import side
+# effect on purpose, so every entrypoint (driver, bench, pytest) gets
+# the lifecycle without touching committed query text
+from . import tmpindex as _tmpindex  # noqa: E402,F401
