@@ -279,3 +279,353 @@ def test_kn_compaction_policy_over_simulated_week(spark, sf_dir, tmp_path):
     # and appends continue over the swapped table (schema unchanged)
     _batch_bigram_counts(docs.limit(5)).write.mode("append").parquet(table)
     assert kn_counts_compact(spark, table).count() == types_before
+
+
+def test_kn_trigram_merge_equals_rebuild(spark, sf_dir):
+    """The r13 draft's core claim at real-data scale: merging the
+    batch's trigram counts onto the standing tables reproduces EVERY
+    full-rebuild statistic exactly — both recursion grains included
+    (trigram-type stats via the trigram anti-join, pair stats via the
+    (w2,w3) anti-join)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _KN_TRI_BATCH_WHERE,
+        _doc_trigrams,
+        kn_trigram_merge,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s123 = (
+        _doc_trigrams(docs.filter(~F.expr(_KN_TRI_BATCH_WHERE)))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .persist()
+    )
+    b123 = (
+        _doc_trigrams(docs.filter(F.expr(_KN_TRI_BATCH_WHERE)))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+        .persist()
+    )
+    m123, c12m, nc23m, nc2m, cont3m, typesm = kn_trigram_merge(s123, b123)
+
+    full = (
+        _doc_trigrams(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .persist()
+    )
+    assert sorted(map(tuple, m123.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    r_c12 = full.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n3p")
+    )
+    assert sorted(map(tuple, c12m.collect())) == sorted(
+        map(tuple, r_c12.collect())
+    )
+    r_nc23 = full.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("nc23")
+    ).persist()
+    assert sorted(map(tuple, nc23m.collect())) == sorted(
+        map(tuple, r_nc23.collect())
+    )
+    r_nc2 = r_nc23.groupBy("w2").agg(
+        F.sum("nc23").alias("nc2"), F.count(F.lit(1)).alias("n2p")
+    )
+    assert sorted(map(tuple, nc2m.collect())) == sorted(
+        map(tuple, r_nc2.collect())
+    )
+    r_cont3 = r_nc23.groupBy("w3").agg(F.count(F.lit(1)).alias("cont3"))
+    assert sorted(map(tuple, cont3m.collect())) == sorted(
+        map(tuple, r_cont3.collect())
+    )
+    assert typesm.head()["n_types"] == r_nc23.count()
+    for df in (s123, b123, full, r_nc23):
+        df.unpersist()
+
+
+def test_kn_trigram_merge_on_empty_batch(spark):
+    """An empty batch must leave every statistic at its standing
+    value (no spurious type bumps from the anti-join grains)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        kn_trigram_merge,
+    )
+
+    s123 = spark.createDataFrame(
+        [("a", "b", "c", 2), ("a", "b", "d", 1), ("x", "b", "c", 3)],
+        "w1 string, w2 string, w3 string, c_s long",
+    )
+    b123 = spark.createDataFrame(
+        [], "w1 string, w2 string, w3 string, c_b long"
+    )
+    m123, c12m, nc23m, nc2m, cont3m, typesm = kn_trigram_merge(s123, b123)
+    assert sorted(map(tuple, m123.collect())) == [
+        ("a", "b", "c", 2),
+        ("a", "b", "d", 1),
+        ("x", "b", "c", 3),
+    ]
+    assert sorted(map(tuple, c12m.collect())) == [
+        ("a", "b", 3, 2),
+        ("x", "b", 3, 1),
+    ]
+    assert sorted(map(tuple, nc23m.collect())) == [
+        ("b", "c", 2),
+        ("b", "d", 1),
+    ]
+    assert sorted(map(tuple, nc2m.collect())) == [("b", 3, 2)]
+    # cont3 counts distinct (w2,w3) PAIRS per w3 — "c" appears in the
+    # single pair (b,c) even though two trigram types end in it
+    assert sorted(map(tuple, cont3m.collect())) == [("c", 1), ("d", 1)]
+    assert typesm.head()["n_types"] == 2
+
+
+def test_kn_trigram_merge_fuzz_vs_python_rebuild(spark):
+    """Hypothesis fuzz of the merge ALGEBRA over a tiny alphabet —
+    maximal type collision stresses BOTH anti-join grains: batch
+    trigrams colliding with standing types (must not bump n3p/nc23/
+    nc2) and new trigram types whose (w2,w3) pair already stands
+    (must bump nc23/nc2 but NOT n2p/cont3/n_types)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        kn_trigram_merge,
+    )
+
+    words = st.sampled_from(["a", "b"])
+    table = st.dictionaries(
+        st.tuples(words, words, words), st.integers(1, 5), max_size=8
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(s=table, b=table)
+    def check(s, b):
+        s123 = spark.createDataFrame(
+            [(w1, w2, w3, c) for (w1, w2, w3), c in sorted(s.items())],
+            "w1 string, w2 string, w3 string, c_s long",
+        )
+        b123 = spark.createDataFrame(
+            [(w1, w2, w3, c) for (w1, w2, w3), c in sorted(b.items())],
+            "w1 string, w2 string, w3 string, c_b long",
+        )
+        m123, c12m, nc23m, nc2m, cont3m, typesm = kn_trigram_merge(
+            s123, b123
+        )
+        full = Counter(s)
+        full.update(b)
+        exp_c12, exp_n3p = Counter(), Counter()
+        exp_nc23 = Counter()
+        for (w1, w2, w3), c in full.items():
+            exp_c12[(w1, w2)] += c
+            exp_n3p[(w1, w2)] += 1
+            exp_nc23[(w2, w3)] += 1
+        exp_nc2, exp_n2p, exp_cont3 = Counter(), Counter(), Counter()
+        for (w2, w3), n in exp_nc23.items():
+            exp_nc2[w2] += n
+            exp_n2p[w2] += 1
+            exp_cont3[w3] += 1
+        got = {(r["w1"], r["w2"], r["w3"]): r["c123"] for r in m123.collect()}
+        assert got == dict(full)
+        got12 = {(r["w1"], r["w2"]): (r["c12"], r["n3p"]) for r in c12m.collect()}
+        assert got12 == {k: (exp_c12[k], exp_n3p[k]) for k in exp_c12}
+        got23 = {(r["w2"], r["w3"]): r["nc23"] for r in nc23m.collect()}
+        assert got23 == dict(exp_nc23)
+        got2 = {r["w2"]: (r["nc2"], r["n2p"]) for r in nc2m.collect()}
+        assert got2 == {w: (exp_nc2[w], exp_n2p[w]) for w in exp_nc2}
+        got3 = {r["w3"]: r["cont3"] for r in cont3m.collect()}
+        assert got3 == dict(exp_cont3)
+        assert typesm.head()["n_types"] == len(exp_nc23)
+
+    check()
+
+
+def test_kn_trigram_incremental_draft_oracle_parity(spark, sf_dir):
+    """The r13 registration pre-work done-criterion for the trigram
+    row: the draft body hashes equal to the UNCHANGED full-corpus
+    text_kn_trigram_prob oracle at sf0.001, so r13 only moves the
+    @query decoration + spends the window slot."""
+    from udacitycapstonedataengineer_spark.plans.queries import ORACLE
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _text_kn_trigram_incremental_draft,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    got = _text_kn_trigram_incremental_draft(spark, load_tables(spark, sf_dir))
+    compare_frames(
+        got.toPandas(),
+        run_oracle(ORACLE["text_kn_trigram_prob"], sf_dir),
+        "text_kn_trigram_incremental (draft)",
+    )
+
+
+def test_compaction_policy_over_simulated_appends(spark, tmp_path):
+    """compact_parquet gains the kn_compact_due discipline: across
+    simulated per-batch appends the file-count trigger FIRES once
+    amplification crosses 2× ideal, the rewrite preserves rows, the
+    re-measured trigger disarms, and a fresh single-append directory
+    never fires."""
+    from udacitycapstonedataengineer_spark.operators.compaction import (
+        compact_due,
+        compact_if_due,
+        compaction_stats,
+    )
+
+    path = str(tmp_path / "cell_0")
+    fired_at = None
+    for batch in range(6):
+        # one file per simulated micro-batch (a foreachBatch sink
+        # coalesces its tiny batch; unrepartitioned, the local test
+        # session would write 4 parts per append and amplification
+        # would legitimately fire on the very first batch)
+        spark.range(batch * 100, batch * 100 + 100).repartition(
+            1
+        ).write.mode("append").parquet(path)
+        st = compaction_stats(path)
+        if fired_at is None and compact_due(
+            st["file_count"], st["bytes_total"]
+        ):
+            fired_at = batch
+    assert fired_at is not None, "trigger never fired across appends"
+    assert fired_at >= 1, "trigger must not fire on a fresh directory"
+
+    rows_before = spark.read.parquet(path).count()
+    did, stats = compact_if_due(spark, path)
+    assert did and stats["result"]["rows"] == rows_before
+    assert stats["result"]["files_after"] < stats["file_count"]
+    assert spark.read.parquet(path).count() == rows_before
+    # disarmed: the compacted layout is at the ideal count
+    did2, _ = compact_if_due(spark, path)
+    assert not did2
+    # tiny-table floor: one file is never due regardless of multiplier
+    assert not compact_due(1, 1 << 40)
+    # and appends continue over the swapped directory
+    spark.range(5).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == rows_before + 5
+
+
+def test_batch_trigram_counts_matches_doc_trigrams(spark, sf_dir):
+    """The trigram landing path re-implements the _doc_trigrams
+    tokenize/explode pipeline (itself pinned to the registered
+    text_kn_trigram_prob extraction by the draft's oracle parity) —
+    any tokenization drift must turn red HERE, not silently against
+    the batch path (the ADVICE r11 #4 discipline at trigram grain)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _doc_trigrams,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        _batch_trigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    streamed = {
+        (r["w1"], r["w2"], r["w3"]): r["c"]
+        for r in _batch_trigram_counts(docs).collect()
+    }
+    batch = {
+        (r["w1"], r["w2"], r["w3"]): r["c"]
+        for r in _doc_trigrams(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_kn_trigram_counts_matches_rebuild(spark, sf_dir, tmp_path):
+    """The trigram ingest loop end-to-end: documents streamed in
+    multiple micro-batches land append-only partial trigram counts;
+    the compacted standing table must equal a full batch rebuild
+    EXACTLY, the compaction policy must fire over the partials and
+    leave serving bit-unchanged, and the swapped table must be a
+    drop-in standing side for kn_trigram_merge (empty batch →
+    full-corpus statistics). Restart over the same checkpoint lands
+    nothing new (exactly-once)."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _doc_trigrams,
+        kn_trigram_merge,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        kn3_compact_if_due,
+        kn3_compaction_stats,
+        kn3_counts_compact,
+        stream_kn_trigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "kn3_landing")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        landing
+    )
+
+    table = str(tmp_path / "kn3_counts")
+    ckpt = str(tmp_path / "kn3_ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_kn_trigram_counts(stream, table, ckpt)
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+
+    want = {
+        (r["w1"], r["w2"], r["w3"], r["c123"])
+        for r in _doc_trigrams(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .collect()
+    }
+    standing = kn3_counts_compact(spark, table)
+    got = {
+        (r["w1"], r["w2"], r["w3"], r["c123"]) for r in standing.collect()
+    }
+    assert got == want
+
+    # compaction policy over the streamed partials: the two
+    # micro-batches overlap heavily in types, so amplification > 2×
+    st = kn3_compaction_stats(spark, table).head()
+    did, rows_before, types_before = kn3_compact_if_due(spark, table)
+    assert did == (st["partial_rows"] > 2.0 * st["distinct_types"])
+    after = {
+        (r["w1"], r["w2"], r["w3"], r["c123"])
+        for r in kn3_counts_compact(spark, table).collect()
+    }
+    assert after == want  # serving bit-unchanged by the swap
+
+    # drop-in standing side for the merge: empty batch → rebuild stats
+    empty = spark.createDataFrame(
+        [], "w1 string, w2 string, w3 string, c_b long"
+    )
+    m123, c12m, nc23m, nc2m, cont3m, typesm = kn_trigram_merge(
+        kn3_counts_compact(spark, table).withColumnRenamed("c123", "c_s"),
+        empty,
+    )
+    assert {
+        (r["w1"], r["w2"], r["w3"], r["c123"]) for r in m123.collect()
+    } == want
+    n_pairs = (
+        _doc_trigrams(docs).select("w2", "w3").distinct().count()
+    )
+    assert typesm.head()["n_types"] == n_pairs
+
+    # restart over the same checkpoint: offset log replays nothing
+    n_rows = spark.read.parquet(table).count()
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_kn_trigram_counts(stream2, table, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(table).count() == n_rows

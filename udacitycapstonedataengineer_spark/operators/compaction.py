@@ -77,3 +77,72 @@ def compact_parquet(
         "bytes_total": bytes_total,
         "rows": rows,
     }
+
+
+# Compaction POLICY (round 12): ``compact_parquet`` is the mechanism,
+# this is the deterministic trigger that decides WHEN — the
+# ``kn_compact_due`` discipline applied to file layout. A reader of
+# the directory opens every part file; the ideal layout has
+# ceil(total_bytes / target_bytes) files, so file_count / ideal is
+# the open-overhead amplification appends accumulate. Compacting at
+# 2× bounds per-read file opens at twice optimal while keeping
+# compaction frequency logarithmic in append count (each compaction
+# resets the ratio to ~1, so under steady same-size appends the
+# trigger fires when the file count has re-doubled — never per-batch,
+# never starved). Purely a function of the directory listing: no
+# Spark job runs to decide, and re-deriving on the same snapshot
+# always rules the same way (the ``cell_budget.derive_k`` contract).
+DEFAULT_MAX_FILE_AMPLIFICATION = 2.0
+
+
+def compaction_stats(path: str) -> dict:
+    """{file_count, bytes_total} for the parquet parts at ``path`` —
+    the two numbers the trigger consumes, from the directory listing
+    alone."""
+    parts = glob.glob(os.path.join(path, "*.parquet"))
+    return {
+        "file_count": len(parts),
+        "bytes_total": sum(os.path.getsize(p) for p in parts),
+    }
+
+
+def compact_due(
+    file_count: int,
+    bytes_total: int,
+    target_bytes: int = 128 << 20,
+    max_amplification: float = DEFAULT_MAX_FILE_AMPLIFICATION,
+) -> bool:
+    """True when the directory holds more than ``max_amplification``×
+    the ideal file count for its size. An empty or single-file
+    directory is never due; a directory already at the ideal count is
+    never due regardless of the multiplier (>= 1 ideal file is the
+    floor, so tiny tables stop re-compacting once they reach one
+    file)."""
+    if file_count <= 1:
+        return False
+    ideal = max(1, -(-bytes_total // target_bytes))
+    return file_count > max_amplification * ideal
+
+
+def compact_if_due(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    max_amplification: float = DEFAULT_MAX_FILE_AMPLIFICATION,
+) -> tuple[bool, dict]:
+    """The nightly maintenance entry for append-accreting directories
+    (per-cell IVF-PQ index partitions, foreachBatch sink dirs):
+    measure from the listing, and only when the trigger fires pay the
+    one-narrow-job rewrite. Returns (compacted, stats-as-measured);
+    when it fired, the stats dict also carries ``compact_parquet``'s
+    accounting under ``"result"``."""
+    stats = compaction_stats(path)
+    due = compact_due(
+        stats["file_count"],
+        stats["bytes_total"],
+        target_bytes,
+        max_amplification,
+    )
+    if due:
+        stats["result"] = compact_parquet(spark, path, target_bytes)
+    return due, stats

@@ -1,21 +1,35 @@
-"""Round-12 staging area: the r13 ``ann_ivfpq_recall_at_k`` draft.
+"""Round-12 staging area: the r13 ``ann_ivfpq_recall_at_k`` and
+``text_kn_trigram_incremental`` drafts.
 
 NOT imported by ``plans.queries`` — nothing here registers. The r12
 driver window is exactly full (flagship + 2 governance re-earns + the
-47-query r07 cohort, VERDICT r11 #2), so the sampled-recall query
-CANNOT take a slot this round; the verdict's pre-work item (#5) is to
-draft its oracle so the r13 registration is mechanical. The Spark
-side (``operators/recall_eval.py``) has been test-pinned since r11;
-``tests/test_round12.py::test_recall_at_k_draft_oracle_parity``
-validates this draft end-to-end against DuckDB at sf0.001, so r13
-only moves the ``@query`` decoration + the window row.
+47-query r07 cohort, VERDICT r11 #2), so no new query CAN take a slot
+this round; capabilities land test-pinned with their oracles drafted
+so the r13 registrations are mechanical:
 
-Reference parity: the reference pipeline has no ANN surface
-(/root/reference/etl.py is a star-schema ETL); this extends the
-similarity-search family SURVEY.md §2 adds beyond it.
+- ``ann_ivfpq_recall_at_k`` (VERDICT r11 #5 pre-work): Spark side
+  test-pinned since r11 (``operators/recall_eval.py``);
+  ``test_recall_at_k_draft_oracle_parity`` validates the draft
+  end-to-end against DuckDB at sf0.001.
+- ``text_kn_trigram_incremental``: the r11 bigram merge discipline
+  (queries_round11.kn_bigram_merge) extended one level down KN's
+  recursion. The trigram statistics need TWO anti-join grains — new
+  trigram TYPES move N1+(w1w2·)/N1+(·w2w3), and new (w2,w3) PAIRS
+  (a strict subset) move N1+(w2·)/N1+(·w3)/N1+(··) — so the merge is
+  the real proof that incremental maintenance survives the recursive
+  continuation distributions. Oracle = the UNCHANGED full-corpus
+  ``text_kn_trigram_prob`` SQL (hash equality IS the
+  append-equals-rebuild proof, exactly as the bigram row did it).
+
+Reference parity: the reference pipeline has no ANN/LM surface
+(/root/reference/etl.py is a star-schema ETL); these extend the
+similarity-search and text-analysis families SURVEY.md §2 adds
+beyond it.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from ..operators.ivfpq import ivfpq_build, ivfpq_oracle_sql
 from ..operators.recall_eval import ivfpq_recall_at_k
@@ -74,4 +88,221 @@ def _ann_ivfpq_recall_at_k_draft(spark, t):
         list(_RECALL_AT_K_QUERY_IDS),
         k=_TOPK,
         nprobe=_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_kn_trigram_incremental (r13 draft)
+# ---------------------------------------------------------------------------
+
+# the same standing/batch split text_kn_bigram_incremental uses —
+# n-grams never cross documents, so corpus + batch gram multisets
+# partition the full corpus's exactly
+_KN_TRI_BATCH_WHERE = "doc_id % 10 = 7"
+
+
+def _doc_trigrams(docs):
+    """(w1, w2, w3) per trigram occurrence — byte-identical semantics
+    to the extraction inside the registered ``text_kn_trigram_prob``
+    (queries_round10.py:124-148; that query's text is committed, so
+    the staging copy lives here). The draft's end-to-end oracle
+    parity test pins the two tokenizations together: any drift turns
+    the sf0.001 hash red."""
+    return (
+        docs.select(
+            F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks")
+        )
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "element_at(toks, i + 2) AS w3))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+    )
+
+
+def kn_trigram_merge(s123, b123):
+    """Merge a batch's trigram counts onto the standing KN trigram
+    tables and return (m123, c12m, nc23m, nc2m, cont3m, typesm) — the
+    post-merge statistics, exactly equal to a full rebuild's (pinned
+    by ``test_kn_trigram_merge_equals_rebuild`` and the draft's
+    oracle-hash parity).
+
+    ``s123`` (w1, w2, w3, c_s) is the standing trigram-count table;
+    ``b123`` (w1, w2, w3, c_b) the batch's. Occurrence counts merge
+    additively; the TYPE-grain statistics live at TWO grains, each
+    needing its own absent-from-standing set:
+
+    - trigram grain (``newp`` = batch types absent from standing):
+      moves n3p = N1+(w1w2·), nc23 = N1+(·w2w3), and nc2 = N1+(·w2·)
+      (nc2 sums nc23 over w3, so every new trigram type adds 1);
+    - (w2,w3) grain (``new23`` = the distinct middle-suffix pairs of
+      ``newp`` absent from standing's pair set — a strict subset):
+      moves n2p = N1+(w2·), cont3 = N1+(·w3), and n_types = N1+(··),
+      which count distinct PAIRS, so a new trigram whose (w2,w3)
+      already exists must not bump them.
+
+    Cost is O(|batch types|) given the standing table: one
+    trigram-grain anti-join, one pair-grain anti-join over the
+    batch's pairs, then tiny per-w1w2/w2w3/w2/w3 aggregates — the
+    100 TB corpus contributes only its persisted count table, never
+    a rescan."""
+    m123 = s123.join(b123, ["w1", "w2", "w3"], "full_outer").select(
+        "w1",
+        "w2",
+        "w3",
+        (
+            F.coalesce("c_s", F.lit(0)) + F.coalesce("c_b", F.lit(0))
+        ).alias("c123"),
+    )
+    # batch trigram types absent from standing
+    newp = b123.join(s123, ["w1", "w2", "w3"], "left_anti")
+
+    # (w1,w2) grain: occurrence total is additive, type count moves
+    # only on new trigram types
+    s12 = s123.groupBy("w1", "w2").agg(
+        F.sum("c_s").alias("c12_s"), F.count(F.lit(1)).alias("n3p_s")
+    )
+    b12 = b123.groupBy("w1", "w2").agg(F.sum("c_b").alias("c12_b"))
+    n12 = newp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n3p_new"))
+    c12m = (
+        s12.join(b12, ["w1", "w2"], "full_outer")
+        .join(n12, ["w1", "w2"], "full_outer")
+        .select(
+            "w1",
+            "w2",
+            (
+                F.coalesce("c12_s", F.lit(0))
+                + F.coalesce("c12_b", F.lit(0))
+            ).alias("c12"),
+            (
+                F.coalesce("n3p_s", F.lit(0))
+                + F.coalesce("n3p_new", F.lit(0))
+            ).alias("n3p"),
+        )
+    )
+
+    # (w2,w3) grain: nc23 counts distinct w1 contexts, so every new
+    # trigram type adds 1
+    snc23 = s123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc23_s"))
+    nnc23 = newp.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("nc23_new")
+    )
+    nc23m = snc23.join(nnc23, ["w2", "w3"], "full_outer").select(
+        "w2",
+        "w3",
+        (
+            F.coalesce("nc23_s", F.lit(0)) + F.coalesce("nc23_new", F.lit(0))
+        ).alias("nc23"),
+    )
+    # batch (w2,w3) pairs with NO standing trigram — the only rows
+    # that move the pair-grain statistics
+    new23 = nnc23.join(snc23, ["w2", "w3"], "left_anti")
+
+    # w2 grain: nc2 sums nc23 (additive in new trigram types), n2p
+    # counts distinct (w2,w3) pairs (additive in new pairs only)
+    snc2 = snc23.groupBy("w2").agg(
+        F.sum("nc23_s").alias("nc2_s"), F.count(F.lit(1)).alias("n2p_s")
+    )
+    nnc2 = nnc23.groupBy("w2").agg(F.sum("nc23_new").alias("nc2_new"))
+    n2 = new23.groupBy("w2").agg(F.count(F.lit(1)).alias("n2p_new"))
+    nc2m = (
+        snc2.join(nnc2, "w2", "full_outer")
+        .join(n2, "w2", "full_outer")
+        .select(
+            "w2",
+            (
+                F.coalesce("nc2_s", F.lit(0)) + F.coalesce("nc2_new", F.lit(0))
+            ).alias("nc2"),
+            (
+                F.coalesce("n2p_s", F.lit(0)) + F.coalesce("n2p_new", F.lit(0))
+            ).alias("n2p"),
+        )
+    )
+
+    # w3 grain + global: both count distinct (w2,w3) pairs
+    scont3 = snc23.groupBy("w3").agg(F.count(F.lit(1)).alias("cont3_s"))
+    ncont3 = new23.groupBy("w3").agg(F.count(F.lit(1)).alias("cont3_new"))
+    cont3m = scont3.join(ncont3, "w3", "full_outer").select(
+        "w3",
+        (
+            F.coalesce("cont3_s", F.lit(0))
+            + F.coalesce("cont3_new", F.lit(0))
+        ).alias("cont3"),
+    )
+    typesm = (
+        snc23.select(F.count(F.lit(1)).alias("types_s"))
+        .crossJoin(new23.select(F.count(F.lit(1)).alias("types_new")))
+        .select((F.col("types_s") + F.col("types_new")).alias("n_types"))
+    )
+    return m123, c12m, nc23m, nc2m, cont3m, typesm
+
+
+def _text_kn_trigram_incremental_draft(spark, t):
+    """The r13 query body: standing corpus contributes only its
+    persisted trigram-count table; the batch merges on
+    (kn_trigram_merge) and the final smoothing is the UNCHANGED
+    ``text_kn_trigram_prob`` shared float expression over the merged
+    exact-integer counts. Oracle: the UNCHANGED full-corpus trigram
+    SQL — hash equality proves append ≡ rebuild through BOTH
+    recursion levels. Shuffles: trigram-grain counts + the two
+    anti-joins, then the usual tiny join-backs — per-ingest cost is
+    O(batch grams + batch types), never a corpus rescan."""
+    docs = t["documents"]
+    corpus = docs.filter(~F.expr(_KN_TRI_BATCH_WHERE))
+    batch = docs.filter(F.expr(_KN_TRI_BATCH_WHERE))
+    # persisted: in production s123 IS a standing parquet table and
+    # b123 a materialized batch aggregate; here each feeds several
+    # downstream branches that would otherwise replay explode+count
+    s123 = (
+        _doc_trigrams(corpus)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .persist()
+    )
+    b123 = (
+        _doc_trigrams(batch)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+        .persist()
+    )
+    m123, c12m, nc23m, nc2m, cont3m, typesm = kn_trigram_merge(s123, b123)
+    d = F.lit(0.75)
+    p_bi = (
+        (F.col("nc23").cast("double") - d) / F.col("nc2").cast("double")
+    ) + (
+        ((d * F.col("n2p").cast("double")) / F.col("nc2").cast("double"))
+        * (F.col("cont3").cast("double") / F.col("n_types").cast("double"))
+    )
+    p_tri = (
+        (F.col("c123").cast("double") - d) / F.col("c12").cast("double")
+    ) + (
+        ((d * F.col("n3p").cast("double")) / F.col("c12").cast("double"))
+        * p_bi
+    )
+    return (
+        m123.join(c12m, ["w1", "w2"])
+        .join(nc23m, ["w2", "w3"])
+        .join(nc2m, "w2")
+        .join(cont3m, "w3")
+        .crossJoin(F.broadcast(typesm))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c123").alias("c_trigram"),
+            F.col("c12").alias("c_context"),
+            p_tri.alias("kn_prob"),
+        )
+        .orderBy(F.desc("kn_prob"), "w1", "w2", "w3")
+        .limit(30)
     )

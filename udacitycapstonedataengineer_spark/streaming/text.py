@@ -139,15 +139,125 @@ def kn_compact_if_due(
         row["partial_rows"], row["distinct_types"], max_amplification
     )
     if due:
-        import shutil
-
-        compacted = kn_counts_compact(spark, table_path).select(
-            "w1", "w2", F.col("c12").alias("c")
+        _compact_swap(
+            table_path,
+            kn_counts_compact(spark, table_path).select(
+                "w1", "w2", F.col("c12").alias("c")
+            ),
         )
-        tmp = table_path.rstrip("/") + "__compacting"
-        compacted.write.mode("overwrite").parquet(tmp)
-        old = table_path.rstrip("/") + "__old"
-        shutil.move(table_path, old)
-        shutil.move(tmp, table_path)
-        shutil.rmtree(old)
+    return due, row["partial_rows"], row["distinct_types"]
+
+
+def _compact_swap(table_path: str, compacted: DataFrame) -> None:
+    """Write the compacted frame to a sibling temp dir, then swap it
+    live with two renames (the local-FS variant of an object-store
+    manifest flip — the tokenshard sink's atomic-manifest pattern)."""
+    import shutil
+
+    tmp = table_path.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    old = table_path.rstrip("/") + "__old"
+    shutil.move(table_path, old)
+    shutil.move(tmp, table_path)
+    shutil.rmtree(old)
+
+
+# --- trigram siblings (round 12) -------------------------------------
+# The landing/compaction discipline one level down KN's recursion:
+# trigram partials feed plans.queries_round12.kn_trigram_merge (the
+# r13 text_kn_trigram_incremental draft) the same way bigram partials
+# feed kn_bigram_merge. Same append-only O(batch types) writes, same
+# 2× read-amplification trigger (kn_compact_due is grain-agnostic —
+# it consumes two counts), same swap.
+
+
+def _batch_trigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, w3, c): one micro-batch's trigram counts — the same
+    tokenize/explode shape as the registered ``text_kn_trigram_prob``
+    extraction (plans/queries_round10.py:124-148); kept local so the
+    stream has no plans-module dependency.
+    ``test_batch_trigram_counts_matches_doc_trigrams`` pins the two
+    together (the ADVICE r11 #4 discipline)."""
+    return (
+        docs.select(
+            F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks")
+        )
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "element_at(toks, i + 2) AS w3))"
+                )
+            ).alias("tg")
+        )
+        .select("tg.w1", "tg.w2", "tg.w3")
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def stream_kn_trigram_counts(
+    doc_stream: DataFrame, table_path: str, checkpoint: str
+):
+    """Start the trigram ingest stream: each micro-batch's counts are
+    appended to ``table_path`` as partial-count rows (w1, w2, w3, c).
+    Exactly-once per micro-batch comes from the checkpoint's offset
+    log, as in ``stream_kn_bigram_counts``."""
+
+    def _land(batch_df: DataFrame, _batch_id: int) -> None:
+        _batch_trigram_counts(batch_df).write.mode("append").parquet(
+            table_path
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kn3_counts_compact(spark: SparkSession, table_path: str) -> DataFrame:
+    """(w1, w2, w3, c123): the standing trigram-count table — partials
+    summed; feeds ``kn_trigram_merge`` as the standing side."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("c").alias("c123"))
+    )
+
+
+def kn3_compaction_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    """One row (partial_rows, distinct_types) at trigram grain — the
+    two counts ``kn_compact_due`` consumes."""
+    return spark.read.parquet(table_path).agg(
+        F.count(F.lit(1)).alias("partial_rows"),
+        F.count_distinct("w1", "w2", "w3").alias("distinct_types"),
+    )
+
+
+def kn3_compact_if_due(
+    spark: SparkSession,
+    table_path: str,
+    max_amplification: float = DEFAULT_MAX_AMPLIFICATION,
+) -> tuple[bool, int, int]:
+    """Trigram twin of ``kn_compact_if_due`` — same trigger, same
+    swap, schema preserved as (w1, w2, w3, c)."""
+    row = kn3_compaction_stats(spark, table_path).head()
+    due = kn_compact_due(
+        row["partial_rows"], row["distinct_types"], max_amplification
+    )
+    if due:
+        _compact_swap(
+            table_path,
+            kn3_counts_compact(spark, table_path).select(
+                "w1", "w2", "w3", F.col("c123").alias("c")
+            ),
+        )
     return due, row["partial_rows"], row["distinct_types"]
