@@ -282,6 +282,47 @@ def canary_verdict(
             return True
     return False
 
+# Saturating canary (round 12): the level canary above is a 1-stage,
+# I/O-light count — its readings calibrate session LOAD but not the
+# machine's sustained all-core throughput. The r12 anchor exposed the
+# gap: a VM where every sub-second query sat AT its committed
+# baseline (canary clean end-to-end) while the 32-thread-saturating
+# families (ANN/SemDeDup) read ~1.1-1.3× — equal single-thread
+# latency, lower sustained throughput. One fixed, data-independent
+# all-core workload (a codegen'd arithmetic fold over spark.range
+# across all cores — no I/O, no shuffle) measured at both endpoints
+# gives cross-ROUND comparisons a machine-speed denominator the way
+# the level canary already calibrates within-session load.
+_SAT_ROWS = 1 << 30
+
+
+def saturating_canary_sec(spark, cpus: int, rows: int = _SAT_ROWS) -> float:
+    """One all-core arithmetic pass; seconds. Deterministic workload,
+    zero I/O — the only variables are the JVM and the silicon."""
+    t0 = time.perf_counter()
+    spark.range(0, rows, 1, numPartitions=int(cpus)).selectExpr(
+        "sum(id * 3 + id % 7) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _load_sat_baseline() -> float | None:
+    """The previous round's committed sat-canary median, from the same
+    detail sidecar _load_baseline anchors per-query numbers to."""
+    root = os.path.dirname(__file__)
+    n = _newest_round()
+    if n < 0:
+        return None
+    detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
+    try:
+        with open(detail) as f:
+            sat = json.load(f).get("sat_canary", {})
+        val = sat.get("median_sec")
+        return float(val) if val and val > 0 else None
+    except (OSError, ValueError):
+        return None
+
+
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
     (localCheckpoint blocks included). The index-building queries
@@ -338,6 +379,9 @@ def main() -> None:
             "overwrite"
         ).save()
     canary_first = _canary_run()
+    # saturating canary: warm once (codegen), then the first reading
+    saturating_canary_sec(spark, cpus)
+    sat_first = saturating_canary_sec(spark, cpus)
 
     # interleaved canary readings (VERDICT r11 wrong #3): position 0 is
     # the endpoint first reading; one single-shot reading lands after
@@ -404,6 +448,7 @@ def main() -> None:
 
     canary_last = _canary_run()
     readings.append({"after_n": timed, "sec": canary_last})
+    sat_last = saturating_canary_sec(spark, cpus)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -423,6 +468,22 @@ def main() -> None:
             "readings": readings,
         },
     }
+    out["sat_canary"] = {
+        "rows": _SAT_ROWS,
+        "first_sec": sat_first,
+        "last_sec": sat_last,
+        "median_sec": round(min(sat_first, sat_last), 3),
+    }
+    sat_base = _load_sat_baseline()
+    if sat_base:
+        out["sat_canary"]["baseline_sec"] = sat_base
+        # >1 = this machine delivers LESS sustained all-core
+        # throughput per second than the committed-anchor machine; a
+        # shared_ratio reader divides by this to separate VM speed
+        # from plan changes (informational — raw timings stay raw)
+        out["sat_canary"]["throughput_ratio"] = round(
+            out["sat_canary"]["median_sec"] / sat_base, 3
+        )
     if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True

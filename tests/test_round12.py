@@ -629,3 +629,18 @@ def test_stream_kn_trigram_counts_matches_rebuild(spark, sf_dir, tmp_path):
     q2 = stream_kn_trigram_counts(stream2, table, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(table).count() == n_rows
+
+
+def test_saturating_canary(spark):
+    """The round-12 throughput canary: a fixed all-core arithmetic
+    fold (no I/O, no shuffle) whose seconds give cross-round bench
+    comparisons a machine-speed denominator — the r12 anchor showed a
+    VM at per-query baseline on every sub-second query while the
+    32-thread-saturating families read ~1.1-1.3×. Shrunk row count
+    here: only the mechanism is under test."""
+    b = _bench_mod()
+    sec = b.saturating_canary_sec(spark, cpus=4, rows=1 << 20)
+    assert sec > 0
+    # baseline loader never raises; returns float or None
+    base = b._load_sat_baseline()
+    assert base is None or (isinstance(base, float) and base > 0)
