@@ -644,3 +644,28 @@ def test_saturating_canary(spark):
     # baseline loader never raises; returns float or None
     base = b._load_sat_baseline()
     assert base is None or (isinstance(base, float) and base > 0)
+
+
+def test_lm_quality_score_draft_oracle_parity(spark, sf_dir):
+    """Third r13 staging row: LM-scored quality filtering (the
+    perplexity-filter shape over the driver-gated KN bigram model,
+    fixed-point per-doc aggregation so the score is hash-exact).
+    Parity at sf0.001 makes the r13 registration mechanical."""
+    from udacitycapstonedataengineer_spark.plans.queries_round12 import (
+        _docs_lm_quality_score_draft,
+        _docs_lm_quality_score_oracle_sql,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    got = _docs_lm_quality_score_draft(spark, load_tables(spark, sf_dir))
+    df = got.toPandas()
+    assert len(df) > 0 and (df["n_bigrams"] > 0).all()
+    compare_frames(
+        df,
+        run_oracle(_docs_lm_quality_score_oracle_sql(), sf_dir),
+        "docs_lm_quality_score (draft)",
+    )

@@ -1,5 +1,6 @@
-"""Round-12 staging area: the r13 ``ann_ivfpq_recall_at_k`` and
-``text_kn_trigram_incremental`` drafts.
+"""Round-12 staging area: the r13 ``ann_ivfpq_recall_at_k``,
+``text_kn_trigram_incremental``, and ``docs_lm_quality_score``
+drafts.
 
 NOT imported by ``plans.queries`` — nothing here registers. The r12
 driver window is exactly full (flagship + 2 governance re-earns + the
@@ -20,6 +21,9 @@ so the r13 registrations are mechanical:
   continuation distributions. Oracle = the UNCHANGED full-corpus
   ``text_kn_trigram_prob`` SQL (hash equality IS the
   append-equals-rebuild proof, exactly as the bigram row did it).
+- ``docs_lm_quality_score``: perplexity-shaped quality filtering
+  over the driver-gated KN bigram LM, hash-safe via fixed-point
+  per-document aggregation (see the section comment below).
 
 Reference parity: the reference pipeline has no ANN/LM surface
 (/root/reference/etl.py is a star-schema ETL); these extend the
@@ -305,4 +309,132 @@ def _text_kn_trigram_incremental_draft(spark, t):
         )
         .orderBy(F.desc("kn_prob"), "w1", "w2", "w3")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_lm_quality_score (r13 draft)
+# ---------------------------------------------------------------------------
+# LM-scored quality filtering — the CCNet/perplexity-filter shape
+# (Wenzek et al. 2020): score each document by how well the corpus
+# language model predicts it, then the LOWEST-scoring documents are
+# the filter candidates. Here the model is the driver-gated
+# interpolated KN bigram LM (text_kn_bigram_prob's exact statistics),
+# and the per-document aggregate is hash-safe by construction: each
+# bigram OCCURRENCE contributes floor(kn_prob · 10⁹) — a BIGINT
+# quantization of a double both engines compute bit-identically — so
+# the per-doc sum is an exact integer under any shuffle order (the
+# functions/exact.py discipline; a float sum would be
+# partition-order-dependent, a log-based perplexity would hinge on
+# libm ulp parity). Documents with no bigram (< 2 tokens) are not
+# scoreable and are excluded by the inner join.
+
+_LM_SCORE_SCALE = 1_000_000_000
+_LM_SCORE_BOTTOM = 40
+
+
+def _docs_lm_quality_score_oracle_sql() -> str:
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bgd AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE toks[i] != '' AND toks[i + 1] != ''
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgd GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  count(*) AS n1p FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS cont FROM c12 GROUP BY w2),
+    ty AS (SELECT count(*) AS n_types FROM c12),
+    knp AS (
+        SELECT w1, w2,
+               ((CAST(c12.c12 AS DOUBLE) - 0.75) / CAST(c1.c1 AS DOUBLE))
+               + (((0.75 * CAST(c1.n1p AS DOUBLE)) / CAST(c1.c1 AS DOUBLE))
+                  * (CAST(cont.cont AS DOUBLE)
+                     / CAST(ty.n_types AS DOUBLE))) AS kn_prob
+        FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+    ),
+    perdoc AS (
+        SELECT bgd.doc_id,
+               count(*) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(knp.kn_prob * {_LM_SCORE_SCALE})
+                             AS BIGINT)) AS BIGINT) AS q_sum
+        FROM bgd JOIN knp USING (w1, w2)
+        GROUP BY bgd.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(q_sum AS DOUBLE)
+               / ({_LM_SCORE_SCALE}.0 * CAST(n_bigrams AS DOUBLE))
+               AS lm_score
+    FROM perdoc
+    ORDER BY lm_score ASC, doc_id
+    LIMIT {_LM_SCORE_BOTTOM}
+    """
+
+
+def _docs_lm_quality_score_draft(spark, t):
+    """The r13 query body: corpus KN bigram stats (the registered
+    text_kn_bigram_prob expression, bit-identical on both engines),
+    quantized per occurrence and summed per document as exact
+    BIGINTs; bottom-N lowest-scoring documents are the quality-filter
+    candidates. Shuffles: bigram-grain count + the two tiny stat
+    join-backs (the LM itself), one bigram-grain join of occurrences
+    to kn_prob, one doc-grain aggregate, then TakeOrdered(N) — in
+    production the LM table is the standing artifact the KN ingest
+    already maintains, so scoring a new batch is O(batch bigrams)."""
+    from .queries_round8 import _doc_bigrams
+
+    bgd = _doc_bigrams(t["documents"])
+    c12 = bgd.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    types = c12.select(F.count(F.lit(1)).alias("n_types"))
+    kn = (
+        (F.col("c12").cast("double") - F.lit(0.75))
+        / F.col("c1").cast("double")
+    ) + (
+        (
+            (F.lit(0.75) * F.col("n1p").cast("double"))
+            / F.col("c1").cast("double")
+        )
+        * (F.col("cont").cast("double") / F.col("n_types").cast("double"))
+    )
+    knp = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", kn.alias("kn_prob"))
+    )
+    perdoc = (
+        bgd.join(knp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.floor(F.col("kn_prob") * F.lit(_LM_SCORE_SCALE)).cast(
+                    "long"
+                )
+            ).alias("q_sum"),
+        )
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("q_sum").cast("double")
+                / (
+                    F.lit(float(_LM_SCORE_SCALE))
+                    * F.col("n_bigrams").cast("double")
+                )
+            ).alias("lm_score"),
+        )
+        .orderBy("lm_score", "doc_id")
+        .limit(_LM_SCORE_BOTTOM)
     )
