@@ -306,21 +306,25 @@ def saturating_canary_sec(spark, cpus: int, rows: int = _SAT_ROWS) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _load_sat_baseline() -> float | None:
-    """The previous round's committed sat-canary median, from the same
-    detail sidecar _load_baseline anchors per-query numbers to."""
+def _load_sat_baseline() -> tuple[float | None, int | None]:
+    """(best_sec, cpus) of the previous round's committed sat canary,
+    from the same detail sidecar _load_baseline anchors per-query
+    numbers to; (None, None) when absent."""
     root = os.path.dirname(__file__)
     n = _newest_round()
     if n < 0:
-        return None
+        return None, None
     detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
     try:
         with open(detail) as f:
             sat = json.load(f).get("sat_canary", {})
-        val = sat.get("median_sec")
-        return float(val) if val and val > 0 else None
+        val = sat.get("best_sec")
+        cpus = sat.get("cpus")
+        if val and val > 0:
+            return float(val), int(cpus) if cpus else None
+        return None, None
     except (OSError, ValueError):
-        return None
+        return None, None
 
 
 def _drop_persisted(spark) -> None:
@@ -446,6 +450,12 @@ def main() -> None:
             if timed % _CANARY_EVERY == 0:
                 _canary_mark()
 
+    # a timed-count that is an exact multiple of _CANARY_EVERY lands a
+    # mark at the same position the endpoint reading takes — drop the
+    # mark so the readings list has one entry per position and the
+    # endpoint (median-of-3) value wins
+    if readings and readings[-1]["after_n"] == timed:
+        readings.pop()
     canary_last = _canary_run()
     readings.append({"after_n": timed, "sec": canary_last})
     sat_last = saturating_canary_sec(spark, cpus)
@@ -470,19 +480,24 @@ def main() -> None:
     }
     out["sat_canary"] = {
         "rows": _SAT_ROWS,
+        "cpus": int(cpus),  # the workload shape; ratios across
+        # different cpu counts are not comparable
         "first_sec": sat_first,
         "last_sec": sat_last,
-        "median_sec": round(min(sat_first, sat_last), 3),
+        # best of the two endpoint readings = the least-interfered
+        # estimate of the silicon's sustained throughput (labeled as
+        # what it is — NOT a median)
+        "best_sec": round(min(sat_first, sat_last), 3),
     }
-    sat_base = _load_sat_baseline()
-    if sat_base:
+    sat_base, sat_base_cpus = _load_sat_baseline()
+    if sat_base and (sat_base_cpus is None or sat_base_cpus == int(cpus)):
         out["sat_canary"]["baseline_sec"] = sat_base
         # >1 = this machine delivers LESS sustained all-core
         # throughput per second than the committed-anchor machine; a
         # shared_ratio reader divides by this to separate VM speed
         # from plan changes (informational — raw timings stay raw)
         out["sat_canary"]["throughput_ratio"] = round(
-            out["sat_canary"]["median_sec"] / sat_base, 3
+            out["sat_canary"]["best_sec"] / sat_base, 3
         )
     if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)

@@ -5,6 +5,8 @@ trigger's fill-skew threshold tracks ``_IVFPQ['nlist']`` (ADVICE r10
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.plans import queries  # noqa: F401
@@ -641,9 +643,10 @@ def test_saturating_canary(spark):
     b = _bench_mod()
     sec = b.saturating_canary_sec(spark, cpus=4, rows=1 << 20)
     assert sec > 0
-    # baseline loader never raises; returns float or None
-    base = b._load_sat_baseline()
+    # baseline loader never raises; returns (best_sec, cpus) or Nones
+    base, cpus = b._load_sat_baseline()
     assert base is None or (isinstance(base, float) and base > 0)
+    assert cpus is None or (isinstance(cpus, int) and cpus > 0)
 
 
 def test_lm_quality_score_draft_oracle_parity(spark, sf_dir):
@@ -669,3 +672,109 @@ def test_lm_quality_score_draft_oracle_parity(spark, sf_dir):
         run_oracle(_docs_lm_quality_score_oracle_sql(), sf_dir),
         "docs_lm_quality_score (draft)",
     )
+
+
+def test_kn_compaction_swap_preserves_concurrent_appends(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 review finding (streaming/text.py): a micro-batch that
+    lands between the compaction's snapshot and the directory swap
+    must SURVIVE — the first rename sweeps it into __old and the core
+    carries it into the compacted directory (partial rows are
+    additive, so no reconciliation is needed). Deterministically
+    reproduced by landing an append at the moment of the first
+    rename."""
+    import shutil
+
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        _batch_bigram_counts,
+        kn_compact_if_due,
+        kn_counts_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    table = str(tmp_path / "kn_race")
+    _batch_bigram_counts(docs).write.mode("append").parquet(table)
+    _batch_bigram_counts(docs).write.mode("append").parquet(table)
+    _batch_bigram_counts(docs).write.mode("append").parquet(table)
+
+    extra_docs = load_table(spark, sf_dir, "documents").filter(
+        "doc_id >= 40 and doc_id < 45"
+    )
+    base = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in kn_counts_compact(spark, table).collect()
+    }
+    extra = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in _batch_bigram_counts(extra_docs).collect()
+    }
+    want = dict(base)
+    for k, c in extra.items():
+        want[k] = want.get(k, 0) + c
+
+    real_move = shutil.move
+    landed = {"n": 0}
+
+    def race_move(src, dst, *a, **kw):
+        if landed["n"] == 0 and str(src).rstrip("/") == table:
+            landed["n"] = 1  # land an append just before table -> old
+            _batch_bigram_counts(extra_docs).write.mode("append").parquet(
+                table
+            )
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(shutil, "move", race_move)
+    did, rows, types = kn_compact_if_due(spark, table)
+    monkeypatch.setattr(shutil, "move", real_move)
+    assert did and landed["n"] == 1
+    got = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in kn_counts_compact(spark, table).collect()
+    }
+    assert got == want, "concurrently appended counts were lost"
+
+
+def test_kn_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """Residue from a swap that crashed between the two renames (live
+    path missing, __old + __compacting present) must roll BACK on the
+    next maintenance call — serving sees the original counts, then the
+    rerun compaction proceeds normally."""
+    import shutil
+
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+    from udacitycapstonedataengineer_spark.streaming.text import (
+        _batch_bigram_counts,
+        kn_compact_if_due,
+        kn_counts_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    table = str(tmp_path / "kn_crash")
+    for _ in range(3):
+        _batch_bigram_counts(docs).write.mode("append").parquet(table)
+    want = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in kn_counts_compact(spark, table).collect()
+    }
+    # simulate the crash window: tmp written, table renamed away,
+    # second rename never happened
+    tmp = table + "__compacting"
+    kn_counts_compact(spark, table).selectExpr(
+        "w1", "w2", "c12 as c"
+    ).write.parquet(tmp)
+    shutil.move(table, table + "__old")
+    assert not os.path.isdir(table)
+
+    did, rows, types = kn_compact_if_due(spark, table)
+    # recovery restored the original partials (rows == pre-crash
+    # partial count), then the due trigger compacted them
+    assert did and rows == 3 * len(want)
+    got = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in kn_counts_compact(spark, table).collect()
+    }
+    assert got == want
+    assert not os.path.isdir(table + "__old")
+    assert not os.path.isdir(tmp)

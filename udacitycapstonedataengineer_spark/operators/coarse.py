@@ -33,7 +33,7 @@ from .clustering import SCALE, _quantize_vec
 
 
 def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
-    """struct(cid, c, d): the nearest frozen centroid for the row's
+    """struct(cid, d): the nearest frozen centroid for the row's
     ``v_col`` vector — computed as a PER-ROW expression over the
     collected model (``cent_rows`` = [(cid, c array<double>)],
     model-sized: nlist×dim). Replaces ``kmeans_assign``'s
@@ -45,7 +45,17 @@ def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
     ``kmeans_assign``: the same _DIST2 fold (zip_with square-diff,
     sequential 0D sum) per centroid, candidates folded in ascending
     cid order with a strict ``<`` — the first minimum wins, which IS
-    the (dist2, cid) tie-break."""
+    the (dist2, cid) tie-break.
+
+    The fold carries only (cid, d) — 16 bytes per candidate — not
+    the dim-double centroid array (round-12 review finding: threading
+    the full array through every fold step is pure copy cost).
+    Consumers that need the winning centroid VECTOR recover it with
+    ``centroid_array``'s element_at lookup on the cid, and should
+    project the struct (or the cid) in its OWN select step before
+    extracting further fields — Catalyst does not common-subexpression
+    -eliminate lambda-bearing folds, so two field extractions in one
+    projection evaluate the whole fold twice."""
     cents = F.array(
         *[
             F.struct(
@@ -59,7 +69,6 @@ def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
         cents,
         lambda ctr: F.struct(
             ctr["cid"].alias("cid"),
-            ctr["c"].alias("c"),
             F.aggregate(
                 F.zip_with(
                     F.col(v_col), ctr["c"], lambda x, y: (x - y) * (x - y)
@@ -71,12 +80,26 @@ def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
     )
     return F.aggregate(
         dists,
-        F.lit(None).cast(
-            "struct<cid:bigint,c:array<double>,d:double>"
-        ),
+        F.lit(None).cast("struct<cid:bigint,d:double>"),
         lambda best, x: F.when(
             best.isNull() | (x["d"] < best["d"]), x
         ).otherwise(best),
+    )
+
+
+def centroid_array(cent_rows) -> Column:
+    """array<array<double>> literal of the frozen centroids ordered by
+    dense cid — ``element_at(centroid_array(m), cid + 1)`` recovers a
+    row's winning centroid after ``coarse_argmin`` without the fold
+    having to thread the vectors through every step (the
+    ``stream_ivfpq_encode`` lookup shape)."""
+    cents = sorted(cent_rows, key=lambda r: r["cid"])
+    if [int(r["cid"]) for r in cents] != list(range(len(cents))):
+        raise ValueError(
+            "centroid_array: coarse cids must be dense 0..nlist-1"
+        )
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["c"]]) for r in cents]
     )
 
 

@@ -85,6 +85,12 @@ def ivfpq_recall_at_k(
     hides queries whose cell was mis-probed)."""
     from .ivfpq import ivfpq_topk
 
+    # an empty sample would pass both validations below and then
+    # crash opaquely at the per-query union (IndexError) after the
+    # corpus collect already ran — same ValueError contract as the
+    # other invalid-sample cases
+    if not query_ids:
+        raise ValueError("ivfpq_recall_at_k: empty query_ids")
     # ADVICE r11 #3: duplicate ids would collapse into one row_number
     # partition in exact_topk_multi (corrupting that query's ground
     # truth) and double-emit its per-query row — reject at entry,

@@ -40,7 +40,7 @@ from ..operators.clustering import (
     kmeans_fit,
     kmeans_oracle_parts,
 )
-from ..operators.coarse import coarse_argmin, ivfpq_coarse_fit
+from ..operators.coarse import centroid_array, coarse_argmin, ivfpq_coarse_fit
 from ..operators.graph import connected_components
 from ..operators.ivfpq import (
     _ivfpq_oracle_parts,
@@ -262,17 +262,24 @@ def ivfpq_drift_stats(emb, centroids, batch_where: str = _BATCH_WHERE):
         f" * CAST(FLOOR(x * {s}.0) AS BIGINT)), "
         f"0L, (acc, w) -> acc + w)"
     )
-    best = coarse_argmin(cent_rows)
-    ren = (
-        vectors.select(
-            "vec_id",
-            best["cid"].alias("cell"),
-            F.zip_with(
-                F.col("v"), best["c"], lambda x, y: x - y
-            ).alias("rv"),
-        )
-        .select("vec_id", "cell", energy.alias("energy"))
+    # assignment projected in its OWN step (one fold evaluation per
+    # row — Catalyst does not CSE lambda-bearing folds), then the
+    # winning centroid recovered by dense-cid lookup (round-12
+    # review: the previous shape threaded the full centroid array
+    # through every fold step and evaluated the fold twice)
+    carr = centroid_array(cent_rows)
+    assigned = vectors.select(
+        "vec_id", "v", coarse_argmin(cent_rows)["cid"].alias("cell")
     )
+    ren = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(carr, F.col("cell").cast("int") + 1),
+            lambda x, y: x - y,
+        ).alias("rv"),
+    ).select("vec_id", "cell", energy.alias("energy"))
     is_batch = F.expr(batch_where)
     cstat = (
         ren.filter(~is_batch)

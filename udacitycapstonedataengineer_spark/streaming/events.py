@@ -1261,7 +1261,18 @@ def streaming_seen_users_ttl_tws(
 
         deadline = _time.monotonic() + 120
         while _time.monotonic() < deadline:
-            if q.recentProgress and not q.status["isDataAvailable"]:
+            # require a batch that actually CONSUMED rows, not just
+            # any progress: under a loaded machine the first progress
+            # entry can be an empty maintenance batch reported while
+            # the file source is still listing — breaking on it
+            # stopped the query before the data batch committed and
+            # the final out_dir read crashed (full-suite flake,
+            # round 12)
+            consumed = any(
+                getattr(p, "numInputRows", 0) > 0
+                for p in (q.recentProgress or [])
+            )
+            if consumed and not q.status["isDataAvailable"]:
                 break
             _time.sleep(0.5)
         q.stop()

@@ -21,6 +21,8 @@ LM family SURVEY.md §2 adds beyond it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -131,35 +133,99 @@ def kn_compact_if_due(
     unchanged — (w1, w2, c) — so ingest appends and
     ``kn_counts_compact`` serving continue over the swapped table).
     Returns (compacted, partial_rows, distinct_types) as measured
-    BEFORE any rewrite. The local swap is a directory rename; on an
-    object store the same step is a manifest/version flip (the
-    tokenshard sink's atomic-manifest pattern)."""
-    row = kn_compaction_stats(spark, table_path).head()
-    due = kn_compact_due(
-        row["partial_rows"], row["distinct_types"], max_amplification
-    )
-    if due:
-        _compact_swap(
-            table_path,
-            kn_counts_compact(spark, table_path).select(
-                "w1", "w2", F.col("c12").alias("c")
-            ),
-        )
-    return due, row["partial_rows"], row["distinct_types"]
+    BEFORE any rewrite. See ``_kn_compact_core`` for the swap's
+    concurrency and crash contracts."""
+    return _kn_compact_core(spark, table_path, ["w1", "w2"], max_amplification)
 
 
-def _compact_swap(table_path: str, compacted: DataFrame) -> None:
-    """Write the compacted frame to a sibling temp dir, then swap it
-    live with two renames (the local-FS variant of an object-store
-    manifest flip — the tokenshard sink's atomic-manifest pattern)."""
+def _kn_compact_core(
+    spark: SparkSession,
+    table_path: str,
+    keys: list,
+    max_amplification: float,
+) -> tuple[bool, int, int]:
+    """Shared compaction core for both n-gram grains (the trigger,
+    verification, and swap must never diverge between them).
+
+    Contracts:
+    - **Snapshot purity**: the decision, the compacted copy, and the
+      verification all derive from ONE pinned file listing
+      (``spark.read.parquet`` snapshots its file index at read
+      creation), so a concurrent micro-batch cannot half-enter any
+      step.
+    - **Verification before touching the live table** (the
+      ``compact_parquet`` discipline): the tmp copy is re-read and
+      must preserve the snapshot's total count mass AND its distinct
+      type count, else tmp is dropped and the live table is untouched.
+    - **Concurrent appends survive the swap**: partial files that
+      landed AFTER the snapshot are swept along by the first rename
+      and carried into the compacted directory before the second
+      (part-file names are globally unique); an append that recreates
+      the live path inside the rename window is folded in the same
+      way. Partial rows are additive by design, so carried files need
+      no reconciliation — serving re-aggregates.
+    - **Crash recovery**: residue from a crashed swap is detected and
+      resolved on the next call (roll BACK when the live path is
+      missing — the compacted mass never made it live; roll FORWARD
+      by deleting leftovers otherwise). One maintenance job at a time
+      (the nightly-cron assumption); on an object store the whole
+      swap is a manifest/version flip instead (the tokenshard sink's
+      atomic-manifest pattern)."""
     import shutil
 
     tmp = table_path.rstrip("/") + "__compacting"
-    compacted.write.mode("overwrite").parquet(tmp)
     old = table_path.rstrip("/") + "__old"
+    # resolve residue from a crashed previous swap
+    if os.path.isdir(old) and not os.path.isdir(table_path):
+        shutil.move(old, table_path)  # roll back: mass never went live
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+    elif os.path.isdir(old):
+        shutil.rmtree(old)  # roll forward: swap completed, tidy up
+    elif os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # crashed before any rename
+
+    snap = spark.read.parquet(table_path)  # pinned file listing
+    stats = snap.agg(
+        F.count(F.lit(1)).alias("partial_rows"),
+        F.count_distinct(*keys).alias("distinct_types"),
+        F.sum("c").alias("mass"),
+    ).head()
+    rows, types = stats["partial_rows"], stats["distinct_types"]
+    if not kn_compact_due(rows, types, max_amplification):
+        return False, rows, types
+    snap_names = {os.path.basename(u) for u in snap.inputFiles()}
+
+    compacted = snap.groupBy(*keys).agg(F.sum("c").alias("c"))
+    compacted.write.mode("overwrite").parquet(tmp)
+    check = spark.read.parquet(tmp).agg(
+        F.sum("c").alias("mass"), F.count(F.lit(1)).alias("rows")
+    ).head()
+    if check["mass"] != stats["mass"] or check["rows"] != types:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            "kn compaction: compacted copy failed the mass/type check; "
+            "live table untouched"
+        )
+
     shutil.move(table_path, old)
+    # carry over any partial files appended after the snapshot (swept
+    # into `old` by the rename) — their names are not in the snapshot
+    for f in os.listdir(old):
+        if f.endswith(".parquet") and f not in snap_names:
+            shutil.move(os.path.join(old, f), os.path.join(tmp, f))
+    if os.path.exists(table_path):
+        # an append recreated the live path inside the rename window:
+        # fold its parts in before taking the name back
+        for f in os.listdir(table_path):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(table_path, f), os.path.join(tmp, f)
+                )
+        shutil.rmtree(table_path)
     shutil.move(tmp, table_path)
     shutil.rmtree(old)
+    return True, rows, types
 
 
 # --- trigram siblings (round 12) -------------------------------------
@@ -247,17 +313,9 @@ def kn3_compact_if_due(
     table_path: str,
     max_amplification: float = DEFAULT_MAX_AMPLIFICATION,
 ) -> tuple[bool, int, int]:
-    """Trigram twin of ``kn_compact_if_due`` — same trigger, same
-    swap, schema preserved as (w1, w2, w3, c)."""
-    row = kn3_compaction_stats(spark, table_path).head()
-    due = kn_compact_due(
-        row["partial_rows"], row["distinct_types"], max_amplification
+    """Trigram twin of ``kn_compact_if_due`` — the shared core keeps
+    trigger, verification, and swap identical across grains; schema
+    preserved as (w1, w2, w3, c)."""
+    return _kn_compact_core(
+        spark, table_path, ["w1", "w2", "w3"], max_amplification
     )
-    if due:
-        _compact_swap(
-            table_path,
-            kn3_counts_compact(spark, table_path).select(
-                "w1", "w2", "w3", F.col("c123").alias("c")
-            ),
-        )
-    return due, row["partial_rows"], row["distinct_types"]

@@ -44,6 +44,11 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True  # exists, owned by someone else — leave it alone
+    except (OverflowError, ValueError):
+        # numeric tail too large for a C long / not a valid pid — not
+        # one of ours; claim alive so the sweep leaves it alone (and
+        # never crashes the package import it runs under)
+        return True
     return True
 
 
