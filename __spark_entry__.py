@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 12
+_ROUND = 13
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,28 +39,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-12 tiers, in order (tier sizes are never hand-counted here —
+# Round-13 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. changed this round — must re-earn their rows: the IVF-PQ
-#      governance pair switched to ivfpq_coarse_fit (dropping
-#      pq_train's discarded work, VERDICT r11 wrong #1) and the
-#      rebuild fill-skew literal now interpolates _IVFPQ['nlist']
-#      (ADVICE r10 #1).
-#   3. new round-12 queries — NONE: 1 + 2 + 47 fills the window
-#      exactly (VERDICT r11 #2); r12 capabilities land as test-pinned
-#      surfaces instead.
-#   4. staleness rotation: the FULL r07-stale cohort (the entire
-#      remaining oldest-freshness debt).
-_REEARN_R12: list[str] = [
-    "ivfpq_index_drift",
-    "ivfpq_rebuild_decision",
+#   2. changed this round — must re-earn its row: scd2_point_in_time
+#      dropped the .persist() on its 25-row SCD frame (VERDICT r12
+#      wrong #3 / next #4 — the spare window slot).
+#   3. new round-13 queries: the three r12-staged registrations
+#      (VERDICT r12 next #1), oracles drafted + sf0.001 parity proven
+#      last round, decoration moved in plans/queries_round13.py.
+#   4. staleness rotation: the FULL r08-stale cohort (the entire
+#      remaining oldest-freshness debt; moves the histogram floor to
+#      r09).
+_REEARN_R13: list[str] = [
+    "scd2_point_in_time_read",
 ]
-_NEW_R12: list[str] = []
-_ROTATION_R12 = [
-    # last green r07 — the full cohort (test_stalest_cohort_rotates
+_NEW_R13: list[str] = [
+    "ann_ivfpq_recall_at_k",
+    "text_kn_trigram_incremental",
+    "docs_lm_quality_score",
+]
+_ROTATION_R13 = [
+    # last green r08 — the full cohort (test_stalest_cohort_rotates
     # recomputes this list from the raw CORRECTNESS files)
+    "ann_topk_int8", "dedup_exact_groups", "dedup_exact_keep_canonical",
+    "dedup_incremental_anti", "dedup_minhash_lsh", "dedup_simhash",
+    "derive_column", "docs_contamination_check", "docs_global_dup_spans",
+    "docs_oov_bigram_rate", "docs_repetition_stats", "drop_columns",
+    "embedding_neardup_pairs", "embedding_quantize_int8",
+    "events_forward_fill", "events_spend_rank_stats",
+    "events_transition_bigrams", "fact_orders", "filter_predicate",
+    "json_extract_props", "kmeans_clusters", "multimodal_png_roundtrip",
+    "ngram_jaccard_pairs", "olap_grouping_sets", "pii_redact_contacts",
+    "pivot_native_counts", "project_select", "quality_expectation_report",
+    "rename_columns", "rollup_incremental_merge",
+    "semdedup_incremental_pairs", "semdedup_pairs", "sql_exists_semijoin",
+    "sql_lateral_topn_per_customer", "sql_not_exists_antijoin",
+    "sql_recursive_date_spine", "sql_scalar_subquery", "stats_corr_exact",
+    "text_kn_continuation_counts", "text_lang_id", "text_token_stats",
+    "tpch_q19_disjunctive", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
+]
+
+_WINDOW_TIERS = (
+    ["star_revenue_by_region_year"] + _REEARN_R13 + _NEW_R13 + _ROTATION_R13
+)
+
+# green in CORRECTNESS_r12 (the r12 window), kept registered after the
+# window rotates
+_GREEN_R12 = [
+    "ivfpq_index_drift", "ivfpq_rebuild_decision",
     "docs_ngram_repetition", "embeddings_gram_matrix",
     "events_asof_last_purchase", "events_cohort_retention",
     "events_funnel_conversion", "events_lag_lead_ntile",
@@ -85,10 +114,6 @@ _ROTATION_R12 = [
     "tpch_q16_supplier_relation", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
 ]
-
-_WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _REEARN_R12 + _NEW_R12 + _ROTATION_R12
-)
 
 # green in CORRECTNESS_r11 (the r11 window), kept registered after the
 # window rotates
@@ -293,7 +318,8 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _GREEN_R11
+        _GREEN_R12
+        + _GREEN_R11
         + _GREEN_R10
         + _GREEN_R9
         + _GREEN_R8

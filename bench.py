@@ -178,6 +178,12 @@ HEADLINE = [
     # index; KN append-equals-rebuild merge over standing count tables
     "ann_ivfpq_recall_curve_served",
     "text_kn_bigram_incremental",
+    # round-13: the r12-staged registrations — sampled recall@k over
+    # the IVF-PQ index, the two-grain trigram merge, LM-scored quality
+    # filtering over the KN bigram model
+    "ann_ivfpq_recall_at_k",
+    "text_kn_trigram_incremental",
+    "docs_lm_quality_score",
 ]
 
 # Session-contamination canary (VERDICT r10 #2): a fixed trivial query
@@ -306,6 +312,17 @@ def saturating_canary_sec(spark, cpus: int, rows: int = _SAT_ROWS) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def saturating_canary_median(
+    spark, cpus: int, rows: int = _SAT_ROWS, n: int = 3
+) -> tuple[float, list[float]]:
+    """Median-of-n endpoint reading (VERDICT r12 wrong #2): the r12
+    single-reading endpoints spread 33% on a busy VM — exactly the
+    noise the denominator exists to remove. Returns (median,
+    raw_readings) so the sidecar records what the median came from."""
+    reads = [saturating_canary_sec(spark, cpus, rows) for _ in range(n)]
+    return round(sorted(reads)[len(reads) // 2], 3), reads
+
+
 def _load_sat_baseline() -> tuple[float | None, int | None]:
     """(best_sec, cpus) of the previous round's committed sat canary,
     from the same detail sidecar _load_baseline anchors per-query
@@ -318,13 +335,85 @@ def _load_sat_baseline() -> tuple[float | None, int | None]:
     try:
         with open(detail) as f:
             sat = json.load(f).get("sat_canary", {})
+        # float() inside the try: a hand-edited / non-numeric sidecar
+        # value must degrade to no-baseline, not crash the bench at
+        # startup (ADVICE r12 #3 — TypeError escaped the old net).
+        # bool explicitly rejected: float(True) == 1.0 would pass.
         val = sat.get("best_sec")
+        if isinstance(val, bool):
+            return None, None
+        val = float(val)
         cpus = sat.get("cpus")
-        if val and val > 0:
-            return float(val), int(cpus) if cpus else None
+        if val > 0:
+            return val, int(cpus) if cpus else None
         return None, None
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
         return None, None
+
+
+# Isolated-baseline table (VERDICT r12 next #6): fresh-JVM 5-run
+# medians from scripts/isolated_query.py at sf0.1 on an idle machine,
+# pinned in PERF_NOTES (r11 adjudication table, r12 watch-close + r12
+# extension). Isolated readings run 1.5-2.7× the warmed in-suite
+# anchors on this VM (JVM tiered compilation), so a flag is ruled by
+# rerunning scripts/isolated_query.py and comparing ISOLATED-vs-
+# ISOLATED against this row — never isolated-vs-warmed. Names absent
+# here have no pinned row yet; their flags say so explicitly.
+ISOLATED_BASELINE: dict[str, float] = {
+    # r13 adjudication runs (idle machine; the four r13 bench flags
+    # all ruled does-not-reproduce against these)
+    "semdedup_pairs": 4.491,
+    "ann_topk_bruteforce": 0.688,
+    "text_bm25_indexed_topk": 0.964,
+    "parts_copurchase_triangles": 4.788,  # supersedes r12's 5.775
+    # r12 extension table (round close, load avg ~0.1)
+    "star_revenue_by_region_year": 1.657,
+    "dedup_clusters": 4.024,
+    "text_kn_bigram_incremental": 2.505,
+    "events_heavy_hitters": 1.709,
+    "scd2_point_in_time_read": 1.389,
+    # r12 watch-close table
+    "orders_profile_drift": 1.438,
+    "events_mad_outliers": 1.178,
+    "docs_novelty_hapax": 1.387,
+    # r12 lenient-flag adjudication
+    "tpch_q9_product_profit": 1.027,
+    "orders_monthly_forecast_eval": 1.095,
+    # r11 adjudication table
+    "dedup_by_key": 1.421,
+    "null_profile": 0.474,
+    "sas_date_decode": 0.531,
+    "docs_ngram_repetition": 1.020,
+    "text_bm25_linear_topk": 1.243,
+    "ann_topk_ivfpq": 10.294,
+}
+
+
+def adjudicate_flag(row: dict, isolated_sec: float | None) -> dict:
+    """Self-contained ruling for one lenient regression flag (VERDICT
+    r12 next #6 — flags arrive in the detail sidecar pre-adjudicated
+    instead of waiting a round for a manual protocol run). Pure so
+    tests can replay synthetic flags.
+
+    Ruling order mirrors the manual protocol PERF_NOTES r10-r12
+    applied by hand:
+    1. session — the whole session or the flag's bracketing canary
+       segment is hot; the timing lies, no plan action;
+    2. isolated-baseline-pinned — clean segment, pinned fresh-JVM
+       median attached: rerun scripts/isolated_query.py and rule
+       isolated-vs-isolated mechanically;
+    3. unadjudicated — clean segment, no pinned row: the isolated run
+       both rules this flag AND pins the row for future rounds."""
+    out = dict(row)
+    if isolated_sec is not None:
+        out["isolated_baseline_sec"] = isolated_sec
+    if out.get("contaminated") or out.get("segment_hot"):
+        out["ruling"] = "session"
+    elif isolated_sec is not None:
+        out["ruling"] = "isolated-baseline-pinned"
+    else:
+        out["ruling"] = "unadjudicated-run-scripts/isolated_query.py"
+    return out
 
 
 def _drop_persisted(spark) -> None:
@@ -383,9 +472,10 @@ def main() -> None:
             "overwrite"
         ).save()
     canary_first = _canary_run()
-    # saturating canary: warm once (codegen), then the first reading
+    # saturating canary: warm once (codegen), then median-of-3 — a
+    # single endpoint reading spread 33% on the r12 driver VM
     saturating_canary_sec(spark, cpus)
-    sat_first = saturating_canary_sec(spark, cpus)
+    sat_first, sat_first_reads = saturating_canary_median(spark, cpus)
 
     # interleaved canary readings (VERDICT r11 wrong #3): position 0 is
     # the endpoint first reading; one single-shot reading lands after
@@ -458,7 +548,7 @@ def main() -> None:
         readings.pop()
     canary_last = _canary_run()
     readings.append({"after_n": timed, "sec": canary_last})
-    sat_last = saturating_canary_sec(spark, cpus)
+    sat_last, sat_last_reads = saturating_canary_median(spark, cpus)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -484,9 +574,11 @@ def main() -> None:
         # different cpu counts are not comparable
         "first_sec": sat_first,
         "last_sec": sat_last,
-        # best of the two endpoint readings = the least-interfered
-        # estimate of the silicon's sustained throughput (labeled as
-        # what it is — NOT a median)
+        # raw per-endpoint readings behind the medians (VERDICT r12
+        # wrong #2) — sidecar evidence for any future ruling
+        "readings": {"first": sat_first_reads, "last": sat_last_reads},
+        # best of the two endpoint MEDIANS = the least-interfered
+        # estimate of the silicon's sustained throughput
         "best_sec": round(min(sat_first, sat_last), 3),
     }
     sat_base, sat_base_cpus = _load_sat_baseline()
@@ -550,13 +642,22 @@ def main() -> None:
             out["shared_ratio"] = round(cur / prev, 3)
             out["shared_n"] = len(shared)
             out["prev_bench"] = baseline_src
+            # silicon-normalized round-over-round (VERDICT r12 next
+            # #3): divide out the machines' sustained-throughput
+            # difference so a ruling like r12's semdedup_survivors
+            # +17%-on-a-slower-VM is mechanical, not argued
+            tr = out["sat_canary"].get("throughput_ratio")
+            if tr and tr > 0:
+                out["shared_ratio_normalized"] = round(
+                    out["shared_ratio"] / tr, 3
+                )
         regressions = {
             n: {"sec": t, "baseline_sec": baseline[n]}
             for n, t in timings.items()
             if n in baseline and baseline[n] > 0 and t > 1.5 * baseline[n]
         }
         if regressions:
-            for name, row in regressions.items():
+            for name, row in list(regressions.items()):
                 if out.get("canary_contaminated"):
                     row["contaminated"] = True
                 # nearest interleaved readings (VERDICT r11 wrong #3):
@@ -569,6 +670,11 @@ def main() -> None:
                     row.update(ctx)
                     if ctx["segment_hot"]:
                         row["contaminated"] = True
+                # pre-adjudication (VERDICT r12 next #6): attach the
+                # pinned isolated-baseline row + a mechanical ruling
+                regressions[name] = adjudicate_flag(
+                    row, ISOLATED_BASELINE.get(name)
+                )
             out["regressions"] = regressions
     _write_detail(out)
     print(json.dumps(_fit_line(out)))
@@ -592,6 +698,11 @@ def _fit_line(out: dict) -> dict:
     if "readings" in compact.get("canary", {}):
         compact["canary"] = {
             k: v for k, v in compact["canary"].items() if k != "readings"
+        }
+    # sat-canary raw readings are sidecar-only too (the medians stay)
+    if "readings" in compact.get("sat_canary", {}):
+        compact["sat_canary"] = {
+            k: v for k, v in compact["sat_canary"].items() if k != "readings"
         }
     if len(json.dumps(compact)) <= _TAIL_BUDGET:
         return compact

@@ -141,6 +141,11 @@ PROBE_QUERIES = [
     # KN standing-table merge (O(batch grams) given the standing side)
     "ann_ivfpq_recall_curve_served",
     "text_kn_bigram_incremental",
+    # round-13: sampled recall@k (multi-query ground truth + per-query
+    # pruned probes), two-grain trigram merge, LM-scored quality filter
+    "ann_ivfpq_recall_at_k",
+    "text_kn_trigram_incremental",
+    "docs_lm_quality_score",
 ]
 
 # SF-PROPORTIONAL replication (VERDICT r7 #6). The old ×N clone kept

@@ -1161,7 +1161,11 @@ def _scd2_point_in_time_read(spark, t):
         ((F.col("n_regionkey") + 1) % 5).alias("region"),
         F.lit("2000-01-01").cast("date").alias("change_date"),
     )
-    scd = scd2_apply(dim, updates, ["k"], ["name", "region"]).persist()
+    # no persist: the SCD frame is 25 nation rows feeding two snapshot
+    # branches — block-manager round trips cost more than the replayed
+    # broadcast-size scan (VERDICT r12 wrong #3; warmed anchor was
+    # ~0.6-0.9 s vs the ~0.4 s r09 level)
+    scd = scd2_apply(dim, updates, ["k"], ["name", "region"])
     snaps = [
         scd2_as_of(scd, d).select(
             F.lit(d).alias("as_of"), "k", "name", "region"

@@ -1,0 +1,200 @@
+"""Round-13 staging area: the r14 ``ann_ivfpq_recall_at_k_served``
+and ``text_kn_trigram_stream_served`` drafts.
+
+NOT imported by ``plans.queries`` — nothing here registers (the r13
+driver window is exactly full: flagship + scd2 re-earn + 3 new
+registrations + the 45-query r08 cohort). The r12 staging discipline
+repeats: oracles drafted + sf0.001 parity pinned now, so the r14
+registrations are mechanical (VERDICT r12 next #7).
+
+- ``ann_ivfpq_recall_at_k_served``: post-append recall@k measured
+  from the WRITTEN index — the production question "did my append
+  degrade serving?". Composes ``operators/recall_eval.py`` (the r13
+  ``ann_ivfpq_recall_at_k`` machinery) with the r9/r11 served-index
+  pattern: build on the corpus subset, write cell-partitioned, encode
+  the batch against the FROZEN model, APPEND to the written index,
+  probe the read-back. Oracle = the per-query ``ivfpq_oracle_sql``
+  union with ``fit_where`` (the ``ann_topk_ivfpq_incremental``
+  leakage proof) — any batch row contaminating training, any
+  append/read-back corruption, hash-fails.
+- ``text_kn_trigram_stream_served``: the Structured-Streaming trigram
+  ingest (``streaming/text.py::stream_kn_trigram_counts``) landed
+  over the whole documents table, compacted to the standing count
+  table, then the registered KN trigram smoothing computed FROM that
+  table. Oracle = the UNCHANGED full-corpus ``text_kn_trigram_prob``
+  SQL — hash equality proves the stream-landed counts (and every
+  derived continuation statistic) ≡ the batch extraction, closing the
+  loop between the streaming surface and the driver-gated LM row.
+
+Reference parity: the reference pipeline has no ANN/LM/streaming
+surface (/root/reference/etl.py is a star-schema ETL); these extend
+the similarity-search and text-analysis families SURVEY.md §2 adds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators.ivfpq import (
+    ivfpq_build,
+    ivfpq_encode_batch,
+    ivfpq_oracle_sql,
+)
+from ..operators.recall_eval import ivfpq_recall_at_k
+from .queries_round8 import _IVFPQ, _NPROBE, _TOPK
+from .queries_round12 import _RECALL_AT_K_QUERY_IDS
+
+# the same standing/batch split ann_topk_ivfpq_incremental proves
+# leakage-freedom on — the served variant must inherit it so the
+# oracle's fit_where matches
+_SERVED_BATCH_WHERE = "vec_id % 10 = 7"
+
+
+def _ivfpq_recall_at_k_served_oracle_sql() -> str:
+    """DuckDB twin: per sampled query id one full build+probe derived
+    table — the UNCHANGED ``ivfpq_oracle_sql`` text with ``fit_where``
+    excluding the batch (training sees only the corpus; encoding and
+    the exact ground truth see everything — the incremental leakage
+    contract) — aggregated to (query_vec_id, hits, recall)."""
+    points = []
+    for qid in _RECALL_AT_K_QUERY_IDS:
+        inner = ivfpq_oracle_sql(
+            dim=64,
+            nprobe=_NPROBE,
+            topk=_TOPK,
+            query_vec_id=qid,
+            exact_k=_TOPK,
+            fit_where=f"NOT ({_SERVED_BATCH_WHERE})",
+            **_IVFPQ,
+        )
+        points.append(
+            f"""SELECT {qid} AS query_vec_id,
+                CAST(COUNT(CASE WHEN in_exact_topk THEN 1 END) AS BIGINT)
+                    AS hits
+                FROM ({inner}) q{qid}"""
+        )
+    u = "\nUNION ALL\n".join(points)
+    return f"""
+    SELECT query_vec_id, hits,
+           CAST(hits AS DOUBLE) / {float(_TOPK)} AS recall
+    FROM ({u})
+    ORDER BY query_vec_id
+    """
+
+
+def _ann_ivfpq_recall_at_k_served_draft(spark, t):
+    """The r14 query body: corpus-only model + index, written
+    cell-partitioned (the serving layout); batch encoded against the
+    frozen model and APPENDED to the written index; the recall@k
+    sample evaluated from the read-back. Every probe point's `cell
+    isin` filter lands as a PartitionFilter on the read-back scan
+    (the r9 served plan gate covers the shared ``ivfpq_topk``), so
+    each query reads nprobe/nlist of the index files. pid-scoped
+    path + overwrite-then-append: in-process re-runs reset the dir
+    (overwrite truncates the previous append too); tmpindex removes
+    it at exit."""
+    emb = t["embeddings"]
+    corpus = emb.filter(~F.expr(_SERVED_BATCH_WHERE))
+    batch = emb.filter(F.expr(_SERVED_BATCH_WHERE))
+    cents, books, corpus_index = ivfpq_build(corpus, **_IVFPQ)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_recall_served_{os.getpid()}",
+    )
+    corpus_index.write.partitionBy("cell").mode("overwrite").parquet(path)
+    ivfpq_encode_batch(batch, cents, books, m=_IVFPQ["m"]).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path)
+    back = spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    return ivfpq_recall_at_k(
+        back,
+        cents,
+        books,
+        emb,
+        list(_RECALL_AT_K_QUERY_IDS),
+        k=_TOPK,
+        nprobe=_NPROBE,
+    )
+
+
+def _text_kn_trigram_stream_served_draft(spark, t):
+    """The r14 query body: the documents table rides the REAL
+    Structured-Streaming ingest (availableNow micro-batches append
+    partial trigram counts), the landing table compacts to the
+    standing (w1, w2, w3, c123) counts, and the registered KN trigram
+    smoothing is computed from THOSE counts — c12/nc23/nc2/cont3 and
+    the type total all derive from c123, so the whole continuation
+    recursion is checked against the batch oracle. Fresh landing +
+    checkpoint dirs per invocation (append-mode landing would double
+    counts on an in-process re-run); tmpindex sweeps the pid dir at
+    exit. Scale: per-batch cost is O(batch grams) into type-grain
+    partials; the standing table is type-sized — the streaming
+    surface's production contract, here driven end-to-end."""
+    from ..streaming.text import kn3_counts_compact, stream_kn_trigram_counts
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_kn3_stream_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "staging")
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    docs = t["documents"].select("doc_id", "text")
+    # stage to parquet so the stream reads the same rows with a plain
+    # schema (the testdata TIMESTAMP(NANOS) workaround lives in
+    # load_table; the staged copy carries only doc_id + text)
+    docs.write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staging)
+    )
+    stream_kn_trigram_counts(stream, landing, ckpt).awaitTermination()
+
+    c123 = kn3_counts_compact(spark, landing)
+    c12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n3p")
+    )
+    nc23 = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc23"))
+    nc2 = nc23.groupBy("w2").agg(
+        F.sum("nc23").alias("nc2"), F.count(F.lit(1)).alias("n2p")
+    )
+    cont3 = nc23.groupBy("w3").agg(F.count(F.lit(1)).alias("cont3"))
+    types = nc23.select(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(0.75)
+    p_bi = (
+        (F.col("nc23").cast("double") - d) / F.col("nc2").cast("double")
+    ) + (
+        ((d * F.col("n2p").cast("double")) / F.col("nc2").cast("double"))
+        * (F.col("cont3").cast("double") / F.col("n_types").cast("double"))
+    )
+    p_tri = (
+        (F.col("c123").cast("double") - d) / F.col("c12").cast("double")
+    ) + (
+        ((d * F.col("n3p").cast("double")) / F.col("c12").cast("double"))
+        * p_bi
+    )
+    return (
+        c123.join(c12, ["w1", "w2"])
+        .join(nc23, ["w2", "w3"])
+        .join(nc2, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c123").alias("c_trigram"),
+            F.col("c12").alias("c_context"),
+            p_tri.alias("kn_prob"),
+        )
+        .orderBy(F.desc("kn_prob"), "w1", "w2", "w3")
+        .limit(30)
+    )

@@ -29,6 +29,18 @@ _DEFAULTS = {
     # which silently disables parquet file/row-group skipping on every
     # time predicate — at 100 TB that's full scans of time-series data.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Cap plan-tree STRINGS. Composed-index plans (IVF-PQ recall@k:
+    # a 4-query union over the unrolled k-means + PQ build tree) can
+    # stringify to hundreds of MB because tree printing repeats shared
+    # subplans; SQLExecutionStart computes that string on EVERY action
+    # and the UI retains one per execution — observed as a driver-heap
+    # OOM inside QueryExecution.explainString during a long bench
+    # session (round 13). 1 MB keeps plans readable for debugging
+    # while bounding the per-action cost; execution semantics are
+    # untouched.
+    "spark.sql.maxPlanStringLength": str(1024 * 1024),
+    # …and bound how many of those the live UI holds.
+    "spark.sql.ui.retainedExecutions": "50",
 }
 
 
