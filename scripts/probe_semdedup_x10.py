@@ -174,6 +174,9 @@ def main() -> None:
         app_name="probe-semdedup",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
+        # 10× data in ONE local JVM (driver = all executors): size the
+        # heap like one real executor's, as scale_probe does
+        extra_conf={"spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, src, scaled, factor)
