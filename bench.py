@@ -448,6 +448,10 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # one executor's worth of heap: a 240-query × 3-run session at
+        # the default 1g flirted with executor-side GC pressure even
+        # after the plan-string cap removed the listener-string OOM
+        extra_conf={"spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -28,6 +28,11 @@ JUSTIFIED_WARNS = {
     "ann_topk_ivf": "predicate-bounded query set + centroid table (k rows)",
     "ann_topk_filtered": "predicate-bounded query-vector set",
     "ann_topk_int8": "predicate-bounded query-vector set (int8 codes)",
+    # the broadcast side is the exact-top-k ground truth: row_number
+    # ≤ k per sampled query (≤ Q·k rows total, sample- and k-bounded
+    # by construction) — derived from embeddings, so the static rule
+    # cannot see the rank bound
+    "ann_ivfpq_recall_at_k": "exact-top-k ground truth (≤ Q·k rows)",
     # sketch/membership builds: the broadcast is the sketch itself
     # (CMS/Bloom bit arrays — fixed size by construction)
     "bloom_membership_orders": "fixed-size Bloom bit array",

@@ -360,3 +360,20 @@ def test_session_caps_plan_string_length():
 
     assert int(_DEFAULTS["spark.sql.maxPlanStringLength"]) <= 8 * 1024 * 1024
     assert int(_DEFAULTS["spark.sql.ui.retainedExecutions"]) <= 200
+
+
+def test_recall_at_k_served_draft_partition_pruned(spark, sf_dir):
+    """r14 staging plan gate: the served recall@k draft's probes must
+    read the APPENDED written index under PartitionFilters on the
+    cell column — the post-append serving path prunes to nprobe/nlist
+    of the files, proven on the draft plan before registration."""
+    import udacitycapstonedataengineer_spark.plans.queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round14 import (
+        _ann_ivfpq_recall_at_k_served_draft,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    df = _ann_ivfpq_recall_at_k_served_draft(spark, load_tables(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:3000]
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:3000]

@@ -183,25 +183,17 @@ def _kn_compact_core(
       object store the whole swap is a manifest/version flip instead
       (the tokenshard sink's atomic-manifest pattern)."""
     import shutil
-    import time
 
     tmp = table_path.rstrip("/") + "__compacting"
     old = table_path.rstrip("/") + "__old"
     # resolve residue from a crashed previous swap
     if os.path.isdir(old) and os.path.isdir(tmp):
         # crashed mid-swap: tmp never took the live name. Appends may
-        # have recreated the live path after the crash — fold their
-        # parts into __old (names are globally unique) before
-        # restoring it as the live table.
-        if os.path.isdir(table_path):
-            for f in os.listdir(table_path):
-                src = os.path.join(table_path, f)
-                if f.endswith(".parquet") and not os.path.exists(
-                    os.path.join(old, f)
-                ):
-                    shutil.move(src, os.path.join(old, f))
-            shutil.rmtree(table_path)
-        shutil.move(old, table_path)  # roll back: mass never went live
+        # have recreated the live path after the crash — the reclaim
+        # loop folds their parts into __old (names are globally
+        # unique) before restoring it as the live table, with the
+        # same no-nesting guarantee as the swap itself.
+        _reclaim_live_path(table_path, src_dir=old, fold_home=old)
         shutil.rmtree(tmp)
     elif os.path.isdir(old) and not os.path.isdir(table_path):
         shutil.move(old, table_path)  # roll back: mass never went live
@@ -243,45 +235,72 @@ def _kn_compact_core(
     for f in os.listdir(old):
         if f.endswith(".parquet") and f not in snap_names:
             shutil.copy2(os.path.join(old, f), os.path.join(tmp, f))
-    # take the live name back. Appends can recreate the live path at
-    # ANY moment in this window, so the reclaim is a fold-retry loop:
-    # move committed parts into __old (crash-safe home) and copy them
-    # into tmp, empty the directory with os.rmdir (fails — and loops —
-    # if a part landed after the listdir or a writer is mid-flight
-    # under _temporary/), then take the name with os.rename, which
-    # fails — and loops — if the path was recreated in between instead
-    # of nesting tmp inside it the way shutil.move would (VERDICT r12
-    # wrong #1, ADVICE r12 #2).
-    deadline = time.monotonic() + 30.0
+    # take the live name back (fold-retry loop; see _reclaim_live_path)
+    _reclaim_live_path(
+        table_path, src_dir=tmp, fold_home=old, also_copy_to=tmp
+    )
+    shutil.rmtree(old)
+    return True, rows, types
+
+
+def _reclaim_live_path(
+    table_path: str,
+    src_dir: str,
+    fold_home: str,
+    also_copy_to: str | None = None,
+    deadline_sec: float = 30.0,
+) -> None:
+    """Give ``src_dir`` the live name ``table_path``, surviving
+    concurrent appends that recreate the live path at ANY moment
+    (VERDICT r12 wrong #1, ADVICE r12 #2). Fold-retry loop:
+
+    - committed parts found in a recreated live path are MOVED into
+      ``fold_home`` (the crash-safe home __old — rollback restores
+      them) and, when ``also_copy_to`` is given, COPIED there too (the
+      swap's tmp, so the compacted table serves them);
+    - the recreated directory is emptied with ``os.rmdir``, which
+      fails — and loops — if a part landed after the listdir or a
+      writer is mid-flight under ``_temporary/`` (never rmtree a
+      directory a racing writer may be landing into);
+    - the name is taken with ``os.rename``, which fails — and loops —
+      if the path was recreated in between, instead of nesting
+      ``src_dir`` inside it the way ``shutil.move`` would.
+
+    Bounded: after ``deadline_sec`` the residue (``fold_home`` holds
+    every partial) is left for the next call's rollback rather than
+    spinning forever under a wedged writer."""
+    import shutil
+    import time
+
+    deadline = time.monotonic() + deadline_sec
     while True:
         if os.path.isdir(table_path):
             for f in os.listdir(table_path):
                 src = os.path.join(table_path, f)
                 if f.endswith(".parquet"):
-                    shutil.move(src, os.path.join(old, f))
-                    shutil.copy2(os.path.join(old, f), os.path.join(tmp, f))
+                    shutil.move(src, os.path.join(fold_home, f))
+                    if also_copy_to is not None:
+                        shutil.copy2(
+                            os.path.join(fold_home, f),
+                            os.path.join(also_copy_to, f),
+                        )
                 elif os.path.isfile(src):
-                    os.remove(src)  # _SUCCESS/.crc markers; tmp has its own
+                    os.remove(src)  # _SUCCESS/.crc markers
             try:
                 os.rmdir(table_path)
             except OSError:
                 pass  # late part or in-flight _temporary/ — re-fold
         try:
-            os.rename(tmp, table_path)
-            break
+            os.rename(src_dir, table_path)
+            return
         except OSError:
             if time.monotonic() > deadline:
-                # leave __old + tmp for the next call's mid-swap
-                # rollback (every partial survives in __old) rather
-                # than spin forever under a wedged writer
                 raise RuntimeError(
                     "kn compaction: could not reclaim the live path "
-                    "(concurrent writer held it for 30s); swap left "
-                    "for rollback on the next maintenance call"
+                    f"(concurrent writer held it for {deadline_sec:g}s); "
+                    "left for rollback on the next maintenance call"
                 )
             time.sleep(0.01)
-    shutil.rmtree(old)
-    return True, rows, types
 
 
 # --- trigram siblings (round 12) -------------------------------------
