@@ -377,3 +377,59 @@ def test_recall_at_k_served_draft_partition_pruned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan[:3000]
     assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:3000]
+
+
+def test_corpus_mixture_temperature_draft_oracle_parity(spark, sf_dir):
+    """r14 staging row 3: temperature-scaled source mixture (alpha=0.5
+    via IEEE-exact sqrt, integer-quantized weights, pure integer
+    division for the rate derivation) — the data-derived-mixture
+    counterpart to corpus_mixture_sample's pinned rates."""
+    import udacitycapstonedataengineer_spark.plans.queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round14 import (
+        _corpus_mixture_temperature_draft,
+        _corpus_mixture_temperature_oracle_sql,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    got = _corpus_mixture_temperature_draft(spark, load_tables(spark, sf_dir))
+    df = got.toPandas()
+    # the policy must actually thin something and keep something
+    assert (df["n_kept"] > 0).any() and (df["n_kept"] < df["n_total"]).any()
+    compare_frames(
+        df,
+        run_oracle(_corpus_mixture_temperature_oracle_sql(), sf_dir),
+        "corpus_mixture_temperature (draft)",
+    )
+
+
+def test_corpus_mixture_temperature_flattens_skew(spark):
+    """The policy's point: under alpha = 0.5, a small curated source
+    is kept at a HIGHER rate than a large crawl source (testdata
+    sources are uniform, so this pins the skew behavior on a
+    constructed corpus)."""
+    import udacitycapstonedataengineer_spark.plans.queries  # noqa: F401
+    from udacitycapstonedataengineer_spark.plans.queries_round14 import (
+        _corpus_mixture_temperature_draft,
+    )
+
+    rows = [(i, f"doc {i}", "crawl") for i in range(900)] + [
+        (1000 + i, f"doc c{i}", "curated") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["source"]: r.asDict()
+        for r in _corpus_mixture_temperature_draft(
+            spark, {"documents": docs}
+        ).collect()
+    }
+    # sqrt weights 30:10 on a 500-doc budget -> crawl thinned to
+    # 375/900 (rate 4166 bp), curated capped at its full 100 docs
+    # (rate 10000 bp)
+    assert out["crawl"]["rate_bp"] == 4166
+    assert out["curated"]["rate_bp"] == 10000
+    assert out["curated"]["n_kept"] == 100
+    assert 0 < out["crawl"]["n_kept"] < 900

@@ -1,5 +1,6 @@
-"""Round-13 staging area: the r14 ``ann_ivfpq_recall_at_k_served``
-and ``text_kn_trigram_stream_served`` drafts.
+"""Round-13 staging area: the r14 ``ann_ivfpq_recall_at_k_served``,
+``text_kn_trigram_stream_served``, and ``corpus_mixture_temperature``
+drafts.
 
 NOT imported by ``plans.queries`` — nothing here registers (the r13
 driver window is exactly full: flagship + scd2 re-earn + 3 new
@@ -25,6 +26,11 @@ registrations are mechanical (VERDICT r12 next #7).
   SQL — hash equality proves the stream-landed counts (and every
   derived continuation statistic) ≡ the batch extraction, closing the
   loop between the streaming surface and the driver-gated LM row.
+- ``corpus_mixture_temperature``: temperature-scaled source mixture
+  (alpha = 0.5) with DATA-DERIVED rates — the UniMax/data-mixture
+  counterpart to ``corpus_mixture_sample``'s hand-pinned rates;
+  cross-engine exact by construction (IEEE sqrt + integer-quantized
+  weights + pure integer division).
 
 Reference parity: the reference pipeline has no ANN/LM/streaming
 surface (/root/reference/etl.py is a star-schema ETL); these extend
@@ -197,4 +203,134 @@ def _text_kn_trigram_stream_served_draft(spark, t):
         )
         .orderBy(F.desc("kn_prob"), "w1", "w2", "w3")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_temperature (third r14 draft)
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (the UniMax / data-mixture shape,
+# Chung et al. 2023; corpus_mixture_sample's rates are hand-pinned —
+# here they are DERIVED from the corpus): per-source weight
+# w_s = n_s^alpha with alpha = 0.5 flattens the source distribution
+# (big crawl sources downweighted, small curated sources upweighted),
+# the doc budget B = floor(total/2) is split proportionally, and the
+# per-doc keep decision is the same deterministic H60 bucket
+# predicate. Cross-engine exactness without trusting libm pow:
+# alpha = 0.5 IS sqrt, which IEEE 754 requires correctly rounded, and
+# every derived quantity is quantized to BIGINT before any
+# order-sensitive aggregation — w_int = floor(sqrt(n)*1e6) sums
+# exactly, shares and rates are integer-arithmetic floors
+# (B*w_int/W_int fits in int64 up to ~10^9 docs per source at this
+# quantization; re-scale the quantum beyond that).
+
+_MIX_TEMP_BUDGET_SHARE = 2  # B = total // 2
+_MIX_TEMP_Q = 1_000_000
+
+
+def _corpus_mixture_temperature_oracle_sql() -> str:
+    from ..operators.dedup import H60_SQL
+
+    h = H60_SQL.format(x="'mixt|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_s,
+               CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * {_MIX_TEMP_Q})
+                    AS BIGINT) AS w_int
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(w_int) AS BIGINT) AS w_tot,
+               CAST(SUM(n_s) AS BIGINT) AS n_tot
+        FROM w
+    ),
+    rates AS (
+        SELECT w.source, w.n_s,
+               LEAST(
+                   w.n_s,
+                   ((tot.n_tot // {_MIX_TEMP_BUDGET_SHARE}) * w.w_int)
+                       // tot.w_tot
+               ) AS keep_s
+        FROM w CROSS JOIN tot
+    ),
+    bp AS (
+        SELECT source, n_s,
+               (10000 * keep_s) // n_s AS rate_bp
+        FROM rates
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           MIN(bp.rate_bp) AS rate_bp,
+           CAST(SUM(CASE WHEN ({h}) % 10000 < bp.rate_bp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN bp USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+def _corpus_mixture_temperature_draft(spark, t):
+    """The r14 query body: per-source counts (one tiny aggregate) →
+    integer-quantized sqrt weights → proportional budget split →
+    deterministic H60 keep decision, reported per source as
+    (n_total, rate_bp, n_kept). Shuffles: the source-grain count and
+    the final source-grain report; the rate table is a collapsed
+    ~|sources|-row aggregate joined back by source (broadcast-sized
+    by construction), and the keep predicate runs at the scan —
+    at 100 TB the decision adds zero corpus-grain shuffles."""
+    from ..operators.dedup import H60
+
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * _MIX_TEMP_Q)
+        .cast("long")
+        .alias("w_int"),
+    )
+    tot = w.agg(
+        F.sum("w_int").cast("long").alias("w_tot"),
+        F.sum("n_s").cast("long").alias("n_tot"),
+    )
+    # exact INTEGER division on both engines (Spark `div` ≡ DuckDB
+    # `//` for non-negative BIGINTs) — no double division anywhere in
+    # the rate derivation, so there is nothing to ulp-drift
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.least(
+                F.col("n_s"),
+                F.expr(
+                    f"((n_tot div {_MIX_TEMP_BUDGET_SHARE}) * w_int)"
+                    " div w_tot"
+                ),
+            ).alias("keep_s"),
+        )
+        .select(
+            "source",
+            F.expr("(10000 * keep_s) div n_s").alias("rate_bp"),
+        )
+    )
+    bucket = (
+        F.expr(H60.format(x="concat('mixt|', CAST(doc_id AS STRING))"))
+        % 10000
+    )
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .join(rates, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("rate_bp").alias("rate_bp"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("rate_bp"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
     )
