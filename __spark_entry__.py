@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 13
+_ROUND = 14
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,28 +39,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-13 tiers, in order (tier sizes are never hand-counted here —
+# Round-14 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. changed this round — must re-earn its row: scd2_point_in_time
-#      dropped the .persist() on its 25-row SCD frame (VERDICT r12
-#      wrong #3 / next #4 — the spare window slot).
-#   3. new round-13 queries: the three r12-staged registrations
-#      (VERDICT r12 next #1), oracles drafted + sf0.001 parity proven
-#      last round, decoration moved in plans/queries_round13.py.
-#   4. staleness rotation: the FULL r08-stale cohort (the entire
+#   2. new round-14 queries: the three r13-staged registrations
+#      (VERDICT r13 next #1), oracles drafted + sf0.001 parity proven
+#      last round, decoration moved in plans/queries_round14.py.
+#   3. staleness rotation: the FULL r09-stale cohort (the entire
 #      remaining oldest-freshness debt; moves the histogram floor to
-#      r09).
-_REEARN_R13: list[str] = [
-    "scd2_point_in_time_read",
+#      r10). 1 + 3 + 46 = exactly 50.
+_NEW_R14: list[str] = [
+    "ann_ivfpq_recall_at_k_served",
+    "text_kn_trigram_stream_served",
+    "corpus_mixture_temperature",
 ]
-_NEW_R13: list[str] = [
+_ROTATION_R14 = [
+    # last green r09 — the full cohort (test_stalest_cohort_rotates
+    # recomputes this list from the raw CORRECTNESS files)
+    "ann_topk_filtered", "ann_topk_ivf", "ann_topk_ivfpq",
+    "ann_topk_ivfpq_incremental", "ann_topk_ivfpq_refined",
+    "ann_topk_ivfpq_served", "ann_topk_lsh", "approx_distinct_users",
+    "approx_percentile_price", "basket_part_pairs",
+    "bloom_membership_orders", "cms_point_counts", "corpus_source_overlap",
+    "customer_rfm_segments", "docs_chunk_windows", "events_debounce",
+    "events_mode_value_per_type", "events_rolling_7d_active_users",
+    "events_zscore_outliers", "grouped_median_dev",
+    "grouped_median_dev_native", "ml_split_assignment",
+    "orders_column_profile", "orders_equidepth_deciles",
+    "orders_outlier_iqr", "orders_price_histogram", "orders_snapshot_diff",
+    "orders_winsorized_sum", "sample_hash_orders",
+    "sample_stratified_by_status", "scd2_nation_update",
+    "sketch_distinct_users_daily", "sketch_value_quantiles",
+    "sql_fact_dim_join", "sql_qualified_star", "text_bm25_indexed_topk",
+    "text_fingerprint", "text_fuzzy_pairs_levenshtein",
+    "text_inverted_index", "text_kn_bigram_prob", "text_pseudonymize_sha2",
+    "text_quality_score", "text_top_terms", "unpivot_part_metrics",
+    "variant_extract_props", "window_running_sum",
+]
+
+# green in CORRECTNESS_r13 (the r13 window), kept registered after the
+# window rotates
+_GREEN_R13 = [
+    "scd2_point_in_time_read",
     "ann_ivfpq_recall_at_k",
     "text_kn_trigram_incremental",
     "docs_lm_quality_score",
-]
-_ROTATION_R13 = [
+] + [
     # last green r08 — the full cohort (test_stalest_cohort_rotates
     # recomputes this list from the raw CORRECTNESS files)
     "ann_topk_int8", "dedup_exact_groups", "dedup_exact_keep_canonical",
@@ -83,7 +108,7 @@ _ROTATION_R13 = [
 ]
 
 _WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _REEARN_R13 + _NEW_R13 + _ROTATION_R13
+    ["star_revenue_by_region_year"] + _NEW_R14 + _ROTATION_R14
 )
 
 # green in CORRECTNESS_r12 (the r12 window), kept registered after the
@@ -318,7 +343,8 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _GREEN_R12
+        _GREEN_R13
+        + _GREEN_R12
         + _GREEN_R11
         + _GREEN_R10
         + _GREEN_R9

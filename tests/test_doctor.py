@@ -33,6 +33,7 @@ JUSTIFIED_WARNS = {
     # by construction) — derived from embeddings, so the static rule
     # cannot see the rank bound
     "ann_ivfpq_recall_at_k": "exact-top-k ground truth (≤ Q·k rows)",
+    "ann_ivfpq_recall_at_k_served": "exact-top-k ground truth (≤ Q·k rows)",
     # sketch/membership builds: the broadcast is the sketch itself
     # (CMS/Bloom bit arrays — fixed size by construction)
     "bloom_membership_orders": "fixed-size Bloom bit array",

@@ -489,5 +489,6 @@ from . import queries_round9  # noqa: E402,F401
 from . import queries_round10  # noqa: E402,F401
 from . import queries_round11  # noqa: E402,F401
 from . import queries_round13  # noqa: E402,F401
+from . import queries_round14  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,12 +1,11 @@
-"""Round-13 staging area: the r14 ``ann_ivfpq_recall_at_k_served``,
-``text_kn_trigram_stream_served``, and ``corpus_mixture_temperature``
-drafts.
+"""Round-14 registrations: ``ann_ivfpq_recall_at_k_served``,
+``text_kn_trigram_stream_served``, and ``corpus_mixture_temperature``.
 
-NOT imported by ``plans.queries`` — nothing here registers (the r13
-driver window is exactly full: flagship + scd2 re-earn + 3 new
-registrations + the 45-query r08 cohort). The r12 staging discipline
-repeats: oracles drafted + sf0.001 parity pinned now, so the r14
-registrations are mechanical (VERDICT r12 next #7).
+Staged (drafts + oracles + sf0.001 parity tests) in round 13 with this
+module unimported; round 14 performs the mechanical step the staging
+discipline exists for — the ``query(...)`` registrations at the bottom
+of this file plus the import in ``plans/queries.py``. Zero body or
+oracle edits between staging and registration (VERDICT r13 next #1).
 
 - ``ann_ivfpq_recall_at_k_served``: post-append recall@k measured
   from the WRITTEN index — the production question "did my append
@@ -334,3 +333,22 @@ def _corpus_mixture_temperature_draft(spark, t):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 registrations (the mechanical step: decoration only, the
+# bodies and oracles above are byte-identical to the r13 staging).
+# ---------------------------------------------------------------------------
+from .registry import ORACLE, query  # noqa: E402
+
+query(
+    "ann_ivfpq_recall_at_k_served", _ivfpq_recall_at_k_served_oracle_sql()
+)(_ann_ivfpq_recall_at_k_served_draft)
+# oracle = the committed full-corpus trigram SQL, byte-identical:
+# hash equality proves stream-landed counts ≡ the batch extraction
+query("text_kn_trigram_stream_served", ORACLE["text_kn_trigram_prob"])(
+    _text_kn_trigram_stream_served_draft
+)
+query(
+    "corpus_mixture_temperature", _corpus_mixture_temperature_oracle_sql()
+)(_corpus_mixture_temperature_draft)
