@@ -13,9 +13,12 @@ has "parsed": null because the round-5 line outgrew that buffer), so
 the printed line is kept under the buffer: per-query timings are
 included heaviest-first until the line would overflow, the rest are
 summarized by count, and the FULL per-query map is written to
-BENCH_DETAIL_after_r{N}.json (N = newest committed BENCH_r*, so the
-driver's end-of-round run lands in a file the next round can pair
-with its BENCH_r{N+1}.json when rebuilding the baseline).
+BENCH_DETAIL_after_r{N}_{writer}.json (N = newest committed BENCH_r*,
+so the driver's end-of-round run lands in a file the next round can
+pair with its BENCH_r{N+1}.json when rebuilding the baseline; writer
+= $SPARK_GRAFT_BENCH_WRITER, default "driver", so the builder's
+canary-certified anchor run and the driver's run COEXIST instead of
+the last run clobbering the first — VERDICT r13 wrong #2).
 """
 
 from __future__ import annotations
@@ -178,12 +181,23 @@ HEADLINE = [
     # index; KN append-equals-rebuild merge over standing count tables
     "ann_ivfpq_recall_curve_served",
     "text_kn_bigram_incremental",
-    # round-13: the r12-staged registrations — sampled recall@k over
-    # the IVF-PQ index, the two-grain trigram merge, LM-scored quality
-    # filtering over the KN bigram model
-    "ann_ivfpq_recall_at_k",
+    # round-13: the r12-staged registrations — the two-grain trigram
+    # merge, LM-scored quality filtering over the KN bigram model.
+    # ann_ivfpq_recall_at_k (14.6 s driver-bench, the single most
+    # expensive row — cost is the in-query index BUILD the replayable
+    # oracle demands) is DEMOTED to the sweep tier now that its
+    # served twin below reads the WRITTEN index (VERDICT r13 next #5,
+    # the events_linear_attribution precedent: the benched shape is
+    # the one that ships; the sweep still times the build twin).
     "text_kn_trigram_incremental",
     "docs_lm_quality_score",
+    # round-14: the r13-staged registrations — post-append recall@k
+    # served from the written index (the cheaper production twin of
+    # the demoted build-heavy row) and the temperature mixture.
+    # text_kn_trigram_stream_served runs a full Structured-Streaming
+    # ingest per invocation — sweep-tier only (one datapoint/round).
+    "ann_ivfpq_recall_at_k_served",
+    "corpus_mixture_temperature",
 ]
 
 # Session-contamination canary (VERDICT r10 #2): a fixed trivial query
@@ -323,32 +337,48 @@ def saturating_canary_median(
     return round(sorted(reads)[len(reads) // 2], 3), reads
 
 
-def _load_sat_baseline() -> tuple[float | None, int | None]:
-    """(best_sec, cpus) of the previous round's committed sat canary,
-    from the same detail sidecar _load_baseline anchors per-query
-    numbers to; (None, None) when absent."""
-    root = os.path.dirname(__file__)
-    n = _newest_round()
-    if n < 0:
-        return None, None
-    detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
+# the statistic behind sat_canary.best_sec this harness computes;
+# recorded in the sidecar so a future statistic change can refuse to
+# compare unlike-vs-unlike (ADVICE r13 #3: the min→median transition
+# round compared a median against a min baseline, biasing the
+# normalized ratio optimistic)
+_SAT_STAT = "median3"
+
+
+def sat_stat_of(sat: dict) -> str:
+    """The statistic kind behind a sidecar's sat_canary.best_sec:
+    explicit ``stat`` field where written (r14+); inferred for older
+    files — per-endpoint raw ``readings`` only exist under the
+    median-of-3 harness (r13), anything before was a single reading."""
+    stat = sat.get("stat")
+    if isinstance(stat, str) and stat:
+        return stat
+    return _SAT_STAT if "readings" in sat else "single"
+
+
+def _load_sat_baseline(
+    root: str | None = None,
+) -> tuple[float | None, int | None, str | None]:
+    """(best_sec, cpus, stat) of the previous round's committed sat
+    canary, from the same detail sidecar _load_baseline anchors
+    per-query numbers to; (None, None, None) when absent."""
+    sidecar, _path = _load_prev_detail(root)
+    sat = sidecar.get("sat_canary", {})
     try:
-        with open(detail) as f:
-            sat = json.load(f).get("sat_canary", {})
         # float() inside the try: a hand-edited / non-numeric sidecar
         # value must degrade to no-baseline, not crash the bench at
         # startup (ADVICE r12 #3 — TypeError escaped the old net).
         # bool explicitly rejected: float(True) == 1.0 would pass.
         val = sat.get("best_sec")
         if isinstance(val, bool):
-            return None, None
+            return None, None, None
         val = float(val)
         cpus = sat.get("cpus")
         if val > 0:
-            return val, int(cpus) if cpus else None
-        return None, None
+            return val, int(cpus) if cpus else None, sat_stat_of(sat)
+        return None, None, None
     except (OSError, ValueError, TypeError):
-        return None, None
+        return None, None, None
 
 
 # Isolated-baseline table (VERDICT r12 next #6): fresh-JVM 5-run
@@ -360,6 +390,14 @@ def _load_sat_baseline() -> tuple[float | None, int | None]:
 # ISOLATED against this row — never isolated-vs-warmed. Names absent
 # here have no pinned row yet; their flags say so explicitly.
 ISOLATED_BASELINE: dict[str, float] = {
+    # r14 pins (VERDICT r13 wrong #1 / next #2): the three r13 flags
+    # that self-adjudicated "session" in hot canary segments — pinned
+    # on an idle machine (load 0.09 at start) so any future flag on
+    # them arrives "isolated-baseline-pinned" instead of terminally
+    # session-ruled
+    "orders_cohort_ltv_incremental": 1.495,
+    "events_linear_attribution_daygrain": 2.665,
+    "events_session_duration_stats": 0.913,
     # r13 adjudication runs (idle machine; the four r13 bench flags
     # all ruled does-not-reproduce against these)
     "semdedup_pairs": 4.491,
@@ -389,7 +427,11 @@ ISOLATED_BASELINE: dict[str, float] = {
 }
 
 
-def adjudicate_flag(row: dict, isolated_sec: float | None) -> dict:
+def adjudicate_flag(
+    row: dict,
+    isolated_sec: float | None,
+    prev_ruling: str | None = None,
+) -> dict:
     """Self-contained ruling for one lenient regression flag (VERDICT
     r12 next #6 — flags arrive in the detail sidecar pre-adjudicated
     instead of waiting a round for a manual protocol run). Pure so
@@ -398,7 +440,12 @@ def adjudicate_flag(row: dict, isolated_sec: float | None) -> dict:
     Ruling order mirrors the manual protocol PERF_NOTES r10-r12
     applied by hand:
     1. session — the whole session or the flag's bracketing canary
-       segment is hot; the timing lies, no plan action;
+       segment is hot; the timing lies, no plan action. A SECOND
+       consecutive session ruling on the same unpinned query
+       escalates (VERDICT r13 wrong #1: a real regression on a query
+       that only ever runs in hot segments would be session-ruled
+       round after round with nothing forcing the isolated
+       measurement);
     2. isolated-baseline-pinned — clean segment, pinned fresh-JVM
        median attached: rerun scripts/isolated_query.py and rule
        isolated-vs-isolated mechanically;
@@ -409,6 +456,10 @@ def adjudicate_flag(row: dict, isolated_sec: float | None) -> dict:
         out["isolated_baseline_sec"] = isolated_sec
     if out.get("contaminated") or out.get("segment_hot"):
         out["ruling"] = "session"
+        if isolated_sec is None and (prev_ruling or "").startswith(
+            "session"
+        ):
+            out["ruling"] = "session-repeat-run-scripts/isolated_query.py"
     elif isolated_sec is not None:
         out["ruling"] = "isolated-baseline-pinned"
     else:
@@ -584,17 +635,24 @@ def main() -> None:
         # best of the two endpoint MEDIANS = the least-interfered
         # estimate of the silicon's sustained throughput
         "best_sec": round(min(sat_first, sat_last), 3),
+        "stat": _SAT_STAT,
     }
-    sat_base, sat_base_cpus = _load_sat_baseline()
+    sat_base, sat_base_cpus, sat_base_stat = _load_sat_baseline()
     if sat_base and (sat_base_cpus is None or sat_base_cpus == int(cpus)):
         out["sat_canary"]["baseline_sec"] = sat_base
-        # >1 = this machine delivers LESS sustained all-core
-        # throughput per second than the committed-anchor machine; a
-        # shared_ratio reader divides by this to separate VM speed
-        # from plan changes (informational — raw timings stay raw)
-        out["sat_canary"]["throughput_ratio"] = round(
-            out["sat_canary"]["best_sec"] / sat_base, 3
-        )
+        out["sat_canary"]["baseline_stat"] = sat_base_stat
+        if sat_base_stat == _SAT_STAT:
+            # >1 = this machine delivers LESS sustained all-core
+            # throughput per second than the committed-anchor machine;
+            # a shared_ratio reader divides by this to separate VM
+            # speed from plan changes (informational — raw timings
+            # stay raw)
+            out["sat_canary"]["throughput_ratio"] = round(
+                out["sat_canary"]["best_sec"] / sat_base, 3
+            )
+        # unlike statistic (ADVICE r13 #3): medians are systematically
+        # ≥ mins, so a cross-statistic ratio would read spuriously
+        # slow — baseline_stat stays as the annotation, no ratio
     if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True
@@ -661,6 +719,7 @@ def main() -> None:
             if n in baseline and baseline[n] > 0 and t > 1.5 * baseline[n]
         }
         if regressions:
+            prev_regs = _load_prev_detail()[0].get("regressions", {})
             for name, row in list(regressions.items()):
                 if out.get("canary_contaminated"):
                     row["contaminated"] = True
@@ -675,9 +734,13 @@ def main() -> None:
                     if ctx["segment_hot"]:
                         row["contaminated"] = True
                 # pre-adjudication (VERDICT r12 next #6): attach the
-                # pinned isolated-baseline row + a mechanical ruling
+                # pinned isolated-baseline row + a mechanical ruling;
+                # the previous round's ruling feeds the repeat-session
+                # escalation (VERDICT r13 wrong #1)
                 regressions[name] = adjudicate_flag(
-                    row, ISOLATED_BASELINE.get(name)
+                    row,
+                    ISOLATED_BASELINE.get(name),
+                    prev_ruling=prev_regs.get(name, {}).get("ruling"),
                 )
             out["regressions"] = regressions
     _write_detail(out)
@@ -739,10 +802,63 @@ def _newest_round() -> int:
     return n
 
 
+def _writer_stamp() -> str:
+    """Who is running this bench: ``driver`` (the grading driver's
+    per-round run — the default, it sets no env) or ``builder``
+    (export SPARK_GRAFT_BENCH_WRITER=builder for certified-anchor
+    runs). Stamped into the detail filename so the two runs COEXIST
+    instead of the driver's noisier run clobbering the builder's
+    canary-certified anchor (VERDICT r13 wrong #2)."""
+    import re
+
+    w = os.environ.get("SPARK_GRAFT_BENCH_WRITER", "driver").lower()
+    return re.sub(r"[^a-z0-9_-]", "", w) or "driver"
+
+
+def _detail_candidates(n: int, root: str | None = None) -> list[str]:
+    """Possible sidecar files for round ``n``'s bench run, preference
+    order: builder (canary-certified anchor runs), driver, then the
+    legacy unstamped name (pre-r14 files)."""
+    root = root or os.path.dirname(__file__)
+    base = os.path.join(root, f"BENCH_DETAIL_after_r{n:02d}")
+    return [base + "_builder.json", base + "_driver.json", base + ".json"]
+
+
+def _detail_clean(data: dict) -> bool:
+    """A sidecar whose own canary evidence says the session was clean
+    — the run worth anchoring the next round's baseline to."""
+    return (
+        not data.get("canary_contaminated")
+        and not data.get("canary_transient")
+        and not data.get("canary", {}).get("hot_readings", 0)
+    )
+
+
+def _load_prev_detail(root: str | None = None) -> tuple[dict, str]:
+    """The previous round's best detail sidecar: the first CLEAN
+    candidate in preference order, else the first that exists at all.
+    Returns ({}, "") when none exists."""
+    n = _newest_round()
+    if n < 0:
+        return {}, ""
+    first: tuple[dict, str] | None = None
+    for path in _detail_candidates(n - 1, root):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if first is None:
+            first = (data, path)
+        if _detail_clean(data):
+            return data, path
+    return first if first is not None else ({}, "")
+
+
 def _detail_path() -> str:
     return os.path.join(
         os.path.dirname(__file__),
-        f"BENCH_DETAIL_after_r{_newest_round():02d}.json",
+        f"BENCH_DETAIL_after_r{_newest_round():02d}_{_writer_stamp()}.json",
     )
 
 
@@ -769,23 +885,17 @@ def _load_baseline() -> tuple[dict[str, float], str, set[str]]:
     merged: dict[str, float] = {}
     sweep_sourced: set[str] = set()
     src = []
-    n = _newest_round()
-    if n >= 0:
-        detail = os.path.join(root, f"BENCH_DETAIL_after_r{n - 1:02d}.json")
-        try:
-            with open(detail) as f:
-                data = json.load(f)
-            # sweep datapoints first (single-shot, noisier), then the
-            # headline median-of-3 numbers override where both exist
-            for k, v in data.get("sweep_queries", {}).items():
-                if v > 0:
-                    merged[k] = v
-                    sweep_sourced.add(k)
-            merged.update(data.get("queries", {}))
-            sweep_sourced -= set(data.get("queries", {}))
-            src.append(os.path.basename(detail))
-        except (OSError, ValueError):
-            pass
+    data, detail = _load_prev_detail()
+    if data:
+        # sweep datapoints first (single-shot, noisier), then the
+        # headline median-of-3 numbers override where both exist
+        for k, v in data.get("sweep_queries", {}).items():
+            if v > 0:
+                merged[k] = v
+                sweep_sourced.add(k)
+        merged.update(data.get("queries", {}))
+        sweep_sourced -= set(data.get("queries", {}))
+        src.append(os.path.basename(detail))
     # newest-first driver files: authoritative where parsed
     files = sorted(
         glob.glob(os.path.join(root, "BENCH_r*.json")),

@@ -643,10 +643,11 @@ def test_saturating_canary(spark):
     b = _bench_mod()
     sec = b.saturating_canary_sec(spark, cpus=4, rows=1 << 20)
     assert sec > 0
-    # baseline loader never raises; returns (best_sec, cpus) or Nones
-    base, cpus = b._load_sat_baseline()
+    # baseline loader never raises; (best_sec, cpus, stat) or Nones
+    base, cpus, stat = b._load_sat_baseline()
     assert base is None or (isinstance(base, float) and base > 0)
     assert cpus is None or (isinstance(cpus, int) and cpus > 0)
+    assert stat is None or isinstance(stat, str)
 
 
 def test_lm_quality_score_draft_oracle_parity(spark, sf_dir):

@@ -230,14 +230,15 @@ def test_load_sat_baseline_never_raises_on_bad_sidecar(tmp_path):
             '{"sat_canary": {"best_sec": %s, "cpus": 32}}' % bad
         )
         b.__dict__["__file__"] = str(tmp_path / "bench.py")
-        base, cpus = b._load_sat_baseline()
-        assert base is None and cpus is None
-    # and a good sidecar still loads
+        base, cpus, stat = b._load_sat_baseline()
+        assert base is None and cpus is None and stat is None
+    # and a good sidecar still loads (no readings/stat field → the
+    # pre-median single-reading statistic is inferred, ADVICE r13 #3)
     (tmp_path / "BENCH_DETAIL_after_r08.json").write_text(
         '{"sat_canary": {"best_sec": 0.307, "cpus": 32}}'
     )
-    base, cpus = b._load_sat_baseline()
-    assert base == 0.307 and cpus == 32
+    base, cpus, stat = b._load_sat_baseline()
+    assert base == 0.307 and cpus == 32 and stat == "single"
 
 
 def test_adjudicate_flag_rulings():
@@ -366,17 +367,24 @@ def test_recall_at_k_served_draft_partition_pruned(spark, sf_dir):
     """r14 staging plan gate: the served recall@k draft's probes must
     read the APPENDED written index under PartitionFilters on the
     cell column — the post-append serving path prunes to nprobe/nlist
-    of the files, proven on the draft plan before registration."""
+    of the files, proven on the draft plan before registration.
+
+    ADVICE r13 #4: this is exactly the plan family the session's
+    maxPlanStringLength cap truncates (scans print LAST in
+    treeString), so the gate walks the JVM plan tree instead of
+    grepping a capped string."""
     import udacitycapstonedataengineer_spark.plans.queries  # noqa: F401
     from udacitycapstonedataengineer_spark.plans.queries_round14 import (
         _ann_ivfpq_recall_at_k_served_draft,
     )
     from udacitycapstonedataengineer_spark.sources.readers import load_tables
 
+    from tests.plan_utils import scan_partition_filters
+
     df = _ann_ivfpq_recall_at_k_served_draft(spark, load_tables(spark, sf_dir))
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan, plan[:3000]
-    assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:3000]
+    filters = scan_partition_filters(df)
+    cell_pruned = [f for f in filters if "cell" in f]
+    assert cell_pruned, f"no cell PartitionFilters on any scan: {filters}"
 
 
 def test_corpus_mixture_temperature_draft_oracle_parity(spark, sf_dir):

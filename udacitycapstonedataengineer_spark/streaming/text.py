@@ -249,6 +249,7 @@ def _reclaim_live_path(
     fold_home: str,
     also_copy_to: str | None = None,
     deadline_sec: float = 30.0,
+    orphan_stale_sec: float = 10.0,
 ) -> None:
     """Give ``src_dir`` the live name ``table_path``, surviving
     concurrent appends that recreate the live path at ANY moment
@@ -258,13 +259,32 @@ def _reclaim_live_path(
       ``fold_home`` (the crash-safe home __old — rollback restores
       them) and, when ``also_copy_to`` is given, COPIED there too (the
       swap's tmp, so the compacted table serves them);
+    - subdirectories (the committer's ``_temporary/`` staging) are
+      removed only when provably dead: empty, or whole-tree mtime
+      older than ``orphan_stale_sec`` (an orphan from a crashed
+      writer would otherwise wedge every future reclaim — ADVICE r13
+      #1). Uncommitted task files inside a stale orphan are DELETED,
+      never folded: committer semantics say they are not part of the
+      table, and the stream's checkpoint replays the batch — folding
+      them could double-count duplicate task attempts. A fresh
+      ``_temporary/`` (in-flight writer) is left alone and the loop
+      retries;
     - the recreated directory is emptied with ``os.rmdir``, which
       fails — and loops — if a part landed after the listdir or a
-      writer is mid-flight under ``_temporary/`` (never rmtree a
-      directory a racing writer may be landing into);
+      live writer is still staging under ``_temporary/`` (never
+      rmtree a directory a racing writer may be landing into);
     - the name is taken with ``os.rename``, which fails — and loops —
-      if the path was recreated in between, instead of nesting
-      ``src_dir`` inside it the way ``shutil.move`` would.
+      if the path was recreated AND populated in between, instead of
+      nesting ``src_dir`` inside it the way ``shutil.move`` would.
+      One benign hole (ADVICE r13 #2): POSIX rename(2) silently
+      *replaces* an existing EMPTY directory, so a writer that has
+      mkdir'd the live path but not yet staged anything gets its
+      fresh empty dir swapped for ``src_dir`` — harmless, because
+      the writer then lands its parts inside the now-live compacted
+      table, exactly where an append belongs. Only a non-empty
+      recreation is guaranteed to surface as ENOTEMPTY/EEXIST (and
+      on non-POSIX filesystems even the empty case may error, which
+      just re-enters the loop).
 
     Bounded: after ``deadline_sec`` the residue (``fold_home`` holds
     every partial) is left for the next call's rollback rather than
@@ -277,7 +297,9 @@ def _reclaim_live_path(
         if os.path.isdir(table_path):
             for f in os.listdir(table_path):
                 src = os.path.join(table_path, f)
-                if f.endswith(".parquet"):
+                if os.path.isdir(src):
+                    _sweep_orphan_dir(src, orphan_stale_sec)
+                elif f.endswith(".parquet"):
                     shutil.move(src, os.path.join(fold_home, f))
                     if also_copy_to is not None:
                         shutil.copy2(
@@ -301,6 +323,35 @@ def _reclaim_live_path(
                     "left for rollback on the next maintenance call"
                 )
             time.sleep(0.01)
+
+
+def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
+    """Remove a subdirectory blocking the live path's ``os.rmdir`` —
+    but only when no writer can still be using it: immediately if
+    empty, else only when nothing in its whole tree (dirs or files)
+    has been touched for ``stale_sec``. An in-flight committer keeps
+    its ``_temporary/`` tree's mtimes fresh as task files land, so a
+    fresh tree is left alone and the caller's fold loop retries; a
+    crashed writer's tree goes cold and becomes removable, instead of
+    wedging every reclaim/rollback forever (ADVICE r13 #1)."""
+    import shutil
+    import time
+
+    try:
+        if not os.listdir(path):
+            os.rmdir(path)
+            return
+    except OSError:
+        return  # vanished or unreadable — re-evaluated next loop
+    newest = 0.0
+    for dirpath, _dirs, files in os.walk(path):
+        for p in [dirpath] + [os.path.join(dirpath, fn) for fn in files]:
+            try:
+                newest = max(newest, os.path.getmtime(p))
+            except OSError:
+                pass  # a live writer is renaming underneath us
+    if time.time() - newest > stale_sec:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # --- trigram siblings (round 12) -------------------------------------
