@@ -142,21 +142,32 @@ def kmeans_oracle_parts(
     dim: int = 64,
     table: str = "embeddings",
     fit_where: str = "",
+    k_sql: str | None = None,
 ) -> tuple[list[str], str]:
     """The unrolled-iteration CTE list behind ``kmeans_oracle_sql``,
     reusable by oracles that COMPOSE on a fitted model (SemDeDup,
     incremental assignment). Returns (parts, final_centroid_cte):
     ``e`` = all vectors of ``table`` as DOUBLE[], ``ef`` = the fit
     subset (``fit_where`` filters it; empty = fit on everything —
-    identical to plain kmeans), training runs on ``ef`` only."""
+    identical to plain kmeans), training runs on ``ef`` only.
+
+    ``k_sql`` (the cell-budget policy, VERDICT r13 next #6): a SQL
+    scalar subquery replacing the literal ``k`` in the seed LIMIT, so
+    the oracle DERIVES k from the data exactly like
+    ``cell_budget.derive_k`` does Spark-side. Only the seed count
+    depends on k — centroids are relational rows throughout, so a
+    data-dependent k needs no structural change. Default None keeps
+    the emitted SQL byte-identical to the pre-r14 text (registered
+    oracles must not drift)."""
     dist = _kmeans_dist_sql(dim)
     w = f" WHERE {fit_where}" if fit_where else ""
+    lim = k_sql if k_sql is not None else str(k)
     parts = [
         f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
         f"ef AS (SELECT * FROM e{w})",
         f"""c0 AS (SELECT vec_id AS cid,
                list_transform(v, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE}) AS c
-        FROM ef ORDER BY vec_id LIMIT {k})""",
+        FROM ef ORDER BY vec_id LIMIT {lim})""",
     ]
     prev = "c0"
     for it in range(1, iters):
@@ -194,12 +205,15 @@ def kmeans_assign_sql(dim: int, src_cte: str, cent_cte: str) -> str:
 
 
 def kmeans_oracle_sql(
-    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings"
+    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings",
+    k_sql: str | None = None,
 ) -> str:
     """DuckDB twin: the same iterations unrolled as CTEs, same
     fixed-point update, same fold order (list_inner_product of the
     per-dim diff list ≡ the sequential zip_with fold)."""
-    parts, prev = kmeans_oracle_parts(k=k, iters=iters, dim=dim, table=table)
+    parts, prev = kmeans_oracle_parts(
+        k=k, iters=iters, dim=dim, table=table, k_sql=k_sql
+    )
     return (
         "WITH "
         + ",\n".join(parts)

@@ -291,6 +291,7 @@ def _ivfpq_oracle_parts(
     exact_k: int,
     table: str,
     fit_where: str | None = None,
+    candidate_where: str | None = None,
 ):
     """Shared CTE list for the IVF-PQ oracles: build (coarse k-means
     unrolled, residuals, grouped PQ train, encode), probe selection,
@@ -303,7 +304,15 @@ def _ivfpq_oracle_parts(
     only the rows matching it, while assignment/encoding/probing still
     cover every row; the twin of freezing the corpus model and
     appending a batch encoded against it (the semdedup_incremental
-    corpus-only-fit CTE pattern)."""
+    corpus-only-fit CTE pattern).
+
+    ``candidate_where`` (filtered serving, VERDICT r13 next #7): a
+    metadata predicate on ``table`` restricting WHICH rows may be
+    returned — both the ADC scoring set and the exact ground truth
+    filter to it, while the model/encoding/probe-selection still see
+    everything (the production RAG shape: the index stores the
+    metadata, the probe scan applies the predicate). Default None
+    keeps the emitted SQL byte-identical to the pre-r14 text."""
     from .clustering import SCALE
 
     dsub = dim // m
@@ -432,21 +441,36 @@ def _ivfpq_oracle_parts(
         f"""lut AS (SELECT qr.cell, qr.sub, c.cid,
                    {dist('qr.qs', 'c.c', dsub)} AS d2
             FROM qr JOIN {pprev} c ON c.sub = qr.sub)""",
-        """adc AS (SELECT vec_id,
+    ]
+    cand_filter = ""
+    if candidate_where is not None:
+        parts.append(
+            f"cand AS (SELECT vec_id FROM {table} WHERE {candidate_where})"
+        )
+        cand_filter = " WHERE cells.vec_id IN (SELECT vec_id FROM cand)"
+    parts.append(
+        f"""adc AS (SELECT vec_id,
                   list_reduce(list(d2 ORDER BY sub),
                               (acc, x) -> acc + x) AS adc_dist2
            FROM (SELECT cells.vec_id, enc.sub, lut.d2
                  FROM cells
                  JOIN enc ON enc.vec_id = cells.vec_id
                  JOIN lut ON lut.cell = cells.cell
-                         AND lut.sub = enc.sub AND lut.cid = enc.cid)
-           GROUP BY vec_id)""",
+                         AND lut.sub = enc.sub AND lut.cid = enc.cid{cand_filter})
+           GROUP BY vec_id)"""
+    )
+    exact_src = (
+        "e"
+        if candidate_where is None
+        else "(SELECT e.* FROM e JOIN cand USING (vec_id)) e"
+    )
+    parts.append(
         f"""exact AS (SELECT e.vec_id FROM (
             SELECT e.vec_id,
                    row_number() OVER (
                        ORDER BY {dist('e.v', 'q.qv', dim)}, e.vec_id) AS rn
-            FROM e CROSS JOIN q) e WHERE rn <= {exact_k})""",
-    ]
+            FROM {exact_src} CROSS JOIN q) e WHERE rn <= {exact_k})"""
+    )
     return parts, dist
 
 
@@ -462,6 +486,7 @@ def ivfpq_oracle_sql(
     exact_k: int = 10,
     table: str = "embeddings",
     fit_where: str | None = None,
+    candidate_where: str | None = None,
 ) -> str:
     """DuckDB twin of the WHOLE IVF-PQ pipeline, generated (the
     kmeans_oracle_sql pattern): coarse k-means unrolled per iteration,
@@ -474,7 +499,7 @@ def ivfpq_oracle_sql(
     sequential aggregate() fold, exact because IEEE 0.0+x == x)."""
     parts, _ = _ivfpq_oracle_parts(
         nlist, m, k, iters, dim, nprobe, query_vec_id, exact_k, table,
-        fit_where=fit_where,
+        fit_where=fit_where, candidate_where=candidate_where,
     )
     return (
         "WITH " + ",\n".join(parts) + f"""

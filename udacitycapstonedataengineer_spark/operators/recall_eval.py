@@ -77,12 +77,21 @@ def ivfpq_recall_at_k(
     query_ids: list[int],
     k: int = 10,
     nprobe: int = 2,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_vec_id, hits, recall) per sampled query, ordered by id —
     the per-query recall@k of the ADC probe against the one-pass exact
     ground truth. Callers tune nprobe on the POOLED mean
     (``recall.agg(avg)``); the per-query rows expose the tail (a mean
-    hides queries whose cell was mis-probed)."""
+    hides queries whose cell was mis-probed).
+
+    ``candidates`` (filtered serving, VERDICT r13 next #7): the
+    metadata-filtered subset eligible to be RETURNED — the exact
+    ground truth ranks only these rows, while query vectors still
+    resolve from the full ``emb`` (a query point need not satisfy its
+    own filter). The caller applies the same predicate to ``index``
+    so the probe side matches; default None = unfiltered (byte-level
+    behavior unchanged for every registered query)."""
     from .ivfpq import ivfpq_topk
 
     # an empty sample would pass both validations below and then
@@ -110,7 +119,9 @@ def ivfpq_recall_at_k(
     if missing:
         raise ValueError(f"ivfpq_recall_at_k: unknown query ids {missing}")
     exact = exact_topk_multi(
-        emb, [(q, id_rows[q]) for q in query_ids], k
+        emb if candidates is None else candidates,
+        [(q, id_rows[q]) for q in query_ids],
+        k,
     ).persist()
     per_query = []
     for q in query_ids:

@@ -177,15 +177,18 @@ def semdedup_oracle_sql(
     dim: int = 64,
     threshold: float = 0.2,
     table: str = "embeddings",
+    k_sql: str | None = None,
 ) -> str:
     """DuckDB twin: the unrolled k-means CTEs (kmeans_oracle_sql)
     nested as a derived table, then the same within-cluster pair join
-    with the same sequential-fold cosine."""
+    with the same sequential-fold cosine. ``k_sql`` threads the
+    cell-budget derived-k subquery through to the seed LIMIT (VERDICT
+    r13 next #6); None keeps the text byte-identical to pre-r14."""
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""
     WITH assign AS (
         SELECT * FROM ({kmeans_oracle_sql(k=k, iters=iters, dim=dim,
-                                          table=table)}) t
+                                          table=table, k_sql=k_sql)}) t
     ),
     v AS (SELECT e.vec_id, e.embedding, a.cluster
           FROM {table} e JOIN assign a USING (vec_id))
