@@ -719,7 +719,7 @@ def main() -> None:
             if n in baseline and baseline[n] > 0 and t > 1.5 * baseline[n]
         }
         if regressions:
-            prev_regs = _load_prev_detail()[0].get("regressions", {})
+            prev_rulings = _load_prev_rulings()
             for name, row in list(regressions.items()):
                 if out.get("canary_contaminated"):
                     row["contaminated"] = True
@@ -740,7 +740,7 @@ def main() -> None:
                 regressions[name] = adjudicate_flag(
                     row,
                     ISOLATED_BASELINE.get(name),
-                    prev_ruling=prev_regs.get(name, {}).get("ruling"),
+                    prev_ruling=prev_rulings.get(name),
                 )
             out["regressions"] = regressions
     _write_detail(out)
@@ -826,11 +826,17 @@ def _detail_candidates(n: int, root: str | None = None) -> list[str]:
 
 def _detail_clean(data: dict) -> bool:
     """A sidecar whose own canary evidence says the session was clean
-    — the run worth anchoring the next round's baseline to."""
+    — the run worth anchoring the next round's baseline to. A missing
+    or hand-mangled canary block (ADVICE r12 #3 discipline: bad
+    sidecars degrade, never crash the bench) counts as NOT clean —
+    no evidence is not evidence of cleanliness."""
+    canary = data.get("canary")
+    if not isinstance(canary, dict):
+        return False
     return (
         not data.get("canary_contaminated")
         and not data.get("canary_transient")
-        and not data.get("canary", {}).get("hot_readings", 0)
+        and not canary.get("hot_readings", 0)
     )
 
 
@@ -848,11 +854,51 @@ def _load_prev_detail(root: str | None = None) -> tuple[dict, str]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue  # hand-mangled sidecar (a bare list/str) degrades
         if first is None:
             first = (data, path)
         if _detail_clean(data):
             return data, path
     return first if first is not None else ({}, "")
+
+
+def _load_prev_rulings(root: str | None = None) -> dict[str, str]:
+    """name → previous-round flag ruling, merged across ALL of the
+    previous round's sidecars (builder + driver + legacy), with
+    session-family rulings winning collisions.
+
+    Deliberately NOT _load_prev_detail: that chooser prefers a
+    canary-CLEAN sidecar, and a clean sidecar can by construction
+    never carry a "session" ruling (the ruling requires a hot segment,
+    which makes its sidecar unclean) — reading rulings through it
+    would make the repeat-session escalation unreachable. Here the
+    hot driver run's rulings are exactly the evidence wanted."""
+    n = _newest_round()
+    merged: dict[str, str] = {}
+    if n < 0:
+        return merged
+    for path in _detail_candidates(n - 1, root):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        regs = data.get("regressions")
+        if not isinstance(regs, dict):
+            continue
+        for name, row in regs.items():
+            ruling = row.get("ruling") if isinstance(row, dict) else None
+            if not isinstance(ruling, str):
+                continue
+            if name not in merged or (
+                ruling.startswith("session")
+                and not merged[name].startswith("session")
+            ):
+                merged[name] = ruling
+    return merged
 
 
 def _detail_path() -> str:

@@ -143,18 +143,43 @@ def test_sweep_orphan_dir_respects_deep_fresh_file(tmp_path):
     assert not d.exists(), "cold tree must be swept"
 
 
-def test_reclaim_rename_replaces_empty_recreated_dir(tmp_path):
+def test_reclaim_rename_replaces_empty_recreated_dir(tmp_path, monkeypatch):
     """ADVICE r13 #2, now documented in the reclaim docstring: POSIX
-    rename(2) silently REPLACES an existing empty directory, so a
-    writer that mkdir'd the live path but staged nothing yet gets its
-    empty dir swapped for src — benign (its parts then land inside
-    the live compacted table). Pin the actual platform behavior the
-    docstring describes."""
+    rename(2) silently REPLACES an existing EMPTY directory. Pin the
+    raw platform behavior first (a direct rename onto an existing
+    empty dir — no fold loop in front to rmdir it away), then that
+    the reclaim loop ends correctly when the live path is recreated
+    EMPTY inside the rename window (a writer that mkdir'd the live
+    path but staged nothing yet gets its dir swapped for src —
+    benign: its parts then land inside the live compacted table)."""
+    # 1. the raw rename(2) semantics the docstring asserts
+    a = tmp_path / "raw_src"
+    b = tmp_path / "raw_dst"
+    a.mkdir()
+    (a / "payload").write_bytes(b"x")
+    b.mkdir()  # existing and EMPTY
+    os.rename(str(a), str(b))  # POSIX: replaces, no error
+    assert (b / "payload").is_file() and not a.exists()
+
+    # 2. the same hole through the reclaim loop: recreate the live
+    # path EMPTY between the fold's rmdir and the rename
     live, src, fold = _mk_swap_state(tmp_path)
     for f in os.listdir(live):
-        os.remove(os.path.join(live, f))  # recreated-but-empty case
+        os.remove(os.path.join(live, f))
+    os.rmdir(live)
+    real_rename = os.rename
+    raced = {"n": 0}
 
+    def race_rename(s, d, *args, **kw):
+        if raced["n"] == 0 and str(s) == src:
+            raced["n"] = 1
+            os.mkdir(live)  # writer recreates the live path, empty
+        return real_rename(s, d, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", race_rename)
     _reclaim_live_path(live, src_dir=src, fold_home=fold, deadline_sec=5.0)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert raced["n"] == 1
     assert os.path.isfile(os.path.join(live, "part-compacted.parquet"))
     assert not os.path.exists(src)
 
@@ -451,3 +476,108 @@ def test_recall_at_k_served_filtered_draft_partition_pruned(spark, sf_dir):
     filters = scan_partition_filters(df)
     cell_pruned = [f for f in filters if "cell" in f]
     assert cell_pruned, f"no cell PartitionFilters on any scan: {filters}"
+
+
+def test_prev_rulings_read_across_all_sidecars(tmp_path):
+    """Escalation reachability (code-review r14 #1): prev rulings must
+    NOT come through the clean-preferring sidecar chooser — a clean
+    sidecar can by construction never carry a session ruling, so the
+    repeat-session escalation would never fire. The rulings reader
+    merges across builder+driver+legacy, session-family winning."""
+    import json
+
+    b = _bench_mod()
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    b.__dict__["__file__"] = str(tmp_path / "bench.py")
+    # clean builder anchor (no regressions) + hot driver run that
+    # session-ruled query X — the steady-state shape
+    (tmp_path / "BENCH_DETAIL_after_r08_builder.json").write_text(
+        _sidecar(True, "builder")
+    )
+    hot = json.loads(_sidecar(False, "driver"))
+    hot["regressions"] = {
+        "x": {"sec": 2.0, "baseline_sec": 1.0, "ruling": "session"},
+        "y": {"sec": 2.0, "baseline_sec": 1.0, "ruling": "unadjudicated"},
+    }
+    (tmp_path / "BENCH_DETAIL_after_r08_driver.json").write_text(
+        json.dumps(hot)
+    )
+    # the baseline chooser still prefers the clean builder…
+    data, path = b._load_prev_detail()
+    assert "builder" in data["queries"]
+    # …but the rulings reader sees the driver's session ruling
+    rulings = b._load_prev_rulings()
+    assert rulings["x"] == "session"
+    assert rulings["y"] == "unadjudicated"
+    # end-to-end: that ruling escalates the next flag on x
+    flag = b.adjudicate_flag(
+        {"sec": 2.2, "baseline_sec": 1.0, "segment_hot": True},
+        None,
+        prev_ruling=rulings.get("x"),
+    )
+    assert flag["ruling"] == "session-repeat-run-scripts/isolated_query.py"
+    # session-family ruling wins a collision across sidecars
+    legacy = json.loads(_sidecar(False, "legacy"))
+    legacy["regressions"] = {"y": {"ruling": "session"}}
+    (tmp_path / "BENCH_DETAIL_after_r08.json").write_text(
+        json.dumps(legacy)
+    )
+    assert b._load_prev_rulings()["y"] == "session"
+
+
+def test_detail_loaders_degrade_on_mangled_sidecars(tmp_path):
+    """ADVICE r12 #3 discipline extended to the r14 loaders
+    (code-review r14 #3): a sidecar with "canary": null (or a whole
+    file that parses to a non-dict) must degrade — treated as
+    not-clean / skipped — never crash the bench at startup."""
+    import json
+
+    b = _bench_mod()
+    assert b._detail_clean({"canary": None}) is False
+    assert b._detail_clean({}) is False
+    assert b._detail_clean({"canary": {"hot_readings": 0}}) is True
+
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    b.__dict__["__file__"] = str(tmp_path / "bench.py")
+    (tmp_path / "BENCH_DETAIL_after_r08_builder.json").write_text(
+        json.dumps({"canary": None, "sat_canary": {"best_sec": 0.3,
+                                                   "cpus": 32}})
+    )
+    (tmp_path / "BENCH_DETAIL_after_r08_driver.json").write_text("[1, 2]")
+    data, path = b._load_prev_detail()  # must not raise
+    assert path.endswith("_builder.json")  # non-dict driver skipped
+    base, cpus, stat = b._load_sat_baseline()
+    assert base == 0.3 and cpus == 32 and stat == "single"
+    assert b._load_prev_rulings() == {}
+
+
+def test_sweep_orphan_dir_fails_live_on_unreadable_tree(tmp_path, monkeypatch):
+    """code-review r14 #2: if every getmtime races a rename (OSError
+    everywhere — the signature of a writer actively restructuring),
+    newest stays 0.0; the sweep must treat that as FRESH and keep the
+    tree, not delete a provably-live writer's staging on zero
+    evidence."""
+    d = tmp_path / "_temporary" / "0"
+    d.mkdir(parents=True)
+    (d / "part-x.parquet").write_bytes(b"x")
+
+    def raise_mtime(_p):
+        raise OSError("raced a rename")
+
+    monkeypatch.setattr(os.path, "getmtime", raise_mtime)
+    _sweep_orphan_dir(str(tmp_path / "_temporary"), stale_sec=0.0)
+    assert (d / "part-x.parquet").is_file(), "live tree must survive"
+
+
+def test_reclaim_default_staleness_exceeds_deadline():
+    """code-review r14 #2: the staleness default must sit far above
+    the reclaim deadline — a deadline-scale threshold would rmtree a
+    live task's staging during a long compute gap between part-file
+    create and first flush (data destruction, strictly worse than
+    the wedge ADVICE r13 #1 reported)."""
+    import inspect
+
+    sig = inspect.signature(_reclaim_live_path)
+    stale = sig.parameters["orphan_stale_sec"].default
+    deadline = sig.parameters["deadline_sec"].default
+    assert stale >= 5 * deadline

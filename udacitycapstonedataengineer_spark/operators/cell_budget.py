@@ -45,6 +45,28 @@ def derive_k(n_vectors: int, target_cell: int = DEFAULT_TARGET_CELL,
     return max(min_k, -(-n_vectors // target_cell))
 
 
+def semdedup_closure_scaled(
+    emb: DataFrame,
+    target_cell: int = DEFAULT_TARGET_CELL,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+) -> tuple[DataFrame, int]:
+    """((node, comp) components, k): derive k from the corpus count,
+    run the within-cell pair join, close it transitively — the shared
+    core of every derived-k survivors consumer (the scaled pipeline
+    below and the r15 ``semdedup_survivors_budgeted`` draft), so the
+    policy + closure exist exactly once. One extra count job over the
+    fixed-k path — the price of the policy, paid once per (re)build."""
+    k = derive_k(emb.count(), target_cell=target_cell)
+    pairs = semdedup_pairs(
+        emb, k=k, iters=iters, dim=dim, threshold=threshold
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs), k
+
+
 def semdedup_survivors_scaled(
     emb: DataFrame,
     target_cell: int = DEFAULT_TARGET_CELL,
@@ -54,16 +76,11 @@ def semdedup_survivors_scaled(
 ) -> tuple[DataFrame, int]:
     """(survivors, k): the ``semdedup_survivors`` pipeline (pairs →
     closure → drop non-exemplars) with k derived from the corpus
-    count. Returns the derived k so probes/gates can report it. One
-    extra count job over the fixed-k path — the price of the policy,
-    paid once per (re)build."""
-    k = derive_k(emb.count(), target_cell=target_cell)
-    pairs = semdedup_pairs(
-        emb, k=k, iters=iters, dim=dim, threshold=threshold
-    ).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    count. Returns the derived k so probes/gates can report it."""
+    comp, k = semdedup_closure_scaled(
+        emb, target_cell=target_cell, iters=iters, dim=dim,
+        threshold=threshold,
     )
-    comp = connected_components(pairs)
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")
     )

@@ -56,15 +56,14 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..operators.cell_budget import derive_k
-from ..operators.graph import connected_components
+from ..operators.cell_budget import semdedup_closure_scaled
 from ..operators.ivfpq import (
     ivfpq_build,
     ivfpq_encode_batch,
     ivfpq_oracle_sql,
 )
 from ..operators.recall_eval import ivfpq_recall_at_k
-from ..operators.semdedup import semdedup_oracle_sql, semdedup_pairs
+from ..operators.semdedup import semdedup_oracle_sql
 from .queries_round8 import _IVFPQ, _NPROBE, _TOPK
 from .queries_round12 import _RECALL_AT_K_QUERY_IDS
 from .queries_round14 import _MIX_TEMP_BUDGET_SHARE, _SERVED_BATCH_WHERE
@@ -132,22 +131,20 @@ def _semdedup_survivors_budgeted_oracle_sql() -> str:
 
 
 def _semdedup_survivors_budgeted_draft(spark, t):
-    """The r15 query body: one corpus count derives k (the
-    ``cell_budget.derive_k`` policy — a single driver-side integer),
-    then the EXACT ``semdedup_survivors`` composition (pairs →
-    closure → drop non-exemplars → per-label savings) runs under that
-    k, with ``derived_k`` emitted so the derivation itself rides the
-    driver hash. Scale shape: expected cell size = target_cell, so
-    the pair join is n·target_cell (corpus-linear) instead of
-    fixed-k's n²/k — the behavior scripts/probe_semdedup_x10.py
-    measured, now on a driver-gated row."""
+    """The r15 query body: ``cell_budget.semdedup_closure_scaled``
+    (ONE implementation of derive_k → pairs → transitive closure,
+    shared with ``semdedup_survivors_scaled``) feeds the exact
+    ``semdedup_survivors`` reporting composition (drop non-exemplars
+    → per-label savings), with ``derived_k`` emitted so the
+    derivation itself rides the driver hash. Scale shape: expected
+    cell size = target_cell, so the pair join is n·target_cell
+    (corpus-linear) instead of fixed-k's n²/k —
+    scripts/probe_budgeted_x10.py measured 2.81× on 10× data."""
     emb = t["embeddings"]
     labels = emb.select("vec_id", "label")
-    k = derive_k(emb.count(), target_cell=_BUDGET_TARGET_CELL)
-    pairs = semdedup_pairs(emb, k=k, **_BUDGET_PARAMS).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    comp = connected_components(pairs)  # (node, comp)
+    comp, k = semdedup_closure_scaled(
+        emb, target_cell=_BUDGET_TARGET_CELL, **_BUDGET_PARAMS
+    )  # (node, comp), derived k
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")
     )

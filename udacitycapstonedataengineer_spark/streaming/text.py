@@ -249,7 +249,7 @@ def _reclaim_live_path(
     fold_home: str,
     also_copy_to: str | None = None,
     deadline_sec: float = 30.0,
-    orphan_stale_sec: float = 10.0,
+    orphan_stale_sec: float = 300.0,
 ) -> None:
     """Give ``src_dir`` the live name ``table_path``, surviving
     concurrent appends that recreate the live path at ANY moment
@@ -268,7 +268,16 @@ def _reclaim_live_path(
       table, and the stream's checkpoint replays the batch — folding
       them could double-count duplicate task attempts. A fresh
       ``_temporary/`` (in-flight writer) is left alone and the loop
-      retries;
+      retries. The staleness default (300 s) sits deliberately FAR
+      above the reclaim deadline: a live task can compute for tens
+      of seconds between creating its part file and first flushing
+      it (tree mtimes frozen the whole time), so a deadline-scale
+      threshold would rmtree a LIVE writer's staging — a
+      data-destruction race strictly worse than the wedge it cures.
+      The cost: an orphan younger than the threshold makes THIS call
+      raise at the deadline, and the NEXT maintenance call (the
+      orphan now cold) clears it — recovery is never wedged
+      permanently, which is all ADVICE r13 #1 requires;
     - the recreated directory is emptied with ``os.rmdir``, which
       fails — and loops — if a part landed after the listdir or a
       live writer is still staging under ``_temporary/`` (never
@@ -333,7 +342,13 @@ def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
     its ``_temporary/`` tree's mtimes fresh as task files land, so a
     fresh tree is left alone and the caller's fold loop retries; a
     crashed writer's tree goes cold and becomes removable, instead of
-    wedging every reclaim/rollback forever (ADVICE r13 #1)."""
+    wedging every reclaim/rollback forever (ADVICE r13 #1).
+
+    Fail-live: if no mtime in the tree could be read at all (every
+    getmtime raced a rename — the signature of a writer actively
+    restructuring underneath us), the tree is treated as FRESH and
+    kept; sweeping on zero evidence would delete a provably-live
+    writer's staging."""
     import shutil
     import time
 
@@ -350,7 +365,7 @@ def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
                 newest = max(newest, os.path.getmtime(p))
             except OSError:
                 pass  # a live writer is renaming underneath us
-    if time.time() - newest > stale_sec:
+    if newest > 0.0 and time.time() - newest > stale_sec:
         shutil.rmtree(path, ignore_errors=True)
 
 
