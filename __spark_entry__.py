@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 14
+_ROUND = 15
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,24 +39,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-14 tiers, in order (tier sizes are never hand-counted here —
+# Round-15 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. new round-14 queries: the three r13-staged registrations
-#      (VERDICT r13 next #1), oracles drafted + sf0.001 parity proven
-#      last round, decoration moved in plans/queries_round14.py.
-#   3. staleness rotation: the FULL r09-stale cohort (the entire
+#   2. new round-15 queries: the three r14-staged registrations
+#      (VERDICT r14 next #1), oracles drafted + sf0.001 parity proven
+#      last round, decoration moved in plans/queries_round15.py.
+#      semdedup_survivors_budgeted closes the fixed-k SemDeDup scale
+#      deviation under the driver's own hash gate.
+#   3. staleness rotation: the FULL r10-stale cohort (the entire
 #      remaining oldest-freshness debt; moves the histogram floor to
-#      r10). 1 + 3 + 46 = exactly 50.
-_NEW_R14: list[str] = [
+#      r11). 1 + 3 + 46 = exactly 50.
+_NEW_R15: list[str] = [
+    "semdedup_survivors_budgeted",
+    "corpus_mixture_temperature_alpha",
+    "ann_ivfpq_recall_at_k_served_filtered",
+]
+_ROTATION_R15 = [
+    # last green r10 — the full cohort (test_stalest_cohort_rotates
+    # recomputes this list from the raw CORRECTNESS files)
+    "ann_ivfpq_recall_curve", "customer_segment_value_profile",
+    "dedup_clusters", "dedup_minhash_incremental", "dedup_threshold_sweep",
+    "docs_dedup_savings_by_source", "docs_langid_agreement",
+    "docs_length_percentiles_by_source", "docs_novelty_hapax",
+    "docs_pack_budget_sweep", "docs_quality_gate_funnel",
+    "docs_shingle_containment", "docs_token_rarity",
+    "embeddings_label_centroid", "events_activity_bitmap",
+    "events_churn_buckets", "events_conversion_latency_stats",
+    "events_dau_mau_stickiness", "events_first_touch_attribution",
+    "events_hourly_heatmap", "events_mad_outliers",
+    "events_new_vs_returning_daily", "events_power_users_pareto",
+    "events_session_duration_stats", "events_user_streaks",
+    "graph_pagerank_eventtypes", "lineitem_discount_band_revenue",
+    "lineitem_shipping_lag_stats", "nation_top_customers_concat",
+    "orders_daily_status_spine", "orders_first_vs_repeat_revenue",
+    "orders_hot_keys_skew", "orders_interorder_gap_stats",
+    "orders_monthly_seasonality", "orders_open_backlog_daily",
+    "orders_profile_drift", "orders_value_gini",
+    "part_brand_supplier_hhi", "referential_integrity_audit",
+    "semdedup_clusters", "semdedup_survivors",
+    "semdedup_survivors_incremental", "supplier_lead_time_trend",
+    "text_keyword_search_topk", "text_kn_trigram_prob",
+    "text_vocab_coverage",
+]
+
+# green in CORRECTNESS_r14 (the r14 window), kept registered after the
+# window rotates
+_GREEN_R14 = [
     "ann_ivfpq_recall_at_k_served",
     "text_kn_trigram_stream_served",
     "corpus_mixture_temperature",
-]
-_ROTATION_R14 = [
-    # last green r09 — the full cohort (test_stalest_cohort_rotates
-    # recomputes this list from the raw CORRECTNESS files)
+] + [
+    # last green r09 before the r14 window re-greened them — kept for
+    # stable registry ordering
     "ann_topk_filtered", "ann_topk_ivf", "ann_topk_ivfpq",
     "ann_topk_ivfpq_incremental", "ann_topk_ivfpq_refined",
     "ann_topk_ivfpq_served", "ann_topk_lsh", "approx_distinct_users",
@@ -108,7 +144,7 @@ _GREEN_R13 = [
 ]
 
 _WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _NEW_R14 + _ROTATION_R14
+    ["star_revenue_by_region_year"] + _NEW_R15 + _ROTATION_R15
 )
 
 # green in CORRECTNESS_r12 (the r12 window), kept registered after the
@@ -343,7 +379,8 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _GREEN_R13
+        _GREEN_R14
+        + _GREEN_R13
         + _GREEN_R12
         + _GREEN_R11
         + _GREEN_R10

@@ -175,7 +175,13 @@ HEADLINE = [
     "text_kn_trigram_prob",
     "ivfpq_index_drift",
     "semdedup_survivors_incremental",
-    "ann_ivfpq_recall_curve",
+    # ann_ivfpq_recall_curve (13.9 s clean-anchor, the most expensive
+    # headline row after the r14 demotions — cost is the in-query
+    # index BUILD the replayable oracle demands) is DEMOTED to the
+    # sweep tier (VERDICT r14 next #4, the ann_ivfpq_recall_at_k
+    # precedent): its served twin below reads the WRITTEN index and
+    # stays headline as the shape that ships; the sweep still times
+    # the build twin every round.
     "ivfpq_rebuild_decision",
     # round-11: recall curve served from the written cell-partitioned
     # index; KN append-equals-rebuild merge over standing count tables
@@ -198,6 +204,17 @@ HEADLINE = [
     # ingest per invocation — sweep-tier only (one datapoint/round).
     "ann_ivfpq_recall_at_k_served",
     "corpus_mixture_temperature",
+    # round-15: the r14-staged registrations — budgeted-k SemDeDup
+    # survivors (the corpus-linear scale shape that closes the fixed-k
+    # deviation; the fixed-k twin stays registered as the contrast
+    # shape) and the 3-point temperature sweep (bounded histogram
+    # fan-out over the r14 mixture).
+    # ann_ivfpq_recall_at_k_served_filtered is sweep-tier only: its
+    # unfiltered twin above already carries the headline cost of the
+    # IDENTICAL build+write+append pipeline — the filtered delta is a
+    # predicate inside the pruned probe scan, not a new plan shape.
+    "semdedup_survivors_budgeted",
+    "corpus_mixture_temperature_alpha",
 ]
 
 # Session-contamination canary (VERDICT r10 #2): a fixed trivial query
@@ -284,6 +301,61 @@ def canary_segment_context(
     if after is not None:
         ctx["canary_after"] = after["sec"]
     return ctx
+
+
+# Certification start gate (VERDICT r14 next #6): the r14 driver bench
+# session was contaminated end-to-end and the builder burned three
+# certification reruns on a VM that turns bursty-noisy in unpredictable
+# windows. The canary self-diagnoses ~200 s INTO a run; a BUILDER
+# (certification) run now refuses to START on a machine that already
+# looks loaded — 1-min load average over _GATE_MAX_LOAD, or the warmed
+# start-canary probe failing the same first-reading level test the
+# session verdict applies (canary_reading_hot with first-reading slack
+# — a flat 1.5× would false-refuse every idle run, see the
+# _CANARY_FIRST_SLACK calibration note). Driver runs are never gated
+# (the grading driver must always get a bench line; its session canary
+# still self-diagnoses); SPARK_GRAFT_BENCH_FORCE=1 bypasses.
+_GATE_MAX_LOAD = 2.0
+
+
+def start_gate_verdict(
+    load1: float | None,
+    canary_sec: float | None,
+    canary_base: float | None,
+    max_load: float = _GATE_MAX_LOAD,
+) -> str | None:
+    """None = clear to start; else the human-readable refusal reason.
+    Pure so tests can replay synthetic machine states."""
+    if load1 is not None and load1 > max_load:
+        return (
+            f"1-min load average {load1:.2f} > {max_load:g} — refusing "
+            "to start a certification bench on a loaded machine "
+            "(SPARK_GRAFT_BENCH_FORCE=1 overrides)"
+        )
+    if canary_sec is not None and canary_reading_hot(
+        canary_sec, canary_base, is_first=True
+    ):
+        return (
+            f"start canary {canary_sec:.3f}s exceeds "
+            f"{_CANARY_LIMIT * _CANARY_FIRST_SLACK:g}x the committed "
+            f"baseline {canary_base:.3f}s — refusing to start a "
+            "certification bench on a loaded machine "
+            "(SPARK_GRAFT_BENCH_FORCE=1 overrides)"
+        )
+    return None
+
+
+def _refuse(reason: str) -> None:
+    """Print the refusal on BOTH streams (stdout is what the driver
+    tail-captures; stderr is what a human at the terminal reads) and
+    exit non-zero so wrapper scripts stop instead of recording a
+    contaminated anchor."""
+    import sys
+
+    line = {"metric": "bench_refused", "reason": reason}
+    print(json.dumps(line))
+    print(f"bench: {reason}", file=sys.stderr)
+    raise SystemExit(2)
 
 
 def canary_verdict(
@@ -467,6 +539,17 @@ def adjudicate_flag(
     return out
 
 
+def escalated_names(regressions: dict) -> list[str]:
+    """Names whose ruling escalated to session-repeat (ADVICE r14 #3:
+    these must reach the printed line, not just the sidecar). Pure."""
+    return sorted(
+        n
+        for n, r in regressions.items()
+        if isinstance(r, dict)
+        and str(r.get("ruling", "")).startswith("session-repeat")
+    )
+
+
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
     (localCheckpoint blocks included). The index-building queries
@@ -495,6 +578,22 @@ def _drop_persisted(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # baseline loads are pure file reads — load them up front so the
+    # certification start gate can use the committed canary level
+    baseline, baseline_src, sweep_sourced = _load_baseline()
+    canary_base = baseline.get(CANARY) if baseline else None
+    gate_on = (
+        _writer_stamp() == "builder"
+        and os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
+    )
+    if gate_on:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            load1 = None
+        reason = start_gate_verdict(load1, None, canary_base)
+        if reason:
+            _refuse(reason)
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -527,6 +626,13 @@ def main() -> None:
             "overwrite"
         ).save()
     canary_first = _canary_run()
+    if gate_on:
+        # second gate checkpoint: the warmed start canary against the
+        # committed level (first-reading slack applies — see note)
+        reason = start_gate_verdict(None, canary_first, canary_base)
+        if reason:
+            spark.stop()
+            _refuse(reason)
     # saturating canary: warm once (codegen), then median-of-3 — a
     # single endpoint reading spread 33% on the r12 driver VM
     saturating_canary_sec(spark, cpus)
@@ -661,8 +767,6 @@ def main() -> None:
         out["sweep_n"] = len(sweep)
         out["sweep_total"] = round(sum(v for v in sweep.values() if v > 0), 3)
         out["bench_coverage"] = f"{len(timings) + len(sweep)}/{len(QUERIES)}"
-    baseline, baseline_src, sweep_sourced = _load_baseline()
-    canary_base = baseline.get(CANARY) if baseline else None
     if canary_base and canary_base > 0:
         out["canary"]["baseline_sec"] = canary_base
         if canary_verdict(canary_first, canary_last, canary_base):
@@ -743,6 +847,14 @@ def main() -> None:
                     prev_ruling=prev_rulings.get(name),
                 )
             out["regressions"] = regressions
+            # ADVICE r14 #3: an escalated ruling buried in the sidecar
+            # can keep escalating forever without the isolated run
+            # happening — surface the names on the PRINTED line (the
+            # one the driver records) so the protocol run is demanded
+            # where the next round will read it
+            escalated = escalated_names(regressions)
+            if escalated:
+                out["escalations"] = escalated
     _write_detail(out)
     print(json.dumps(_fit_line(out)))
     spark.stop()
@@ -817,11 +929,22 @@ def _writer_stamp() -> str:
 
 def _detail_candidates(n: int, root: str | None = None) -> list[str]:
     """Possible sidecar files for round ``n``'s bench run, preference
-    order: builder (canary-certified anchor runs), driver, then the
-    legacy unstamped name (pre-r14 files)."""
+    order: builder (canary-certified anchor runs), driver, any OTHER
+    writer stamp found on disk (ADVICE r14 #2: a sidecar written under
+    a custom SPARK_GRAFT_BENCH_WRITER was silently never loaded as a
+    baseline), then the legacy unstamped name (pre-r14 files)."""
+    import glob
+
     root = root or os.path.dirname(__file__)
     base = os.path.join(root, f"BENCH_DETAIL_after_r{n:02d}")
-    return [base + "_builder.json", base + "_driver.json", base + ".json"]
+    known = [base + "_builder.json", base + "_driver.json"]
+    legacy = base + ".json"
+    extra = sorted(
+        p
+        for p in glob.glob(base + "_*.json")
+        if p not in known and p != legacy
+    )
+    return known + extra + [legacy]
 
 
 def _detail_clean(data: dict) -> bool:

@@ -34,6 +34,9 @@ JUSTIFIED_WARNS = {
     # cannot see the rank bound
     "ann_ivfpq_recall_at_k": "exact-top-k ground truth (≤ Q·k rows)",
     "ann_ivfpq_recall_at_k_served": "exact-top-k ground truth (≤ Q·k rows)",
+    "ann_ivfpq_recall_at_k_served_filtered": (
+        "exact-top-k ground truth (≤ Q·k rows)"
+    ),
     # sketch/membership builds: the broadcast is the sketch itself
     # (CMS/Bloom bit arrays — fixed size by construction)
     "bloom_membership_orders": "fixed-size Bloom bit array",

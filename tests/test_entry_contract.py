@@ -33,7 +33,7 @@ def test_must_check_tiers_fit_inside_window():
     checked / re-earn / new-this-round tiers must ALL land inside the
     50-row window — if they outgrow it, the rotation must split across
     rounds explicitly, not truncate silently."""
-    must = E._NEW_R14
+    must = E._NEW_R15
     window = set(E._DRIVER_WINDOW)
     dropped = [n for n in must if n not in window]
     assert not dropped, f"must-check queries outside driver window: {dropped}"

@@ -1,12 +1,16 @@
-"""Round-14 staging area: the r15 ``semdedup_survivors_budgeted``,
+"""Round-15 registrations: ``semdedup_survivors_budgeted``,
 ``corpus_mixture_temperature_alpha``, and
-``ann_ivfpq_recall_at_k_served_filtered`` drafts.
+``ann_ivfpq_recall_at_k_served_filtered``.
 
-NOT imported by ``plans.queries`` — nothing here registers (the r14
-driver window is exactly full: flagship + 3 new registrations + the
-46-query r09 cohort). The staging discipline repeats: oracles drafted
-+ sf0.001 parity pinned now, so the r15 registrations are mechanical
-(VERDICT r13 next #6/#7).
+Staged (drafts + oracles + sf0.001 parity tests) in round 14 with this
+module unimported; round 15 performs the mechanical step the staging
+discipline exists for — the ``query(...)`` registrations at the bottom
+of this file plus the import in ``plans/queries.py``. The only body
+edit between staging and registration is the ADVICE r14 #4 temp-dir
+hygiene fix in the served/filtered draft (rmtree before the overwrite
+write — pid reuse could otherwise interleave a stale dir with the
+append); oracle texts are byte-identical to the staging
+(VERDICT r14 next #1).
 
 - ``semdedup_survivors_budgeted``: the ``semdedup_survivors`` keep
   policy under the CELL-BUDGET k (``cell_budget.derive_k`` — VERDICT
@@ -52,6 +56,7 @@ similarity-search and corpus-mixture families SURVEY.md §2 adds.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -382,6 +387,10 @@ def _ann_ivfpq_recall_at_k_served_filtered_draft(spark, t):
         tempfile.gettempdir(),
         f"spark_graft_ivfpq_recall_servfilt_{os.getpid()}",
     )
+    # ADVICE r14 #4: a recycled pid could leave a stale dir here whose
+    # residue the overwrite+append pair would interleave with; clear it
+    # first (tmpindex still removes the dir at process exit)
+    shutil.rmtree(path, ignore_errors=True)
     corpus_index.join(labels, "vec_id").write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(path)
@@ -401,3 +410,24 @@ def _ann_ivfpq_recall_at_k_served_filtered_draft(spark, t):
         nprobe=_NPROBE,
         candidates=emb.filter(F.expr(_SERVED_FILTER_WHERE)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 registrations (the mechanical step: decoration only — the
+# bodies and oracles above are the r14 staging, byte-identical except
+# the ADVICE r14 #4 rmtree noted in the module docstring).
+# ---------------------------------------------------------------------------
+from .registry import query  # noqa: E402
+
+query(
+    "semdedup_survivors_budgeted",
+    _semdedup_survivors_budgeted_oracle_sql(),
+)(_semdedup_survivors_budgeted_draft)
+query(
+    "corpus_mixture_temperature_alpha",
+    _corpus_mixture_temperature_alpha_oracle_sql(),
+)(_corpus_mixture_temperature_alpha_draft)
+query(
+    "ann_ivfpq_recall_at_k_served_filtered",
+    _ivfpq_recall_at_k_served_filtered_oracle_sql(),
+)(_ann_ivfpq_recall_at_k_served_filtered_draft)

@@ -348,7 +348,15 @@ def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
     getmtime raced a rename — the signature of a writer actively
     restructuring underneath us), the tree is treated as FRESH and
     kept; sweeping on zero evidence would delete a provably-live
-    writer's staging."""
+    writer's staging.
+
+    ADVICE r14 #1: a writer stalled PAST stale_sec (GC pause,
+    backpressure) could wake between the staleness walk and the
+    rmtree; the tree is re-statted immediately before deletion and
+    the sweep aborts if anything freshened, and every actual sweep
+    emits a WARNING line recording the path and its age so a
+    mis-sweep is diagnosable from logs instead of silent."""
+    import logging
     import shutil
     import time
 
@@ -358,15 +366,33 @@ def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
             return
     except OSError:
         return  # vanished or unreadable — re-evaluated next loop
-    newest = 0.0
-    for dirpath, _dirs, files in os.walk(path):
-        for p in [dirpath] + [os.path.join(dirpath, fn) for fn in files]:
-            try:
-                newest = max(newest, os.path.getmtime(p))
-            except OSError:
-                pass  # a live writer is renaming underneath us
+
+    def _tree_newest() -> float:
+        newest = 0.0
+        for dirpath, _dirs, files in os.walk(path):
+            for p in [dirpath] + [
+                os.path.join(dirpath, fn) for fn in files
+            ]:
+                try:
+                    newest = max(newest, os.path.getmtime(p))
+                except OSError:
+                    pass  # a live writer is renaming underneath us
+        return newest
+
+    newest = _tree_newest()
     if newest > 0.0 and time.time() - newest > stale_sec:
+        recheck = _tree_newest()
+        if recheck > newest:
+            return  # woke up between walks — live after all, keep
+        age = time.time() - newest
         shutil.rmtree(path, ignore_errors=True)
+        logging.getLogger(__name__).warning(
+            "kn compaction: swept orphan dir %s "
+            "(newest mtime %.1fs old > stale_sec=%gs)",
+            path,
+            age,
+            stale_sec,
+        )
 
 
 # --- trigram siblings (round 12) -------------------------------------
