@@ -318,6 +318,19 @@ def canary_segment_context(
 _GATE_MAX_LOAD = 2.0
 
 
+def gate_checks(stamp: str, force: str) -> tuple[bool, bool]:
+    """(check_load, check_canary) for this run. Certification
+    (builder) runs are gated; FORCE in {1, all, true} bypasses both;
+    FORCE=load skips ONLY the load-average check — a back-to-back
+    rerun sees the machine's OWN decaying 1-min load for ~3-4 min
+    after the previous local[32] run, and an all-or-nothing bypass
+    would needlessly drop the warmed-canary protection with it. Pure
+    so tests can enumerate the matrix."""
+    if stamp != "builder" or force in ("1", "all", "true"):
+        return False, False
+    return (force != "load"), True
+
+
 def start_gate_verdict(
     load1: float | None,
     canary_sec: float | None,
@@ -329,8 +342,10 @@ def start_gate_verdict(
     if load1 is not None and load1 > max_load:
         return (
             f"1-min load average {load1:.2f} > {max_load:g} — refusing "
-            "to start a certification bench on a loaded machine "
-            "(SPARK_GRAFT_BENCH_FORCE=1 overrides)"
+            "to start a certification bench on a loaded machine. If "
+            "this is YOUR just-finished run decaying, wait ~3-4 min or "
+            "set SPARK_GRAFT_BENCH_FORCE=load (skips only this check; "
+            "=1 bypasses the canary checkpoint too)"
         )
     if canary_sec is not None and canary_reading_hot(
         canary_sec, canary_base, is_first=True
@@ -462,6 +477,14 @@ def _load_sat_baseline(
 # ISOLATED against this row — never isolated-vs-warmed. Names absent
 # here have no pinned row yet; their flags say so explicitly.
 ISOLATED_BASELINE: dict[str, float] = {
+    # r15 pins (VERDICT r14 wrong #1/#3, next #2/#3): the IVF-PQ topk
+    # clean-anchor drift adjudicated (isolated 11.135 vs the r11 pin
+    # 10.294 = +8%, NOT the ≥1.3× the +34% anchor move suggested —
+    # session/VM state, ruling in PERF_NOTES) and the first live
+    # escalation (dedup_exact_groups) honored
+    "ann_topk_ivfpq": 11.135,  # supersedes r11's 10.294
+    "ann_topk_ivfpq_served": 12.127,
+    "dedup_exact_groups": 0.478,
     # r14 pins (VERDICT r13 wrong #1 / next #2): the three r13 flags
     # that self-adjudicated "session" in hot canary segments — pinned
     # on an idle machine (load 0.09 at start) so any future flag on
@@ -495,7 +518,6 @@ ISOLATED_BASELINE: dict[str, float] = {
     "sas_date_decode": 0.531,
     "docs_ngram_repetition": 1.020,
     "text_bm25_linear_topk": 1.243,
-    "ann_topk_ivfpq": 10.294,
 }
 
 
@@ -582,11 +604,11 @@ def main() -> None:
     # certification start gate can use the committed canary level
     baseline, baseline_src, sweep_sourced = _load_baseline()
     canary_base = baseline.get(CANARY) if baseline else None
-    gate_on = (
-        _writer_stamp() == "builder"
-        and os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") != "1"
+    check_load, check_canary = gate_checks(
+        _writer_stamp(),
+        os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0").lower(),
     )
-    if gate_on:
+    if check_load:
         try:
             load1 = os.getloadavg()[0]
         except OSError:
@@ -626,7 +648,7 @@ def main() -> None:
             "overwrite"
         ).save()
     canary_first = _canary_run()
-    if gate_on:
+    if check_canary:
         # second gate checkpoint: the warmed start canary against the
         # committed level (first-reading slack applies — see note)
         reason = start_gate_verdict(None, canary_first, canary_base)

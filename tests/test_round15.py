@@ -64,6 +64,20 @@ def test_start_gate_canary_uses_first_reading_slack():
     assert b.start_gate_verdict(0.1, hot_sec, None) is None
 
 
+def test_gate_checks_matrix():
+    """Per-check bypass (post-review fix): FORCE=load skips only the
+    load-average check (a back-to-back rerun sees its OWN decaying
+    load), never the canary checkpoint; FORCE=1/all/true bypasses
+    both; non-builder stamps are never gated."""
+    b = _bench_mod()
+    assert b.gate_checks("builder", "0") == (True, True)
+    assert b.gate_checks("builder", "load") == (False, True)
+    for f in ("1", "all", "true"):
+        assert b.gate_checks("builder", f) == (False, False)
+    for stamp in ("driver", "smoke", "laptop2"):
+        assert b.gate_checks(stamp, "0") == (False, False)
+
+
 def test_refuse_prints_parseable_line_and_exits_nonzero(capsys):
     b = _bench_mod()
     with pytest.raises(SystemExit) as exc:
@@ -192,6 +206,31 @@ def test_sweep_aborts_when_tree_freshens_between_walks(
     _sweep_orphan_dir(str(orphan), stale_sec=300.0)
     assert orphan.exists(), "sweep deleted a tree that freshened"
     assert calls["n"] > first_walk_entries, "re-stat walk never ran"
+
+
+def test_sweep_keeps_tree_on_zero_evidence_recheck(tmp_path, monkeypatch):
+    """Post-review fix: a recheck walk where EVERY getmtime fails
+    (writer restructuring underneath — the zero-evidence signature
+    the FIRST walk already fails live on) must be treated as live,
+    not as confirmation of staleness."""
+    orphan = tmp_path / "_temporary"
+    orphan.mkdir()
+    (orphan / "task_1.parquet").write_bytes(b"x")
+    _backdate(str(orphan))
+
+    real_getmtime = os.path.getmtime
+    calls = {"n": 0}
+    first_walk_entries = 2  # dir + file
+
+    def fake_getmtime(p):
+        calls["n"] += 1
+        if calls["n"] <= first_walk_entries:
+            return real_getmtime(p)
+        raise OSError("renamed underneath")
+
+    monkeypatch.setattr(os.path, "getmtime", fake_getmtime)
+    _sweep_orphan_dir(str(orphan), stale_sec=300.0)
+    assert orphan.exists(), "sweep deleted on a zero-evidence recheck"
 
 
 def test_sweep_logs_what_it_swept(tmp_path, caplog):

@@ -382,8 +382,14 @@ def _sweep_orphan_dir(path: str, stale_sec: float) -> None:
     newest = _tree_newest()
     if newest > 0.0 and time.time() - newest > stale_sec:
         recheck = _tree_newest()
-        if recheck > newest:
-            return  # woke up between walks — live after all, keep
+        if recheck != newest:
+            # ANY change in evidence between the walks means a writer
+            # is active: fresher mtimes (woke up), or recheck == 0.0
+            # (every getmtime raced a rename — the zero-evidence
+            # signature the FIRST walk already fails live on; treating
+            # it as confirmation would reopen the race this re-stat
+            # exists to close). Keep; the caller's loop retries.
+            return
         age = time.time() - newest
         shutil.rmtree(path, ignore_errors=True)
         logging.getLogger(__name__).warning(
