@@ -143,6 +143,25 @@ _GREEN_R13 = [
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
 ]
 
+# Stable aliases the contract gates read (no per-round test renames):
+# the never-green-yet registrations that MUST be checked this round,
+# and the re-earn tier (registered queries whose committed oracle
+# text changed — empty most rounds).
+_NEW_THIS_ROUND = _NEW_R15
+_REEARN_THIS_ROUND: list[str] = []
+
+# ROTATION SATURATION NOTE for round 16+ (discovered at r15 close):
+# after this window lands, the latest-green histogram is r11×49,
+# r12×49, r13×49, r14×49, r15×50 — every future stalest cohort is 49
+# wide, so flagship + 49 = 50 leaves ZERO slots for new
+# registrations. test_stalest_cohort_rotates therefore supports an
+# EXPLICIT SPLIT: when the full cohort cannot fit, the window must
+# take the alphabetically-first members that DO fit (no slot wasted
+# on any fresher query), and the remainder — whose latest-green round
+# stays the minimum — automatically becomes the next round's stalest
+# cohort, which the same gate then forces through. For r16 with 3
+# staged registrations: flagship + 3 new + sorted(r11 cohort)[:46];
+# the 3 alphabetically-last r11 members roll to r17.
 _WINDOW_TIERS = (
     ["star_revenue_by_region_year"] + _NEW_R15 + _ROTATION_R15
 )

@@ -33,7 +33,7 @@ def test_must_check_tiers_fit_inside_window():
     checked / re-earn / new-this-round tiers must ALL land inside the
     50-row window — if they outgrow it, the rotation must split across
     rounds explicitly, not truncate silently."""
-    must = E._NEW_R15
+    must = list(E._NEW_THIS_ROUND) + list(E._REEARN_THIS_ROUND)
     window = set(E._DRIVER_WINDOW)
     dropped = [n for n in must if n not in window]
     assert not dropped, f"must-check queries outside driver window: {dropped}"
@@ -93,12 +93,93 @@ def test_stalest_cohort_rotates():
         return
     oldest = min(stale.values())
     cohort = sorted(n for n, r in stale.items() if r == oldest)
-    window = set(E._DRIVER_WINDOW)
+    exempt = {"star_revenue_by_region_year"}
+    exempt |= set(getattr(E, "_NEW_THIS_ROUND", []))
+    exempt |= set(getattr(E, "_REEARN_THIS_ROUND", []))
+    err = rotation_violation(E._DRIVER_WINDOW, last, cohort, exempt)
+    assert err is None, f"(stalest = r{oldest:02d}) {err}"
+
+
+def rotation_violation(
+    window_list: list[str],
+    last: dict[str, int],
+    cohort: list[str],
+    exempt: set[str],
+) -> str | None:
+    """None = the window rotates the stalest cohort legally; else the
+    violation. The full cohort in-window always passes. An EXPLICIT
+    SPLIT (round 15+: every remaining cohort is 49 wide, so flagship
+    + new registrations + full cohort can exceed 50 — the "split
+    across rounds explicitly" the gate's docstring has always
+    promised) passes only when it is principled, not a silent
+    truncation:
+      1. no slot is wasted on a FRESHER query: every window member
+         with a green history belongs to the stalest cohort — the
+         only exemptions are the flagship (re-greened every round by
+         design) and the declared new/re-earn tiers;
+      2. the included subset is the deterministic alphabetical prefix
+         of the cohort, so WHICH members wait is mechanical;
+      3. the remainder needs no bookkeeping: its latest-green round
+         stays the minimum, so it IS the next round's stalest cohort
+         and this same gate forces it through then."""
+    window = set(window_list)
     missed = [n for n in cohort if n not in window]
-    assert not missed, (
-        f"stalest cohort (last green r{oldest:02d}) not fully rotated: "
-        f"{missed}"
+    if not missed:
+        return None
+    cohort_set = set(cohort)
+    fresher = sorted(
+        n
+        for n in window_list
+        if n not in exempt and n in last and n not in cohort_set
     )
+    if fresher:
+        return (
+            "stalest cohort split while fresher queries hold window "
+            f"slots: {fresher}"
+        )
+    included = [n for n in cohort if n in window]
+    if not included or included != cohort[: len(included)]:
+        return (
+            "a cohort split must take the alphabetical prefix "
+            f"(deterministic); got {included[:5]} vs {cohort[:5]}"
+        )
+    return None
+
+
+def test_rotation_split_semantics():
+    """The split validator itself (inert on this round's real data —
+    the r15 window holds its full cohort — but load-bearing from r16
+    on, when 49-wide cohorts leave no room for new registrations):
+    full rotation passes, a principled prefix split passes, a split
+    that wastes a slot on a fresher query or skips a prefix member
+    fails."""
+    last = {"a": 11, "b": 11, "c": 11, "d": 12, "flag": 14}
+    cohort = ["a", "b", "c"]
+    exempt = {"flag", "new1"}
+
+    # full cohort in window
+    assert rotation_violation(
+        ["flag", "new1", "a", "b", "c"], last, cohort, exempt
+    ) is None
+    # principled split: prefix {a, b} included, c waits
+    assert rotation_violation(
+        ["flag", "new1", "a", "b"], last, cohort, exempt
+    ) is None
+    # fresher query d holds a slot while c waits — violation
+    err = rotation_violation(
+        ["flag", "new1", "a", "b", "d"], last, cohort, exempt
+    )
+    assert err and "fresher" in err
+    # non-prefix split (skipped a while taking b) — violation
+    err = rotation_violation(
+        ["flag", "new1", "b", "c"], last, cohort, exempt
+    )
+    assert err and "prefix" in err
+    # an undeclared new query (not in exempt, no green history) is
+    # fine — only GREEN-historied non-cohort members are violations
+    assert rotation_violation(
+        ["flag", "brand_new", "a", "b"], last, cohort, exempt
+    ) is None
 
 
 def test_queries_covers_every_registered_query():
