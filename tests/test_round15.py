@@ -378,3 +378,85 @@ def test_recall_curve_served_filtered_draft_oracle_parity(spark, sf_dir):
         ),
         "ann_ivfpq_recall_curve_served_filtered (draft)",
     )
+
+
+# --- r17 staging drafts (staged two rounds ahead): sf0.001 parity
+
+
+def test_bm25_indexed_incremental_draft_oracle_parity(spark, sf_dir):
+    """r17 staging row 1: corpus-built standing postings + batch
+    append + additive stats merge, served under the UNCHANGED
+    text_bm25_linear_topk oracle — hash equality proves append ≡
+    rebuild ≡ scan ≡ DuckDB (the KN-incremental discipline applied to
+    the retrieval family)."""
+    from udacitycapstonedataengineer_spark.plans.queries import ORACLE
+    from udacitycapstonedataengineer_spark.plans.queries_round17 import (
+        _text_bm25_indexed_incremental_draft,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    df = _text_bm25_indexed_incremental_draft(
+        spark, load_tables(spark, sf_dir)
+    ).toPandas()
+    compare_frames(
+        df,
+        run_oracle(ORACLE["text_bm25_linear_topk"], sf_dir),
+        "text_bm25_indexed_incremental (draft)",
+    )
+
+
+def test_bm25_indexed_served_draft_oracle_parity(spark, sf_dir):
+    """r17 staging row 2: the postings index WRITTEN term-sorted and
+    served from the read-back, same oracle as the scan twin."""
+    from udacitycapstonedataengineer_spark.plans.queries import ORACLE
+    from udacitycapstonedataengineer_spark.plans.queries_round17 import (
+        _text_bm25_indexed_served_draft,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    df = _text_bm25_indexed_served_draft(
+        spark, load_tables(spark, sf_dir)
+    ).toPandas()
+    compare_frames(
+        df,
+        run_oracle(ORACLE["text_bm25_linear_topk"], sf_dir),
+        "text_bm25_indexed_served (draft)",
+    )
+
+
+def test_sessionize_stream_served_draft_oracle_parity(spark, sf_dir):
+    """r17 staging row 3: the transformWithStateInPandas gap
+    sessionization (MapState + event-time timers, RocksDB state)
+    driven over the whole events table, reshaped to the registered
+    events_sessionize output and hash-compared against its UNCHANGED
+    oracle — the streaming stateful surface under the driver gate."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from udacitycapstonedataengineer_spark.plans.queries import ORACLE
+    from udacitycapstonedataengineer_spark.plans.queries_round17 import (
+        _events_sessionize_stream_served_draft,
+    )
+    from udacitycapstonedataengineer_spark.session import pin_oracle_semantics
+    from udacitycapstonedataengineer_spark.sources.readers import load_tables
+
+    from tests.oracle_check import compare_frames, run_oracle
+
+    pin_oracle_semantics(spark)
+    df = _events_sessionize_stream_served_draft(
+        spark, load_tables(spark, sf_dir)
+    ).toPandas()
+    assert len(df) > 5
+    compare_frames(
+        df,
+        run_oracle(ORACLE["events_sessionize"], sf_dir),
+        "events_sessionize_stream_served (draft)",
+    )
