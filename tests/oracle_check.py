@@ -38,6 +38,21 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"{name}: columns differ: {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
     )
+    # dtype-CLASS parity (round 15): the driver compares stringified
+    # values, so an int column on one side and a float on the other
+    # ("449" vs "449.0") hash-fails there — while the elementwise
+    # x == y below would happily pass 0 == 0.0. The classic source is
+    # a DuckDB SUM(BIGINT) returning HUGEINT (pandas float64) that the
+    # oracle forgot to CAST back; fail it HERE, where staging catches
+    # it, not at the driver gate.
+    for col in spark_df.columns:
+        fa = pd.api.types.is_float_dtype(spark_df[col])
+        fb = pd.api.types.is_float_dtype(oracle_df[col])
+        assert fa == fb, (
+            f"{name}.{col}: float-ness differs (spark "
+            f"{spark_df[col].dtype} vs oracle {oracle_df[col].dtype}) — "
+            "the driver's string compare will mismatch; CAST the oracle"
+        )
     assert len(spark_df) == len(oracle_df), (
         f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
     )

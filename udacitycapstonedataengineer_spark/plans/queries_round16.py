@@ -88,8 +88,18 @@ from .queries_round15 import _SERVED_FILTER_WHERE
 # quantum/budget, salted 'pipe|' so the keep decision is independent
 # of the standalone mixture row's; packing = the registered
 # docs_chunk_windows stride.
+#
+# threshold=0.4, NOT the standalone family's 0.2: at the gate scales
+# the embeddings cover the whole doc id space, and at 0.2 (≈1.6σ of
+# random 64-dim cosine) within-cell components go giant — the funnel
+# collapsed to ~k survivors and ZERO mixture keeps at sf0.01, making
+# stages 5-6 vacuous (an empty tail trivially hash-matches and hides
+# bugs — the verify discipline forbids it). At 0.4 every stage drops
+# something at sf0.001/sf0.01 (e.g. sf0.01: 352 exact → 338 sem →
+# 151 mix → 449 chunks) while the pair/closure machinery still
+# exercises multi-member components.
 _PIPE_TARGET_CELL = 100
-_PIPE_PARAMS = dict(iters=2, dim=64, threshold=0.2)
+_PIPE_PARAMS = dict(iters=2, dim=64, threshold=0.4)
 _PIPE_Q = 1_000_000
 _PIPE_BUDGET_SHARE = 2
 _PIPE_STRIDE = 150
@@ -184,11 +194,14 @@ def _corpus_pipeline_report_oracle_sql() -> str:
              FROM exact GROUP BY source),
     st_s AS (SELECT source, count(*) AS n_sem FROM sem GROUP BY source),
     st_m AS (
+        -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT, which
+        -- pandas reads as float64 — the driver's string compare
+        -- would then see "449.0" vs Spark's "449"
         SELECT source, count(*) AS n_mix,
-               SUM(CASE WHEN length(text) > 0
+               CAST(SUM(CASE WHEN length(text) > 0
                    THEN CAST(FLOOR((length(text) - 1) / {_PIPE_STRIDE})
                              AS BIGINT) + 1
-                   ELSE 0 END) AS n_chunks
+                   ELSE 0 END) AS BIGINT) AS n_chunks
         FROM mix GROUP BY source
     )
     SELECT r.source, r.n_raw,
