@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 15
+_ROUND = 16
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,26 +39,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-15 tiers, in order (tier sizes are never hand-counted here —
+# Round-16 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. new round-15 queries: the three r14-staged registrations
-#      (VERDICT r14 next #1), oracles drafted + sf0.001 parity proven
-#      last round, decoration moved in plans/queries_round15.py.
-#      semdedup_survivors_budgeted closes the fixed-k SemDeDup scale
-#      deviation under the driver's own hash gate.
-#   3. staleness rotation: the FULL r10-stale cohort (the entire
-#      remaining oldest-freshness debt; moves the histogram floor to
-#      r11). 1 + 3 + 46 = exactly 50.
+#   2. new round-16 queries: the three r15-staged registrations
+#      (VERDICT r15 next #1), oracles drafted + sf0.001 parity proven
+#      last round, decoration moved in plans/queries_round16.py.
+#   3. staleness rotation — the FIRST LIVE EXPLICIT SPLIT: the
+#      r11-stale cohort is 49 wide and flagship + 3 new leaves only
+#      46 slots, so the window takes the deterministic ALPHABETICAL
+#      PREFIX sorted(cohort)[:46] (rotation_violation enforces that
+#      no fresher-green query holds a slot and the included subset
+#      is a prefix). The 3 alphabetically-last members
+#      (text_kn_bigram_incremental, text_tfidf_top_terms,
+#      tpch_q15_top_supplier) keep latest-green r11 and therefore
+#      ARE next round's stalest cohort — the same gate forces them
+#      through at r17. 1 + 3 + 46 = exactly 50.
+_NEW_R16: list[str] = [
+    "corpus_pipeline_report",
+    "semdedup_survivors_incremental_budgeted",
+    "ann_ivfpq_recall_curve_served_filtered",
+]
+_ROTATION_R16 = [
+    # last green r11 — sorted(cohort)[:46] (test_stalest_cohort_rotates
+    # recomputes the cohort from the raw CORRECTNESS files and accepts
+    # exactly this prefix)
+    "ann_ivfpq_recall_curve_served", "ann_topk_bruteforce",
+    "calendar_dim", "cast_types", "corpus_mixture_sample",
+    "corpus_sample_exact_counts", "country_dim", "dedup_by_key",
+    "distinct_rows", "docs_char_class_profile",
+    "docs_crosslingual_template_leakage", "docs_pack_sequences",
+    "docs_source_lang_mix", "dropna_rows", "embeddings_norm_outliers",
+    "events_bot_regularity_audit", "events_daily_anomaly_seasonal",
+    "events_error_burst_windows", "events_heavy_hitters",
+    "events_linear_attribution", "events_linear_attribution_daygrain",
+    "events_type_weekday_chisq", "global_counts", "groupby_avg",
+    "initcap_labels", "join_dedup", "join_left_broadcast",
+    "join_string_keys", "lineitem_selfjoin_fanout_profile",
+    "nation_revenue_share", "null_profile", "orders_cohort_ltv",
+    "orders_cohort_ltv_incremental", "orders_cohort_survival",
+    "orders_daily_autocorr", "orders_daily_drawdown",
+    "orders_duplicate_invoice_pairs", "orders_monthly_forecast_eval",
+    "orders_monthly_price_bands", "orders_scd2_asof_revenue",
+    "part_sourcing_risk_grid", "priority_dim", "sas_date_decode",
+    "sas_labels_decode", "supplier_nation_trade_matrix",
+    "text_bigram_pmi",
+]
+
+# green in CORRECTNESS_r15 (the r15 window), kept registered after the
+# window rotates
 _NEW_R15: list[str] = [
     "semdedup_survivors_budgeted",
     "corpus_mixture_temperature_alpha",
     "ann_ivfpq_recall_at_k_served_filtered",
 ]
 _ROTATION_R15 = [
-    # last green r10 — the full cohort (test_stalest_cohort_rotates
-    # recomputes this list from the raw CORRECTNESS files)
     "ann_ivfpq_recall_curve", "customer_segment_value_profile",
     "dedup_clusters", "dedup_minhash_incremental", "dedup_threshold_sweep",
     "docs_dedup_savings_by_source", "docs_langid_agreement",
@@ -147,23 +183,20 @@ _GREEN_R13 = [
 # the never-green-yet registrations that MUST be checked this round,
 # and the re-earn tier (registered queries whose committed oracle
 # text changed — empty most rounds).
-_NEW_THIS_ROUND = _NEW_R15
+_NEW_THIS_ROUND = _NEW_R16
 _REEARN_THIS_ROUND: list[str] = []
 
-# ROTATION SATURATION NOTE for round 16+ (discovered at r15 close):
-# after this window lands, the latest-green histogram is r11×49,
-# r12×49, r13×49, r14×49, r15×50 — every future stalest cohort is 49
-# wide, so flagship + 49 = 50 leaves ZERO slots for new
-# registrations. test_stalest_cohort_rotates therefore supports an
-# EXPLICIT SPLIT: when the full cohort cannot fit, the window must
-# take the alphabetically-first members that DO fit (no slot wasted
-# on any fresher query), and the remainder — whose latest-green round
-# stays the minimum — automatically becomes the next round's stalest
-# cohort, which the same gate then forces through. For r16 with 3
-# staged registrations: flagship + 3 new + sorted(r11 cohort)[:46];
-# the 3 alphabetically-last r11 members roll to r17.
+# ROTATION SATURATION (live since r16): the latest-green histogram is
+# a steady 49/49/49/49/50, so every stalest cohort is 49 wide and
+# flagship + new registrations + 49 > 50. The window therefore runs
+# the EXPLICIT SPLIT the gate validates: the alphabetically-first
+# cohort members that fit, remainder rolls (see the tier-3 note
+# above). Under a 3-new-per-round cadence the roll-over debt grows 3
+# per round but each remainder stays minimum-round, so the same gate
+# forces it through next round — no query's staleness can exceed the
+# cohort width in rounds.
 _WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _NEW_R15 + _ROTATION_R15
+    ["star_revenue_by_region_year"] + _NEW_R16 + _ROTATION_R16
 )
 
 # green in CORRECTNESS_r12 (the r12 window), kept registered after the
@@ -398,7 +431,9 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _GREEN_R14
+        _NEW_R15
+        + _ROTATION_R15
+        + _GREEN_R14
         + _GREEN_R13
         + _GREEN_R12
         + _GREEN_R11

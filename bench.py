@@ -161,20 +161,27 @@ HEADLINE = [
     "text_kn_continuation_counts",
     "docs_oov_bigram_rate",
     "ann_topk_int8",
-    "semdedup_clusters",
+    # semdedup_clusters (fixed-k) DEMOTED to the sweep tier (VERDICT
+    # r15 next #6): with the budgeted family registered at both the
+    # batch and incremental layers, ONE fixed-k row stays headline as
+    # the documented contrast shape — semdedup_survivors below — and
+    # the rest get their timing datapoint from the sweep.
     # round-9: served-from-parquet IVF-PQ probe (write + read-back
     # partition-pruned); incremental append under the frozen model;
     # interpolated KN bigram probs; SemDeDup survivor corpus
     "ann_topk_ivfpq_served",
     "ann_topk_ivfpq_incremental",
     "text_kn_bigram_prob",
+    # semdedup_survivors: the ONE fixed-k row kept headline as the
+    # contrast shape for the budgeted family (VERDICT r15 next #6)
     "semdedup_survivors",
     # round-10: trigram KN with recursive back-off; IVF-PQ drift
-    # governance (frozen-model residual stats); incremental SemDeDup
-    # survivors against the standing exemplar set
+    # governance (frozen-model residual stats).
+    # semdedup_survivors_incremental (fixed-k, 8.3 s clean-anchor)
+    # DEMOTED to the sweep tier (VERDICT r15 next #6): its budgeted
+    # twin below is the scale shape that ships.
     "text_kn_trigram_prob",
     "ivfpq_index_drift",
-    "semdedup_survivors_incremental",
     # ann_ivfpq_recall_curve (13.9 s clean-anchor, the most expensive
     # headline row after the r14 demotions — cost is the in-query
     # index BUILD the replayable oracle demands) is DEMOTED to the
@@ -215,6 +222,19 @@ HEADLINE = [
     # predicate inside the pruned probe scan, not a new plan shape.
     "semdedup_survivors_budgeted",
     "corpus_mixture_temperature_alpha",
+    # round-16: the r15-staged registrations — the end-to-end corpus
+    # pipeline report (gates → exact dedup → budgeted SemDeDup →
+    # temperature mixture → packing counts as ONE oracled row set)
+    # and the budgeted incremental survivors (closes the fixed-k
+    # deviation at the incremental layer; its fixed-k twin moves to
+    # the sweep per next #6 above).
+    # ann_ivfpq_recall_curve_served_filtered is sweep-tier only, the
+    # ann_ivfpq_recall_at_k_served_filtered precedent: the filtered
+    # delta is a predicate inside the pruned probe scan of the same
+    # written index — its unfiltered served-curve twin keeps the
+    # headline slot for that plan shape.
+    "corpus_pipeline_report",
+    "semdedup_survivors_incremental_budgeted",
 ]
 
 # Session-contamination canary (VERDICT r10 #2): a fixed trivial query
@@ -572,6 +592,32 @@ def escalated_names(regressions: dict) -> list[str]:
     )
 
 
+def salvage_suspects(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    qpos: dict[str, int],
+    readings: list[dict],
+    canary_base: float | None,
+) -> list[str]:
+    """Headline queries eligible for the end-of-run burst re-read
+    (VERDICT r15 next #7): flagged as a regression against the
+    committed baseline AND timed inside a hot canary segment. Pure so
+    tests can replay synthetic sessions."""
+    if not canary_base:
+        return []
+    return [
+        n
+        for n, t in timings.items()
+        if n in baseline
+        and baseline[n] > 0
+        and t > 1.5 * baseline[n]
+        and n in qpos
+        and canary_segment_context(readings, qpos[n], canary_base)[
+            "segment_hot"
+        ]
+    ]
+
+
 def _drop_persisted(spark) -> None:
     """Between queries, drop cached DataFrames AND persisted RDDs
     (localCheckpoint blocks included). The index-building queries
@@ -731,6 +777,43 @@ def main() -> None:
         readings.pop()
     canary_last = _canary_run()
     readings.append({"after_n": timed, "sec": canary_last})
+
+    # Mid-run burst salvage (VERDICT r15 next #7): attempts A/B of the
+    # r15 certification died to VM bursts the start gate cannot see.
+    # A HEADLINE query that reads as a regression AND was timed inside
+    # a hot canary segment gets ONE re-read at end of run, gated on a
+    # fresh canary re-check (a still-hot session would just re-measure
+    # the burst). The re-read is the same median-of-3 statistic and
+    # replaces the burst-inflated value; the original lands in the
+    # sidecar as evidence. Sweep rows stay single-shot by contract.
+    salvage: dict[str, dict] = {}
+    salvage_skipped: float | None = None
+    if baseline and canary_base:
+        suspects = salvage_suspects(
+            timings, baseline, qpos, readings, canary_base
+        )
+        if suspects:
+            recheck = _canary_run()
+            if canary_reading_hot(recheck, canary_base):
+                salvage_skipped = recheck
+            else:
+                for n in suspects:
+                    runs = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        QUERIES[n](spark, sf_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        runs.append(time.perf_counter() - t0)
+                    sec = round(sorted(runs)[1], 3)
+                    _drop_persisted(spark)
+                    salvage[n] = {
+                        "hot_sec": timings[n],
+                        "sec": sec,
+                        "recheck_canary_sec": recheck,
+                    }
+                    timings[n] = sec
+
     sat_last, sat_last_reads = saturating_canary_median(spark, cpus)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -784,6 +867,13 @@ def main() -> None:
     if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True
+    if salvage:
+        out["salvage"] = salvage
+        out["salvage_n"] = len(salvage)
+    if salvage_skipped is not None:
+        # a re-read was warranted but the session was STILL hot at
+        # end of run — the flagged values stand, annotated below
+        out["salvage_skipped_canary_sec"] = salvage_skipped
     if sweep:
         out["sweep_queries"] = sweep
         out["sweep_n"] = len(sweep)
@@ -851,8 +941,14 @@ def main() -> None:
                     row["contaminated"] = True
                 # nearest interleaved readings (VERDICT r11 wrong #3):
                 # a flag inside a hot segment self-adjudicates as a
-                # session transient instead of a code regression
-                if name in qpos:
+                # session transient instead of a code regression.
+                # A SALVAGED value is already the post-burst clean
+                # re-read — the hot segment describes the discarded
+                # reading, so it must not contaminate the new one.
+                if name in salvage:
+                    row["salvaged"] = True
+                    row["hot_sec"] = salvage[name]["hot_sec"]
+                elif name in qpos:
                     ctx = canary_segment_context(
                         readings, qpos[name], canary_base
                     )
@@ -894,6 +990,9 @@ def _fit_line(out: dict) -> dict:
     # the sweep map is sidecar-only (sweep_n/sweep_total/bench_coverage
     # summarize it on the line)
     compact.pop("sweep_queries", None)
+    # per-query salvage evidence is sidecar-only (salvage_n + the
+    # per-regression "salvaged" annotation summarize it on the line)
+    compact.pop("salvage", None)
     # interleaved canary readings are sidecar-only too (hot_readings
     # summarizes them on the line)
     if "readings" in compact.get("canary", {}):
@@ -964,9 +1063,37 @@ def _detail_candidates(n: int, root: str | None = None) -> list[str]:
     extra = sorted(
         p
         for p in glob.glob(base + "_*.json")
-        if p not in known and p != legacy
+        if p not in known
+        and p != legacy
+        # archived attempts (".attemptN.json", VERDICT r15 next #3)
+        # are rerun evidence, never baseline candidates — a hot
+        # attempt A must not anchor a round the clean attempt C
+        # already anchors
+        and ".attempt" not in os.path.basename(p)
     )
     return known + extra + [legacy]
+
+
+def _run_sf() -> float | None:
+    """The scale factor THIS run targets, parsed from the env the
+    same way main() stamps it into the sidecar."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
+def _sf_mismatch(data: dict, run_sf: float | None) -> bool:
+    """ADVICE r15 #1: a canary-clean sidecar written at a DIFFERENT
+    scale factor (the documented sf0.01 smoke recipe) must never
+    anchor this run's baselines — at sf0.1 it would read ~10× low and
+    flag every query. Missing/None sf on either side degrades to
+    'no opinion' (legacy sidecars predate the field)."""
+    sf = data.get("sf")
+    if run_sf is None or not isinstance(sf, (int, float)):
+        return False
+    return abs(float(sf) - run_sf) > 1e-9
 
 
 def _detail_clean(data: dict) -> bool:
@@ -992,6 +1119,7 @@ def _load_prev_detail(root: str | None = None) -> tuple[dict, str]:
     n = _newest_round()
     if n < 0:
         return {}, ""
+    run_sf = _run_sf()
     first: tuple[dict, str] | None = None
     for path in _detail_candidates(n - 1, root):
         try:
@@ -1001,6 +1129,8 @@ def _load_prev_detail(root: str | None = None) -> tuple[dict, str]:
             continue
         if not isinstance(data, dict):
             continue  # hand-mangled sidecar (a bare list/str) degrades
+        if _sf_mismatch(data, run_sf):
+            continue  # a smoke-scale sidecar is not a baseline
         if first is None:
             first = (data, path)
         if _detail_clean(data):
@@ -1023,6 +1153,7 @@ def _load_prev_rulings(root: str | None = None) -> dict[str, str]:
     merged: dict[str, str] = {}
     if n < 0:
         return merged
+    run_sf = _run_sf()
     for path in _detail_candidates(n - 1, root):
         try:
             with open(path) as f:
@@ -1031,6 +1162,8 @@ def _load_prev_rulings(root: str | None = None) -> dict[str, str]:
             continue
         if not isinstance(data, dict):
             continue
+        if _sf_mismatch(data, run_sf):
+            continue  # smoke-scale rulings don't feed escalations
         regs = data.get("regressions")
         if not isinstance(regs, dict):
             continue
@@ -1053,9 +1186,33 @@ def _detail_path() -> str:
     )
 
 
+def _archive_attempt(path: str) -> str | None:
+    """VERDICT r15 next #3: the sidecar is keyed round+writer, so a
+    rerun used to DESTROY the previous attempt's full per-query map
+    (r15 lost attempt A's evidence to attempt C's overwrite; only the
+    printed line survived). Before overwriting, move the existing
+    file to the first free ``<stem>.attemptN.json`` — excluded from
+    _detail_candidates' baseline glob, so a hot attempt can never
+    become an anchor. Returns the archive path, or None."""
+    if not os.path.exists(path):
+        return None
+    stem = path[: -len(".json")]
+    for k in range(1, 100):
+        aside = f"{stem}.attempt{k}.json"
+        if not os.path.exists(aside):
+            try:
+                os.replace(path, aside)
+            except OSError:
+                return None
+            return aside
+    return None
+
+
 def _write_detail(out: dict) -> None:
     try:
-        with open(_detail_path(), "w") as f:
+        path = _detail_path()
+        _archive_attempt(path)
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
     except OSError:
@@ -1073,6 +1230,7 @@ def _load_baseline() -> tuple[dict[str, float], str, set[str]]:
     import re
 
     root = os.path.dirname(__file__)
+    run_sf = _run_sf()
     merged: dict[str, float] = {}
     sweep_sourced: set[str] = set()
     src = []
@@ -1097,6 +1255,12 @@ def _load_baseline() -> tuple[dict[str, float], str, set[str]]:
             with open(f) as fh:
                 data = json.load(fh)
             parsed = data.get("parsed", data)
+            # ADVICE r15 #1 extended: driver wrappers are sf-stamped
+            # too — an sf0.01 smoke run must not read the driver's
+            # sf0.1 lines as baselines (they flagged every smoke
+            # query as a fake regression)
+            if isinstance(parsed, dict) and _sf_mismatch(parsed, run_sf):
+                continue
             qs = dict(parsed.get("queries", {})) if parsed else {}
             if not qs:
                 # truncated line (r05): salvage "name": sec pairs

@@ -137,6 +137,22 @@ def rotation_violation(
             "stalest cohort split while fresher queries hold window "
             f"slots: {fresher}"
         )
+    # ADVICE r15 #2: a no-history window member that is NOT declared
+    # in the new/re-earn tiers is a violation too — a registration
+    # forgotten from _NEW_THIS_ROUND must not silently displace a
+    # cohort member; the declared tiers are the single source of
+    # slot exemptions.
+    undeclared = sorted(
+        n
+        for n in window_list
+        if n not in exempt and n not in last and n not in cohort_set
+    )
+    if undeclared:
+        return (
+            "stalest cohort split while undeclared no-history queries "
+            f"hold window slots (declare them in _NEW_THIS_ROUND / "
+            f"_REEARN_THIS_ROUND): {undeclared}"
+        )
     included = [n for n in cohort if n in window]
     if not included or included != cohort[: len(included)]:
         return (
@@ -175,10 +191,18 @@ def test_rotation_split_semantics():
         ["flag", "new1", "b", "c"], last, cohort, exempt
     )
     assert err and "prefix" in err
-    # an undeclared new query (not in exempt, no green history) is
-    # fine — only GREEN-historied non-cohort members are violations
-    assert rotation_violation(
+    # an undeclared new query (not in exempt, no green history)
+    # displacing a cohort member is a violation too (ADVICE r15 #2):
+    # a registration forgotten from _NEW_THIS_ROUND must not silently
+    # burn a rotation slot
+    err = rotation_violation(
         ["flag", "brand_new", "a", "b"], last, cohort, exempt
+    )
+    assert err and "undeclared" in err
+    # ...but the same query DECLARED (in exempt) passes
+    assert rotation_violation(
+        ["flag", "brand_new", "a", "b"], last, cohort,
+        exempt | {"brand_new"},
     ) is None
 
 

@@ -491,5 +491,6 @@ from . import queries_round11  # noqa: E402,F401
 from . import queries_round13  # noqa: E402,F401
 from . import queries_round14  # noqa: E402,F401
 from . import queries_round15  # noqa: E402,F401
+from . import queries_round16  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,12 +1,13 @@
-"""Round-15 staging area: the r16 ``corpus_pipeline_report``,
+"""Round-16 queries: ``corpus_pipeline_report``,
 ``semdedup_survivors_incremental_budgeted``, and
-``ann_ivfpq_recall_curve_served_filtered`` drafts.
+``ann_ivfpq_recall_curve_served_filtered``.
 
-NOT imported by ``plans.queries`` — nothing here registers (the r15
-driver window is exactly full: flagship + 3 new registrations + the
-46-query r10 cohort). The staging discipline repeats: oracles drafted
-+ sf0.001 parity pinned now, so the r16 registrations are mechanical
-(VERDICT r14 next #5/#7).
+Staged (unimported) during round 15 with oracles + sf0.001 parity
+pinned; round 16 moved the decoration (registration block at the
+bottom) per the staging discipline — VERDICT r15 next #1. The only
+body edits between staging and registration were made WHILE staged:
+the funnel threshold 0.2→0.4 (degenerate-tail fix) and the HUGEINT
+comparator pin, both recorded in the r15 VERDICT.
 
 - ``corpus_pipeline_report``: the END-TO-END corpus preparation
   pipeline as ONE oracled row set — quality gates → exact dedup →
@@ -550,3 +551,25 @@ def _ann_ivfpq_recall_curve_served_filtered_draft(spark, t):
             "recall"
         ),
     ).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# Round-16 registrations (the mechanical step: decoration only — the
+# bodies and oracles above are the r15 staging, byte-identical; the
+# threshold 0.2→0.4 funnel fix and the HUGEINT comparator pin landed
+# while still staged, per the staging discipline).
+# ---------------------------------------------------------------------------
+from .registry import query  # noqa: E402
+
+query(
+    "corpus_pipeline_report",
+    _corpus_pipeline_report_oracle_sql(),
+)(_corpus_pipeline_report_draft)
+query(
+    "semdedup_survivors_incremental_budgeted",
+    _semdedup_survivors_incremental_budgeted_oracle_sql(),
+)(_semdedup_survivors_incremental_budgeted_draft)
+query(
+    "ann_ivfpq_recall_curve_served_filtered",
+    _ivfpq_recall_curve_served_filtered_oracle_sql(),
+)(_ann_ivfpq_recall_curve_served_filtered_draft)

@@ -140,10 +140,6 @@ def _events_sessionize_stream_served_draft(spark, t):
             env["PYTHONPATH"] = (
                 pbshim_dir() + (os.pathsep + cur if cur else "")
             )
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-
     ev = t["events"].select("event_id", "user_id", "event_type", "value", "ts")
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_sess_stream_{os.getpid()}"
@@ -168,8 +164,21 @@ def _events_sessionize_stream_served_draft(spark, t):
     staged = ev.withColumn("chunk", chunk_col)
 
     def _stage_one(df, scratch: str, name: str) -> None:
-        part_dir = os.path.join(root, scratch)
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        # (b) continued — MICROS timestamps, scoped to THIS write
+        # (ADVICE r15 #3: a session-level set would bleed into every
+        # later query in the same driver/bench session): capture the
+        # prior value, set, write, restore in a finally.
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prior = spark.conf.get(ts_conf, None)
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            part_dir = os.path.join(root, scratch)
+            df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        finally:
+            if prior is None:
+                spark.conf.unset(ts_conf)
+            else:
+                spark.conf.set(ts_conf, prior)
         src = next(
             f for f in sorted(os.listdir(part_dir)) if f.endswith(".parquet")
         )
