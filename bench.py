@@ -497,6 +497,19 @@ def _load_sat_baseline(
 # ISOLATED against this row — never isolated-vs-warmed. Names absent
 # here have no pinned row yet; their flags say so explicitly.
 ISOLATED_BASELINE: dict[str, float] = {
+    # r16 pins (VERDICT r15 wrong #1/#3, next #2): the six outstanding
+    # adjudications from the contaminated r15 driver session — all
+    # sit at 1.5-2.3× their warmed clean-anchor values, i.e. squarely
+    # inside the documented isolated-vs-warmed tiered-compilation
+    # band, confirming the driver flags were VM noise (rulings in
+    # PERF_NOTES). text_kn_trigram_prob was the ESCALATED one — the
+    # escalation clears with this pin.
+    "text_kn_trigram_prob": 2.225,
+    "dedup_threshold_sweep": 3.741,
+    "docs_langid_agreement": 1.294,
+    "orders_value_gini": 1.412,
+    "supplier_nation_trade_matrix": 1.131,
+    "orders_cohort_ltv": 0.987,
     # r15 pins (VERDICT r14 wrong #1/#3, next #2/#3): the IVF-PQ topk
     # clean-anchor drift adjudicated (isolated 11.135 vs the r11 pin
     # 10.294 = +8%, NOT the ≥1.3× the +34% anchor move suggested —
@@ -530,7 +543,12 @@ ISOLATED_BASELINE: dict[str, float] = {
     "events_mad_outliers": 1.178,
     "docs_novelty_hapax": 1.387,
     # r12 lenient-flag adjudication
-    "tpch_q9_product_profit": 1.027,
+    # tpch_q9_product_profit refreshed r16 (VERDICT r15 wrong #3):
+    # the r13 pin predated two rounds of diffs and the warmed anchor
+    # had moved 0.78→1.12 (1.43×); isolated-vs-isolated reads
+    # 1.027→1.105 (+8%) — the plan did not regress, the anchor move
+    # was session/VM state plus noise-floor drift. Supersedes 1.027.
+    "tpch_q9_product_profit": 1.105,
     "orders_monthly_forecast_eval": 1.095,
     # r11 adjudication table
     "dedup_by_key": 1.421,

@@ -66,6 +66,15 @@ JUSTIFIED_WARNS = {
     "semdedup_survivors_incremental": (
         "frozen k-row centroid model (two kmeans_assign broadcasts)"
     ),
+    # the budgeted twin (registered r16) has the identical assign
+    # shape with k derived from the corpus count (⌈n/cell⌉): the
+    # centroid table is still the MODEL, broadcast per assign exactly
+    # like every IVF/kmeans row above — the n×k distance scan is the
+    # inherent cost of coarse assignment, not an accidental cross
+    # product (the ×10 probe reads 1.62×, corpus-linear)
+    "semdedup_survivors_incremental_budgeted": (
+        "derived-k centroid model (kmeans_assign broadcasts)"
+    ),
     # self-join shapes whose compared side is cell/parameter-grain
     "ngram_jaccard_pairs": "capped shingle-bucket pair join",
     "dedup_threshold_sweep": "3-row threshold parameter dim",
