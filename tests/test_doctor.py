@@ -57,24 +57,12 @@ JUSTIFIED_WARNS = {
     # is demoted from the headline bench (VERDICT r6 #2) — the
     # daygrain rewrite is the shape that ships
     "events_linear_attribution": "oracle/probe twin of the daygrain rewrite",
-    # frozen-model assignment: kmeans_assign broadcasts the k/nlist-row
-    # centroid table (fixed size by construction — the model, not data);
-    # the established IVF-PQ queries hide the same join behind their
-    # persisted index, these consume the assignment directly
-    "ivfpq_index_drift": "frozen coarse-centroid table (nlist rows)",
-    "ivfpq_rebuild_decision": "frozen coarse-centroid table (nlist rows)",
-    "semdedup_survivors_incremental": (
-        "frozen k-row centroid model (two kmeans_assign broadcasts)"
-    ),
-    # the budgeted twin (registered r16) has the identical assign
-    # shape with k derived from the corpus count (⌈n/cell⌉): the
-    # centroid table is still the MODEL, broadcast per assign exactly
-    # like every IVF/kmeans row above — the n×k distance scan is the
-    # inherent cost of coarse assignment, not an accidental cross
-    # product (the ×10 probe reads 1.62×, corpus-linear)
-    "semdedup_survivors_incremental_budgeted": (
-        "derived-k centroid model (kmeans_assign broadcasts)"
-    ),
+    # (r16 optimization round: the four frozen-model kmeans_assign
+    # broadcast entries — ivfpq_index_drift, ivfpq_rebuild_decision,
+    # semdedup_survivors_incremental and its budgeted twin — left this
+    # list because assignment against a collected centroid model is
+    # now a MAP-ONLY projection (operators/clustering.py, guide §2.4):
+    # no broadcast join, no nested-loop candidate, nothing to warn on)
     # self-join shapes whose compared side is cell/parameter-grain
     "ngram_jaccard_pairs": "capped shingle-bucket pair join",
     "dedup_threshold_sweep": "3-row threshold parameter dim",

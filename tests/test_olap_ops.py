@@ -296,6 +296,51 @@ def test_kmeans_reproducible_across_layouts(spark, sf_dir):
     assert set(a) == {r.vec_id for r in emb.select("vec_id").collect()}
 
 
+def test_kmeans_assign_matches_window_reference(spark, sf_dir):
+    """r16 internals change (guide §2.4): ``kmeans_assign`` became a
+    map-only projection over the collected centroid model instead of
+    crossJoin(broadcast) + a row_number window. The decision — same
+    sequential squared-L2 fold, (dist2, cid) tie-break — must equal
+    the historical window shape row-for-row, and the new plan must
+    carry no Exchange."""
+    from pyspark.sql import Window
+
+    from udacitycapstonedataengineer_spark.operators.clustering import (
+        _DIST2,
+        _as_double_vec,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from udacitycapstonedataengineer_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors, centroids = kmeans_fit(emb, k=8, iters=2, dim=64)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(vectors, centroids).collect()
+    }
+    # the pre-r16 reference shape, inlined
+    joined = _as_double_vec(emb, "embedding").crossJoin(
+        F.broadcast(centroids)
+    ).withColumn("dist2", F.expr(_DIST2.format(v="v", c="c")))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in joined.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("vec_id", F.col("cid").alias("cluster"))
+        .collect()
+    }
+    assert got == want
+    plan = (
+        kmeans_assign(vectors, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
 def test_snapshot_diff_classifies_and_is_nullsafe(spark):
     """added/removed/changed classification, NULL→value and value→NULL
     both count as changes, unchanged rows are dropped."""

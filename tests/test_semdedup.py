@@ -143,9 +143,19 @@ def test_semdedup_incremental_survivors_standing_tables(
 
     # build + PERSIST the standing tables (the corpus-refresh job)
     vectors, centroids = kmeans_fit(corpus, k=8, iters=2, dim=64)
-    cm = _cell_members(
-        corpus, kmeans_assign(vectors, centroids), "vec_a", "e_a", "n_a"
-    )
+    assign_check = kmeans_assign(vectors, centroids)  # exercised below
+    cm = _cell_members(corpus, centroids.collect(), "vec_a", "e_a", "n_a")
+    # the map-side member table must agree with the kmeans_assign
+    # surface row-for-row (the r16 internals change: assignment became
+    # a collected-model projection instead of a join-back)
+    got_assign = {
+        (r["vec_a"], r["cluster"])
+        for r in cm.select("vec_a", "cluster").collect()
+    }
+    want_assign = {
+        (r["vec_id"], r["cluster"]) for r in assign_check.collect()
+    }
+    assert got_assign == want_assign
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     cpairs = (
         cm.join(

@@ -1046,9 +1046,7 @@ def test_stream_semdedup_survivor_pipeline_sequential(spark, sf_dir, tmp_path):
 
     # standing tables (the corpus-refresh job), persisted as parquet
     vectors, centroids = kmeans_fit(corpus, k=8, iters=2, dim=64)
-    cm = _cell_members(
-        corpus, kmeans_assign(vectors, centroids), "vec_a", "e_a", "n_a"
-    )
+    cm = _cell_members(corpus, centroids.collect(), "vec_a", "e_a", "n_a")
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     cpairs = (
         cm.join(

@@ -16,19 +16,53 @@ disagree. This implementation removes every order-dependence:
   floor has identical semantics in every engine while round's
   half-boundary rule differs.
 
-Scale shape per iteration: one broadcast of K·dim centroid literals,
-one narrow crossJoin (K small), one shuffle for the argmin window on
-vec_id, one shuffle for the centroid re-aggregation. No driver-side
+Scale shape per iteration: the K×dim centroid model is collected to
+the driver (model-sized at any corpus scale) and assignment is a
+MAP-ONLY codegen'd projection over K·dim centroid literals — zero
+shuffle, zero join-back; the only exchange per iteration is the
+K-group partial aggregation for the centroid update. No driver-side
 data movement beyond the K×dim centroid table itself — the same
-collect-and-broadcast loop any distributed Lloyd's performs.
+collect-and-broadcast loop any distributed Lloyd's performs, minus
+the row_number-window Exchange the pre-r16 shape paid (guide §2.4).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1 << 20  # fixed-point quantum for centroid accumulation
+
+
+def quantize_vec_py(vec) -> list[float]:
+    """Driver-side twin of ``_quantize_vec``: ⌊x·2²⁰⌋/2²⁰ per
+    coordinate, bit-identical to the SQL expression (x·2²⁰ is a
+    power-of-two scaling — exact; FLOOR and the division back are
+    exact in IEEE doubles at these magnitudes). Exists so model-sized
+    seed tables can be quantized without a Spark action — every
+    collect of even an 8-row local relation costs ~0.5 s of pure
+    plan/py4j overhead (guide §1: measured, PERF_NOTES r16)."""
+    import math
+
+    return [float(math.floor(float(x) * SCALE)) / SCALE for x in vec]
+
+
+def model_rows(model) -> list:
+    """Collected rows of a MODEL-sized table (centroids/codebooks).
+
+    Accepts a list (already collected), a DataFrame carrying the
+    ``_graft_rows`` attribute the trainers attach at construction
+    time, or any other DataFrame (falls back to ``collect()``). The
+    attribute path exists because each ``collect()`` is a full
+    driver action (~0.5 s of plan/py4j overhead even for 8 local
+    rows) and the composed index queries consume the same model
+    from 3-5 places per invocation."""
+    if isinstance(model, list):
+        return model
+    rows = getattr(model, "_graft_rows", None)
+    if rows is not None:
+        return rows
+    return model.collect()
 
 _DIST2 = (
     "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
@@ -48,17 +82,47 @@ def _quantize_vec(col: str) -> str:
     return f"transform({col}, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE})"
 
 
-def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def centroid_assign_expr(centroid_rows: list, vec_col: str = "v"):
+    """Stateless nearest-centroid expression from collected centroid
+    rows [(cid, c)]: ``array_min`` over (dist2, cid) structs — the
+    same squared-L2 fold and the same (dist2, cid) tie-break as the
+    historical crossJoin + row_number window, as one whole-stage-
+    codegen projection. Centroid count is k (the MODEL, tiny by
+    definition), so the literal expression stays small.
+
+    This is the assignment primitive everywhere now (guide §2.4):
+    assignment against a k-row centroid table is embarrassingly
+    parallel, so the right plan is map-only — the window variant
+    shuffled k·N rows per assignment and forced a corpus-grain
+    join-back to recover the vector. Originally built for the
+    streaming twin (``streaming/vectors.py``, which re-exports it);
+    ``test_stream_semdedup_matches_batch_incremental`` pinned it
+    decision-identical to the window path before the batch side
+    switched over."""
+    if not centroid_rows:
+        raise ValueError("centroid_assign_expr: empty centroid table")
+    entries = []
+    for r in sorted(centroid_rows, key=lambda r: r["cid"]):
+        c = "array(" + ",".join(f"{float(x)!r}D" for x in r["c"]) + ")"
+        d2 = _DIST2.format(v=vec_col, c=c)
+        entries.append(f"struct({d2} AS dist2, {int(r['cid'])}L AS cid)")
+    return F.expr(f"array_min(array({','.join(entries)}))").getField("cid")
+
+
+def kmeans_assign(vectors: DataFrame, centroids) -> DataFrame:
     """(vec_id, cluster): nearest centroid by squared-L2 with a
-    deterministic (dist, cid) tie-break."""
-    joined = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist2", F.expr(_DIST2.format(v="v", c="c"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"))
+    deterministic (dist, cid) tie-break.
+
+    Map-only: the centroid table is the MODEL (k×dim — driver-sized at
+    any corpus scale), so it is collected once and assignment becomes
+    a codegen'd per-row projection with zero shuffle (guide §2.4; the
+    previous shape was crossJoin(broadcast) + a row_number window
+    whose Exchange carried k·N rows). ``centroids`` may be a DataFrame
+    or pre-collected rows. Decision-identical: same sequential _DIST2
+    fold per centroid, array_min struct ordering IS the (dist2, cid)
+    tie-break."""
+    return vectors.select(
+        "vec_id", centroid_assign_expr(model_rows(centroids)).alias("cluster")
     )
 
 
@@ -96,35 +160,64 @@ def kmeans_fit(
         )
     if dim is None:
         dim = len(seed[0]["v"])
-    centroids = vectors.sparkSession.createDataFrame(
-        [(r["vec_id"], r["v"]) for r in seed],
-        "cid bigint, c array<double>",
-    ).select("cid", F.expr(_quantize_vec("c")).alias("c"))
+    spark = vectors.sparkSession
+    # driver-side seed quantization (bit-identical to _quantize_vec;
+    # see quantize_vec_py) — the model starts life as plain rows, so
+    # no Spark action is spent materializing an 8-row local relation
+    cent_rows = [
+        {"cid": int(r["vec_id"]), "c": quantize_vec_py(r["v"])}
+        for r in seed
+    ]
     for _ in range(iters - 1):
-        assigned = kmeans_assign(vectors, centroids)
-        # fixed-point per-dimension sums: exact BIGINTs, order-free
+        # map-only assignment against the collected model, cluster
+        # attached as a column — no window Exchange, no corpus-grain
+        # join-back (guide §2.4). The fixed-point per-dimension sums
+        # aggregate in NARROW shape (posexplode to (cluster, d, q)):
+        # a dim-wide column list codegens a far larger class per
+        # invocation, and at the model grain the extra exploded rows
+        # are free (measured 2× per-action win — PERF_NOTES r16).
+        # Exact BIGINT sums, order-free, same values as the wide agg.
         sums = (
-            vectors.join(assigned, "vec_id")
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.floor(F.element_at("v", i) * SCALE).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
+            vectors.select(
+                centroid_assign_expr(cent_rows).alias("cluster"),
+                F.expr(
+                    f"transform(v, x -> CAST(FLOOR(x * {SCALE}) AS BIGINT))"
+                ).alias("qv"),
             )
+            .select("cluster", F.posexplode("qv").alias("d", "q"))
+            .groupBy("cluster", "d")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+            .collect()
         )
-        centroids = sums.select(
-            F.col("cluster").alias("cid"),
-            F.array(
-                *[
-                    (F.col(f"s{i}").cast("double") / F.col("n")) / SCALE
-                    for i in range(1, dim + 1)
-                ]
-            ).alias("c"),
-        )
+        per: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per.setdefault(int(r["cluster"]), {})[int(r["d"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        # centroid update finished driver-side over the k×dim sums —
+        # same arithmetic as the former SQL select, op for op:
+        # (CAST(s AS DOUBLE) / n) / SCALE, non-truncating; emptied
+        # clusters drop (kmeans_fit's documented semantics)
+        cent_rows = [
+            {
+                "cid": cid,
+                "c": [
+                    (float(dims[d][0]) / float(dims[d][1])) / SCALE
+                    for d in range(dim)
+                ],
+            }
+            for cid, dims in sorted(per.items())
+        ]
+    # the final model is plain rows; the returned DataFrame is a cheap
+    # local relation carrying them (model_rows readers skip the
+    # re-collect — every downstream consumer would otherwise pay a
+    # full driver action to fetch k×dim values it already has)
+    centroids = spark.createDataFrame(
+        [(int(r["cid"]), list(r["c"])) for r in cent_rows],
+        "cid bigint, c array<double>",
+    )
+    centroids._graft_rows = cent_rows
     return vectors, centroids
 
 

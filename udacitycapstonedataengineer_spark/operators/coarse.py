@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import SCALE, _quantize_vec
+from .clustering import SCALE
 
 
 def coarse_argmin(cent_rows, v_col: str = "v") -> Column:
@@ -103,6 +103,78 @@ def centroid_array(cent_rows) -> Column:
     )
 
 
+def coarse_fit_from_vectors(
+    vectors: DataFrame, nlist: int, iters: int, who: str
+) -> list:
+    """The shared coarse-quantizer trainer behind ``ivfpq_coarse_fit``
+    and ``ivfpq_build`` (the fold the r12 note anticipated): dense
+    0..nlist-1 seed cids, map-only assignment per round
+    (``coarse_argmin`` over the collected model), fixed-point sums,
+    truncating centroid update, empty-cell retention. Returns the
+    COLLECTED centroid rows [(cid, c)] — model-sized (nlist×dim), so
+    callers build literals/DataFrames from them without re-running
+    the training subtree per consumer. ``vectors`` = (vec_id,
+    v array<double>), expected persisted by the caller."""
+    from .clustering import quantize_vec_py
+
+    seed = vectors.orderBy("vec_id").limit(nlist).collect()
+    if len(seed) < nlist:
+        raise ValueError(f"{who}: nlist={nlist} > {len(seed)} vectors")
+    dim = len(seed[0]["v"])
+    # driver-side seed quantization (bit-identical — quantize_vec_py):
+    # the model starts as plain rows, no local-relation action spent
+    cent_rows = [
+        {"cid": i, "c": quantize_vec_py(r["v"])} for i, r in enumerate(seed)
+    ]
+    for _ in range(iters - 1):
+        # narrow fixed-point sums (posexplode to (cluster, d, q)): the
+        # dim-wide column list codegens a far larger class — measured
+        # 2× per-action cost (PERF_NOTES r16); values are identical
+        # exact BIGINTs either way
+        # two projections: the generator (posexplode) cannot share a
+        # select with the lambda-built argmin struct (alias resolution
+        # inside Generate drops the struct field names)
+        sums = (
+            vectors.select(
+                coarse_argmin(cent_rows)["cid"].alias("cluster"),
+                F.expr(
+                    f"transform(v, x -> CAST(FLOOR(x * {SCALE}) AS BIGINT))"
+                ).alias("qv"),
+            )
+            .select("cluster", F.posexplode("qv").alias("d", "q"))
+            .groupBy("cluster", "d")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+            .collect()
+        )
+        per: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per.setdefault(int(r["cluster"]), {})[int(r["d"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        # truncating update finished driver-side, op for op the former
+        # SQL select: (s / n) double division, CAST AS BIGINT (trunc
+        # toward zero — Python int() matches), back to double / SCALE
+        new_rows = [
+            {
+                "cid": cid,
+                "c": [
+                    float(int(float(dims[d][0]) / float(dims[d][1]))) / SCALE
+                    for d in range(dim)
+                ],
+            }
+            for cid, dims in sorted(per.items())
+        ]
+        # empty clusters keep their previous centroid (driver-side
+        # merge of two model-sized row lists — the left_anti union's
+        # exact semantics without another distributed plan)
+        new_cids = {int(r["cid"]) for r in new_rows}
+        cent_rows = new_rows + [
+            r for r in cent_rows if int(r["cid"]) not in new_cids
+        ]
+    return sorted(cent_rows, key=lambda r: int(r["cid"]))
+
+
 def ivfpq_coarse_fit(
     emb: DataFrame,
     nlist: int = 8,
@@ -126,43 +198,15 @@ def ivfpq_coarse_fit(
             f"transform({vec_col}, x -> cast(x as double))"
         ).alias("v"),
     ).persist()
-    seed = vectors.orderBy("vec_id").limit(nlist).collect()
-    if len(seed) < nlist:
-        raise ValueError(
-            f"ivfpq_coarse_fit: nlist={nlist} > {len(seed)} vectors"
-        )
-    centroids = vectors.sparkSession.createDataFrame(
-        [(i, r["v"]) for i, r in enumerate(seed)],
+    cent_rows = coarse_fit_from_vectors(
+        vectors, nlist, iters, "ivfpq_coarse_fit"
+    )
+    # the fitted model is fully collected — the corpus-scan cache has
+    # no further consumers, and the returned table is a local relation
+    vectors.unpersist()
+    out = emb.sparkSession.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["c"]]) for r in cent_rows],
         "cid bigint, c array<double>",
-    ).select("cid", F.expr(_quantize_vec("c")).alias("c"))
-    dim = len(seed[0]["v"])
-    for _ in range(iters - 1):
-        cent_rows = centroids.collect()
-        sums = (
-            vectors.select(
-                "v", coarse_argmin(cent_rows)["cid"].alias("cluster")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.floor(F.element_at("v", i) * SCALE).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
-            )
-        )
-        new = sums.select(
-            F.col("cluster").alias("cid"),
-            F.array(
-                *[
-                    (F.col(f"s{i}") / F.col("n")).cast("long").cast("double")
-                    / SCALE
-                    for i in range(1, dim + 1)
-                ]
-            ).alias("c"),
-        )
-        kept = centroids.join(new.select("cid"), "cid", "left_anti")
-        centroids = new.unionByName(kept)
-    return centroids.persist()
+    )
+    out._graft_rows = cent_rows
+    return out

@@ -30,8 +30,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import kmeans_assign
-from .pq import pq_encode, pq_train
+from .coarse import centroid_array, coarse_fit_from_vectors
+from .clustering import centroid_assign_expr, model_rows
+from .pq import pq_codes_expr, pq_train
 
 
 def ivfpq_build(
@@ -44,9 +45,25 @@ def ivfpq_build(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (coarse_centroids, codebooks, index):
     coarse_centroids = (cid, c array<double>); codebooks = PQ books
-    over residuals (sub, cid, c); index = (vec_id, cell, codes)."""
+    over residuals (sub, cid, c); index = (vec_id, cell, codes).
+
+    Every model-vs-data boundary is exploited for shape (guide §2.4):
+    the coarse quantizer trains with map-only assignment rounds
+    (``coarse_fit_from_vectors`` — the fold the r12 note anticipated),
+    cells + residuals come out of ONE codegen'd projection over the
+    persisted vectors (literal centroid lookup — no window Exchange,
+    no corpus-grain join-back, no broadcast join), and the index is a
+    map-only PQ encode of the persisted residuals (``pq_codes_expr``)
+    — the old shape's encode window + vec_id re-group + final join
+    are gone. Returned centroids/codebooks are local relations backed
+    by the collected model, so downstream probes/appends/oracles pay
+    no training re-runs per action. Bit-identical outputs: same
+    sequential distance folds, same (dist2, cid) tie-breaks, same
+    fixed-point truncating updates — pinned by the oracle parity
+    suite and test_round11's bit-identity gates."""
     from .clustering import kmeans  # noqa: F401  (doc pointer)
 
+    spark = emb.sparkSession
     vectors = emb.select(
         "vec_id",
         F.expr(
@@ -54,70 +71,38 @@ def ivfpq_build(
         ).alias("v"),
     ).persist()
     # coarse quantizer: seeds + iterations exactly as clustering.kmeans
-    seed = vectors.orderBy("vec_id").limit(nlist).collect()
-    if len(seed) < nlist:
-        raise ValueError(f"ivfpq_build: nlist={nlist} > {len(seed)} vectors")
-    from .clustering import SCALE, _quantize_vec
-
-    centroids = vectors.sparkSession.createDataFrame(
-        [(i, r["v"]) for i, r in enumerate(seed)],
+    cent_rows = coarse_fit_from_vectors(vectors, nlist, iters, "ivfpq_build")
+    centroids = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["c"]]) for r in cent_rows],
         "cid bigint, c array<double>",
-    ).select("cid", F.expr(_quantize_vec("c")).alias("c"))
-    dim = len(seed[0]["v"])
-    for _ in range(iters - 1):
-        assigned = kmeans_assign(vectors, centroids)
-        sums = (
-            vectors.join(assigned, "vec_id")
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.floor(F.element_at("v", i) * SCALE).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
-            )
-        )
-        new = sums.select(
-            F.col("cluster").alias("cid"),
-            F.array(
-                *[
-                    (F.col(f"s{i}") / F.col("n")).cast("long").cast("double")
-                    / SCALE
-                    for i in range(1, dim + 1)
-                ]
-            ).alias("c"),
-        )
-        kept = centroids.join(new.select("cid"), "cid", "left_anti")
-        centroids = new.unionByName(kept)
-    centroids = centroids.persist()
-    cells = kmeans_assign(vectors, centroids).withColumnRenamed(
-        "cluster", "cell"
     )
+    centroids._graft_rows = cent_rows
+    carr = centroid_array(cent_rows)
+    # element_at is 1-based; carr is injected as a named column so the
+    # literal array appears once in the plan, not once per element
     residuals = (
-        vectors.join(cells, "vec_id")
-        .join(
-            F.broadcast(centroids.select(F.col("cid").alias("cell"), "c")),
-            "cell",
-        )
+        vectors.withColumn("cell", centroid_assign_expr(cent_rows))
+        .withColumn("__carr", carr)
         .select(
             "vec_id",
             "cell",
-            F.expr("zip_with(v, c, (x, y) -> x - y)").alias("embedding"),
+            F.expr(
+                "zip_with(v, element_at(__carr, cast(cell as int) + 1),"
+                " (x, y) -> x - y)"
+            ).alias("embedding"),
         )
         .persist()
     )
-    codebooks = pq_train(residuals, m=m, k=k, iters=iters).persist()
+    codebooks = pq_train(residuals, m=m, k=k, iters=iters)
+    book_rows = model_rows(codebooks)  # attached at construction
     # persisted: ivfpq_topk filters the index once PER PROBED CELL —
-    # without this, every probe re-runs the whole encode (subvector
-    # explode + argmin window); in production the index is a written
-    # table, so the persist models the real read-back cost
-    index = (
-        residuals.select("vec_id", "cell")
-        .join(pq_encode(residuals, codebooks, m=m), "vec_id")
-        .persist()
-    )
+    # in production the index is a written table, so the persist
+    # models the real read-back cost
+    index = residuals.select(
+        "vec_id",
+        "cell",
+        pq_codes_expr(book_rows, m, "embedding").alias("codes"),
+    ).persist()
     return centroids, codebooks, index
 
 
@@ -139,30 +124,34 @@ def ivfpq_encode_batch(
 
     ``test_ivfpq_incremental_append_equals_rebuild`` pins append ≡
     re-encode-everything-under-the-frozen-model, probe results
-    included."""
-    vectors = batch_emb.select(
-        "vec_id",
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    )
-    cells = kmeans_assign(vectors, coarse_centroids).withColumnRenamed(
-        "cluster", "cell"
-    )
-    residuals = (
-        vectors.join(cells, "vec_id")
-        .join(
-            F.broadcast(
-                coarse_centroids.select(F.col("cid").alias("cell"), "c")
+    included.
+
+    The whole encode is ONE stateless codegen'd projection (the
+    ``stream_ivfpq_encode`` shape, now shared with the batch path):
+    literal-argmin cell, literal-lookup residual, literal-argmin
+    codes — zero shuffle, zero join (guide §2.4). Model args may be
+    DataFrames or pre-collected rows."""
+    cent_rows = model_rows(coarse_centroids)
+    book_rows = model_rows(codebooks)
+    return (
+        batch_emb.select(
+            "vec_id",
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(
+                "v"
             ),
-            "cell",
+        )
+        .withColumn("cell", centroid_assign_expr(cent_rows))
+        .withColumn("__carr", centroid_array(cent_rows))
+        .withColumn(
+            "rv",
+            F.expr(
+                "zip_with(v, element_at(__carr, cast(cell as int) + 1),"
+                " (x, y) -> x - y)"
+            ),
         )
         .select(
-            "vec_id",
-            "cell",
-            F.expr("zip_with(v, c, (x, y) -> x - y)").alias("embedding"),
+            "vec_id", "cell", pq_codes_expr(book_rows, m, "rv").alias("codes")
         )
-    )
-    return residuals.select("vec_id", "cell").join(
-        pq_encode(residuals, codebooks, m=m), "vec_id"
     )
 
 
@@ -179,7 +168,8 @@ def ivfpq_topk(
     query's residual in THAT cell. Smallest adc_dist2 first, vec_id
     tie-break."""
     q = np.asarray(query, dtype=np.float64)
-    cents = {r["cid"]: np.asarray(r["c"]) for r in coarse_centroids.collect()}
+    cent_rows = model_rows(coarse_centroids)
+    cents = {r["cid"]: np.asarray(r["c"]) for r in cent_rows}
 
     def _d2(c):  # sequential fold — bit-identical to the SQL twin's
         acc = 0.0  # list_inner_product (see ivfpq_oracle_sql)
@@ -194,7 +184,7 @@ def ivfpq_topk(
     # become a CASE-selected literal array, so the scan over the
     # probed cells' code rows is a single filter + fold + TakeOrdered
     # instead of nprobe separate filter/sort/limit jobs.
-    cb = codebooks.collect()
+    cb = model_rows(codebooks)
     m = max(r["sub"] for r in cb) + 1
     k = max(r["cid"] for r in cb) + 1
     dsub = len(cb[0]["c"])

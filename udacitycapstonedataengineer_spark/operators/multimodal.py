@@ -10,7 +10,10 @@ Design rules at scale:
 - The payload NEVER crosses the driver: synthesis, decode, feature
   extraction, and frame sampling are all executor-side, Arrow-batched.
 - ``mapInPandas`` is a narrow transformation — partitioning of the
-  input is preserved; no shuffle is introduced by any operator here.
+  input is preserved; no operator here introduces a shuffle, except
+  that the heaviest codec stage (``png_roundtrip``) first RIGHT-SIZES
+  a too-narrow input via ``_spread_for_codec`` so a single-file media
+  scan cannot serialize the whole codec onto one core (guide §2.6).
 - Batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   (plus payload size); operators iterate batches, never materialize the
   whole partition.
@@ -32,6 +35,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FRAME_BYTES = 64  # fake-video frame size used by sample_frames
+
+
+def _spread_for_codec(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Right-size partitioning ahead of a per-row Python codec stage
+    (guide §2.6 idle capacity / §4 Python boundary): ``mapInPandas``
+    is narrow, so it inherits the scan's partitioning — and a media
+    table that arrives as one or two parquet splits serializes the
+    whole codec onto one core while the rest of the cluster idles.
+    When the input has fewer partitions than the configured
+    parallelism, hash-repartition on the deterministic row key so
+    every core decodes; when the scan is already wide (the 100 TB
+    case: thousands of input files), the layout is left alone — the
+    shuffle would be pure cost. Keyed (not round-robin) so the
+    row-to-partition mapping is deterministic under task retry
+    (guide §2.5)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -337,8 +359,10 @@ def png_roundtrip(media: DataFrame) -> DataFrame:
                 }
             )
 
-    imgs = media.filter(media.media_type == "image").select(
-        "doc_id", "payload", "meta.width", "meta.height"
+    imgs = _spread_for_codec(
+        media.filter(media.media_type == "image").select(
+            "doc_id", "payload", "meta.width", "meta.height"
+        )
     )
     return imgs.mapInPandas(batches, schema=PNG_ROUNDTRIP_SCHEMA)
 

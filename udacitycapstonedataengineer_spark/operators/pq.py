@@ -15,19 +15,22 @@ Everything follows the repo's determinism discipline
 (operators/clustering.py): no RNG (seeds = first k vectors by id),
 fixed-point BIGINT centroid accumulation (partition-order-free),
 explicit argmin tie-breaks. The novel Spark shape here is GROUPED
-k-means: all m subspaces train in the SAME jobs — subvectors carry a
-``sub`` column, assignment joins on it, and the centroid update is
-one (sub, cluster)-grain aggregate — so training cost is iterations ×
-2 shuffles regardless of m, not m separate k-means runs.
+k-means: all m subspaces train in the SAME jobs — per-row, all m
+subspace argmins are computed MAP-SIDE against the collected
+codebooks (model-sized: m·k×dsub), and the centroid update is one
+(sub, cluster)-grain aggregate — so training cost is iterations × ONE
+small-output shuffle regardless of m, not m separate k-means runs
+(pre-r16 this paid a row_number-window Exchange over vec_id·m rows
+plus a corpus-grain join-back per iteration — guide §2.4).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import SCALE, _quantize_vec
+from .clustering import SCALE
 
 _DIST2 = (
     "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
@@ -48,18 +51,51 @@ def _subvectors(emb: DataFrame, m: int, vec_col: str) -> DataFrame:
     )
 
 
-def _assign(sub_vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, sub, cluster): nearest centroid within each subspace,
-    deterministic (dist2, cid) tie-break."""
-    joined = sub_vecs.join(F.broadcast(centroids), "sub").withColumn(
-        "dist2", F.expr(_DIST2.format(v="v", c="c"))
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("dist2", "cid")
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "sub", F.col("cid").alias("cluster"))
-    )
+def _books_by_sub(codebook_rows: list, m: int) -> dict[int, list]:
+    """{sub: rows sorted by cid} from collected codebook rows, with
+    the same missing-subspace validation the streaming twin performs."""
+    by_sub: dict[int, list] = {}
+    for r in codebook_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(r)
+    missing = [s for s in range(m) if s not in by_sub]
+    if missing:
+        raise ValueError(
+            f"pq: codebook missing subspaces {missing} (expected 0..{m - 1})"
+        )
+    return {s: sorted(rs, key=lambda r: int(r["cid"])) for s, rs in by_sub.items()}
+
+
+def _sub_slice(vec_col: str, s: int, m: int) -> str:
+    """SQL slice of subspace ``s`` — size-derived exactly like
+    ``_subvectors`` so the two shapes stay byte-compatible."""
+    d = f"(size({vec_col}) div {m})"
+    return f"slice({vec_col}, {s} * {d} + 1, {d})"
+
+
+def _sub_argmin_sql(vec_sql: str, book_rows: list) -> str:
+    """array_min over (dist2, cid) structs for ONE subspace's codebook
+    — the same sequential _DIST2 fold and (dist2, cid) tie-break the
+    historical row_number window used, as a map-only expression (the
+    ``stream_ivfpq_encode`` shape, now the batch primitive too)."""
+    entries = []
+    for r in book_rows:
+        c = "array(" + ",".join(f"{float(x)!r}D" for x in r["c"]) + ")"
+        d2 = _DIST2.format(v=vec_sql, c=c)
+        entries.append(f"struct({d2} AS dist2, {int(r['cid'])} AS cid)")
+    return f"array_min(array({','.join(entries)})).cid"
+
+
+def pq_codes_expr(codebook_rows: list, m: int, vec_col: str):
+    """array<int> codes expression over a double-array column: per
+    subspace, the nearest codeword id by the sequential squared-L2
+    fold with the (dist2, cid) tie-break — one whole-stage-codegen
+    projection, m·k literal structs, zero shuffle."""
+    by_sub = _books_by_sub(codebook_rows, m)
+    per_sub = [
+        _sub_argmin_sql(_sub_slice(vec_col, s, m), by_sub[s])
+        for s in range(m)
+    ]
+    return F.expr(f"array({','.join(per_sub)})")
 
 
 def pq_train(
@@ -73,58 +109,107 @@ def pq_train(
     Seeds = slices of the first k vectors by vec_id; ``iters`` Lloyd
     iterations with fixed-point updates. All subspaces train in the
     same jobs (grouped k-means — see module docstring)."""
-    sv = _subvectors(emb, m, vec_col).persist()
-    seed_rows = (
-        sv.join(
-            sv.select("vec_id").distinct().orderBy("vec_id").limit(k),
-            "vec_id",
-        )
-        .orderBy("vec_id", "sub")
-        .collect()
-    )
+    spark = emb.sparkSession
+    # seeds: the m subspace slices of the first k vectors by vec_id —
+    # the same values _subvectors produced, fetched with ONE limit-k
+    # job instead of a distinct + self-join over the exploded table
+    seed_rows = _subvectors(
+        emb.orderBy("vec_id").limit(k), m, vec_col
+    ).orderBy("vec_id", "sub").collect()
     n_seed_vecs = len({r["vec_id"] for r in seed_rows})
     if n_seed_vecs < k:
         raise ValueError(f"pq_train: k={k} but only {n_seed_vecs} vectors")
     seed_ids = sorted({r["vec_id"] for r in seed_rows})
     cid_of = {vid: i for i, vid in enumerate(seed_ids)}
-    spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(r["sub"], cid_of[r["vec_id"]], r["v"]) for r in seed_rows],
-        "sub int, cid int, c array<double>",
-    ).select("sub", "cid", F.expr(_quantize_vec("c")).alias("c"))
-    dsub = None
+    from .clustering import quantize_vec_py
+
+    # driver-side seed quantization (bit-identical — quantize_vec_py):
+    # the model starts as plain rows, no local-relation action spent
+    book_rows = [
+        {
+            "sub": int(r["sub"]),
+            "cid": cid_of[r["vec_id"]],
+            "c": quantize_vec_py(r["v"]),
+        }
+        for r in seed_rows
+    ]
+    dsub = len(seed_rows[0]["v"])
+    v = emb.select(
+        "vec_id",
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
     for _ in range(iters - 1):
-        assigned = _assign(sv, centroids)
-        joined = sv.join(assigned, ["vec_id", "sub"])
-        if dsub is None:
-            dsub = len(seed_rows[0]["v"])
-        sums = joined.groupBy("sub", "cluster").agg(
-            F.count(F.lit(1)).alias("n"),
+        # map-only assignment against the collected model (the
+        # stream_ivfpq_encode shape): per row, all m subspace argmins
+        # in one projection, exploded map-side to (sub, cluster, sv)
+        # — the window Exchange over vec_id·m rows and the corpus-
+        # grain join-back are gone (guide §2.4); the only shuffle per
+        # iteration is the (sub, cluster)-group partial aggregation.
+        by_sub = _books_by_sub(book_rows, m)
+        slices = F.array(
             *[
-                F.sum(
-                    F.floor(F.element_at("v", i) * SCALE).cast("long")
-                ).alias(f"s{i}")
-                for i in range(1, dsub + 1)
-            ],
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.expr(
+                        _sub_argmin_sql(_sub_slice("v", s, m), by_sub[s])
+                    ).alias("cluster"),
+                    F.expr(_sub_slice("v", s, m)).alias("sv"),
+                )
+                for s in range(m)
+            ]
         )
-        new = sums.select(
-            "sub",
-            F.col("cluster").alias("cid"),
-            F.array(
+        exploded = v.select(F.explode(slices).alias("s")).select(
+            F.col("s.sub").alias("sub"),
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.sv").alias("sv"),
+        )
+        sums = (
+            exploded.groupBy("sub", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
                 *[
-                    (F.col(f"s{i}") / F.col("n")).cast("long").cast("double")
-                    / SCALE
+                    F.sum(
+                        F.floor(F.element_at("sv", i) * SCALE).cast("long")
+                    ).alias(f"s{i}")
                     for i in range(1, dsub + 1)
-                ]
-            ).alias("c"),
+                ],
+            )
+            .collect()
         )
-        # empty clusters keep their previous centroid
-        kept = centroids.join(
-            new.select("sub", "cid"), ["sub", "cid"], "left_anti"
+        # truncating update finished driver-side, op for op the former
+        # SQL select: (s / n) double division, CAST AS BIGINT (trunc
+        # toward zero — Python int() matches), back to double / SCALE;
+        # empty clusters keep their previous centroid (kept-merge)
+        new_rows = [
+            {
+                "sub": int(r["sub"]),
+                "cid": int(r["cluster"]),
+                "c": [
+                    float(int(float(r[f"s{i}"]) / float(r["n"]))) / SCALE
+                    for i in range(1, dsub + 1)
+                ],
+            }
+            for r in sums
+        ]
+        new_keys = {(r["sub"], r["cid"]) for r in new_rows}
+        book_rows = sorted(
+            new_rows
+            + [
+                r
+                for r in book_rows
+                if (r["sub"], r["cid"]) not in new_keys
+            ],
+            key=lambda r: (r["sub"], r["cid"]),
         )
-        centroids = new.unionByName(kept)
-    sv.unpersist()
-    return centroids
+    # the final model is plain rows; the returned DataFrame is a cheap
+    # local relation carrying them (model_rows readers skip the
+    # re-collect)
+    out = spark.createDataFrame(
+        [(r["sub"], r["cid"], list(r["c"])) for r in book_rows],
+        "sub int, cid int, c array<double>",
+    )
+    out._graft_rows = book_rows
+    return out
 
 
 def pq_encode(
@@ -132,19 +217,23 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, codes array<int>): each vector's per-subspace nearest
     centroid ids, in subspace order — the 1-byte-per-subspace
-    compressed representation."""
-    assigned = _assign(_subvectors(emb, m, vec_col), codebooks)
-    return (
-        assigned.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("sub", "cluster"))
-                ),
-                lambda s: s["cluster"],
-            ).alias("codes")
-        )
-    )
+    compressed representation.
+
+    Map-only (guide §2.4): the codebooks are the MODEL (m·k rows), so
+    they are collected once and every vector's m codes come out of one
+    codegen'd projection — the previous shape exploded m rows per
+    vector through a row_number-window Exchange and re-grouped them
+    with a second Exchange. ``codebooks`` may be a DataFrame or
+    pre-collected rows. Decision-identical fold and (dist2, cid)
+    tie-break (the ``stream_ivfpq_encode`` expression, which
+    ``test_stream_ivfpq_encode_matches_batch`` pins against this)."""
+    from .clustering import model_rows
+
+    rows = model_rows(codebooks)
+    return emb.select(
+        "vec_id",
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).select("vec_id", pq_codes_expr(rows, m, "v").alias("codes"))
 
 
 def pq_adc_topk(

@@ -123,9 +123,17 @@ def ivfpq_recall_at_k(
         [(q, id_rows[q]) for q in query_ids],
         k,
     ).persist()
+    # collect the model ONCE for the whole probe loop — ivfpq_topk
+    # accepts pre-collected rows, so the Q probes share one model
+    # fetch instead of re-collecting (and, for non-materialized model
+    # DataFrames, re-computing) it per query
+    from .clustering import model_rows
+
+    cent_rows = model_rows(cents)
+    book_rows = model_rows(books)
     per_query = []
     for q in query_ids:
-        top = ivfpq_topk(index, cents, books, id_rows[q], nprobe, k)
+        top = ivfpq_topk(index, cent_rows, book_rows, id_rows[q], nprobe, k)
         truth = exact.filter(F.col("query_vec_id") == q).select("vec_id")
         per_query.append(
             top.join(F.broadcast(truth), "vec_id", "left_semi")

@@ -32,9 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .clustering import (
-    _as_double_vec,
-    kmeans,
-    kmeans_assign,
+    centroid_assign_expr,
+    model_rows,
     kmeans_assign_sql,
     kmeans_fit,
     kmeans_oracle_parts,
@@ -55,10 +54,24 @@ def semdedup_pairs(
     policy is the caller's; SemDeDup keeps the lowest-id exemplar).
     Norms are precomputed per vector (bit-identical to the inline
     fold — see ``similarity.cosine_prenorm``), so the pair stage does
-    one dot product per candidate, not three folds."""
-    assigned = kmeans(emb, k=k, iters=iters, dim=dim)
+    one dot product per candidate, not three folds.
+
+    The cluster id is attached MAP-SIDE (guide §2.4): ``kmeans_fit``
+    returns the model (k×dim — collected once), and the assignment is
+    a codegen'd projection directly on the ``emb`` rows — the
+    pre-r16 shape joined a separate assignment table back onto the
+    corpus by vec_id, a corpus-grain shuffle that existed only to
+    recover the embedding column the window had dropped. The pair
+    join on the cluster id (the Σ|cell|² stage) is unchanged — that
+    is the operator's inherent cost."""
+    _vectors, centroids = kmeans_fit(emb, k=k, iters=iters, dim=dim)
+    cent_rows = model_rows(centroids)
     v = (
-        emb.join(assigned, "vec_id")
+        emb.withColumn(
+            "__v",
+            F.expr("transform(embedding, x -> cast(x as double))"),
+        )
+        .withColumn("cluster", centroid_assign_expr(cent_rows, "__v"))
         .select(
             "cluster",
             "vec_id",
@@ -105,28 +118,27 @@ def semdedup_incremental_pairs(
     only. A daily ingest shuffles its own rows; the 100 TB corpus
     contributes only its (vec_id, cluster) assignment — in production
     a persisted table, exactly like the standing MinHash band index."""
-    vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
-    corpus_assign = kmeans_assign(vectors, centroids)
-    new_assign = kmeans_assign(
-        _as_double_vec(new_batch, "embedding"), centroids
+    _vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
+    cent_rows = model_rows(centroids)
+
+    def _assigned(side: DataFrame) -> DataFrame:
+        # map-side assignment against the collected model — no
+        # corpus-grain join-back (guide §2.4; see semdedup_pairs)
+        return side.withColumn(
+            "__v", F.expr("transform(embedding, x -> cast(x as double))")
+        ).withColumn("cluster", centroid_assign_expr(cent_rows, "__v"))
+
+    a = _assigned(new_batch).select(
+        "cluster",
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("embedding").alias("e_a"),
+        norm("embedding").alias("n_a"),
     )
-    a = (
-        new_batch.join(new_assign, "vec_id")
-        .select(
-            "cluster",
-            F.col("vec_id").alias("new_vec_id"),
-            F.col("embedding").alias("e_a"),
-            norm("embedding").alias("n_a"),
-        )
-    )
-    b = (
-        corpus.join(corpus_assign, "vec_id")
-        .select(
-            "cluster",
-            F.col("vec_id").alias("corpus_vec_id"),
-            F.col("embedding").alias("e_b"),
-            norm("embedding").alias("n_b"),
-        )
+    b = _assigned(corpus).select(
+        "cluster",
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").alias("e_b"),
+        norm("embedding").alias("n_b"),
     )
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     return (

@@ -212,19 +212,39 @@ def ivf_assign(emb: DataFrame, centroid_mod: int = 50) -> DataFrame:
         F.col("embedding").alias("cent_emb"),
         norm("embedding").alias("cent_norm"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cell")
-    )
-    return (
+    # argmax as ONE hash aggregation with map-side partial aggregation
+    # (guide §2.3 "aggregate before you shuffle"): max of the struct
+    # (cent_cos, -cell, …) IS the (cosine DESC, cell ASC) tie-break the
+    # historical row_number window applied — but the window's Exchange
+    # carried the K-way-exploded rows (embedding duplicated K times)
+    # and paid a per-partition sort; the partial agg reduces each map
+    # partition to one candidate row per vec_id before anything moves.
+    # The payload columns ride BEHIND the two ordering fields, so they
+    # never influence the comparison (-cell is unique per candidate).
+    best = (
         emb.select("vec_id", "embedding", norm("embedding").alias("v_norm"))
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "cent_cos",
             cosine_prenorm("embedding", "cent_emb", "v_norm", "cent_norm"),
         )
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "embedding", "v_norm", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cent_cos").alias("cos"),
+                    (-F.col("cell")).alias("negcell"),
+                    F.col("embedding").alias("embedding"),
+                    F.col("v_norm").alias("v_norm"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.v_norm").alias("v_norm"),
+        (-F.col("b.negcell")).alias("cell"),
     )
 
 

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from ..operators.clustering import (
     _as_double_vec,
-    kmeans_assign,
+    centroid_assign_expr,
+    model_rows,
     kmeans_assign_sql,
     kmeans_fit,
     kmeans_oracle_parts,
@@ -450,12 +451,22 @@ def _semdedup_survivors_incremental_oracle_sql() -> str:
     )
 
 
-def _cell_members(emb, assign, id_col: str, e_col: str, n_col: str):
-    return emb.join(assign, "vec_id").select(
-        "cluster",
-        F.col("vec_id").alias(id_col),
-        F.col("embedding").alias(e_col),
-        norm("embedding").alias(n_col),
+def _cell_members(emb, cent_rows, id_col: str, e_col: str, n_col: str):
+    # map-side assignment against the collected model (guide §2.4):
+    # the pre-r16 shape joined a separate assignment table back onto
+    # the rows by vec_id — a corpus-grain shuffle that existed only to
+    # recover the embedding column
+    return (
+        emb.withColumn(
+            "__v", F.expr("transform(embedding, x -> cast(x as double))")
+        )
+        .withColumn("cluster", centroid_assign_expr(cent_rows, "__v"))
+        .select(
+            "cluster",
+            F.col("vec_id").alias(id_col),
+            F.col("embedding").alias(e_col),
+            norm("embedding").alias(n_col),
+        )
     )
 
 
@@ -469,14 +480,13 @@ def semdedup_incremental_survivors(corpus, batch, k, iters, dim, threshold):
     one batch×survivors-per-cell join, and a closure over BATCH pairs
     only (``test_semdedup_incremental_survivors_standing_tables``
     proves the persisted-standing-tables path ≡ this recompute)."""
-    vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
-    # the standing model and tables are persisted: in production they
-    # are parquet; here every downstream consumer (pair self-join,
-    # survivor anti-join, batch decision) would otherwise replay the
-    # k-means reduction + assignment from scratch per action
-    centroids = centroids.persist()
-    corpus_assign = kmeans_assign(vectors, centroids)
-    cm = _cell_members(corpus, corpus_assign, "vec_a", "e_a", "n_a").persist()
+    _vectors, centroids = kmeans_fit(corpus, k=k, iters=iters, dim=dim)
+    # the standing model is already materialized (kmeans_fit returns a
+    # local relation backed by the collected k×dim rows); the member
+    # table stays persisted — the pair self-join, survivor anti-join
+    # and batch decision all scan it
+    cent_rows = model_rows(centroids)
+    cm = _cell_members(corpus, cent_rows, "vec_a", "e_a", "n_a").persist()
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     cpairs = (
         cm.join(
@@ -495,7 +505,9 @@ def semdedup_incremental_survivors(corpus, batch, k, iters, dim, threshold):
     # localCheckpoint: connected_components' label output re-derives
     # its node spine from the edge plan — eager-cut it so the closure
     # (and the pair cosines under it) run exactly once
-    comp = connected_components(cpairs, a="vec_a", b="vec_b").localCheckpoint()
+    comp = connected_components(cpairs, a="vec_a", b="vec_b").localCheckpoint(
+        eager=False
+    )
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_a")
     )
@@ -506,11 +518,11 @@ def semdedup_incremental_survivors(corpus, batch, k, iters, dim, threshold):
 def _decide_batch(batch, centroids, surv, threshold):
     """The per-batch half of ``semdedup_incremental_survivors``:
     ``surv`` is the standing survivor-member table (cluster, vec_a,
-    e_a, n_a) — in production a persisted parquet table."""
-    batch_assign = kmeans_assign(
-        _as_double_vec(batch, "embedding"), centroids
-    )
-    bm = _cell_members(batch, batch_assign, "vec_b", "e_b", "n_b").persist()
+    e_a, n_a) — in production a persisted parquet table. ``centroids``
+    may be a DataFrame (e.g. read back from the standing parquet) or
+    pre-collected rows — the model is k×dim either way."""
+    cent_rows = model_rows(centroids)
+    bm = _cell_members(batch, cent_rows, "vec_b", "e_b", "n_b").persist()
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     hit = (
         surv.join(bm, "cluster")
@@ -536,7 +548,7 @@ def _decide_batch(batch, centroids, surv, threshold):
     )
     bcomp = connected_components(
         bpairs, a="vec_a", b="vec_b"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bdrop = bcomp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id"), F.lit(True).alias("is_bdrop")
     )

@@ -25,32 +25,22 @@ pins micro-batch ≡ batch equality end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.clustering import centroid_assign_expr  # noqa: F401
 from ..operators.similarity import cosine_prenorm, norm
+
+# centroid_assign_expr was born here for the streaming constraint
+# (windows are not allowed on streams) and graduated to
+# operators/clustering.py in round 16 when the batch side adopted the
+# same map-only assignment (guide §2.4); re-exported so streaming
+# callers and docs keep their import path.
 
 _DIST2 = (
     "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
     " 0D, (acc, w) -> acc + w)"
 )
-
-
-def centroid_assign_expr(
-    centroid_rows: list, vec_col: str = "v"
-) -> Column:
-    """Stateless nearest-centroid expression from collected centroid
-    rows [(cid, c)]: ``array_min`` over (dist2, cid) structs — the
-    same squared-L2 fold and the same (dist2, cid) tie-break as the
-    batch ``kmeans_assign`` window, as one whole-stage-codegen
-    projection. Centroid count is k (tiny), so the literal expression
-    stays small."""
-    entries = []
-    for r in sorted(centroid_rows, key=lambda r: r["cid"]):
-        c = "array(" + ",".join(f"{float(x)!r}D" for x in r["c"]) + ")"
-        d2 = _DIST2.format(v=vec_col, c=c)
-        entries.append(f"struct({d2} AS dist2, {int(r['cid'])}L AS cid)")
-    return F.expr(f"array_min(array({','.join(entries)}))").getField("cid")
 
 
 def build_corpus_index(
