@@ -49,11 +49,11 @@ def _spread_for_codec(df: DataFrame, key: str = "doc_id") -> DataFrame:
     case: thousands of input files), the layout is left alone — the
     shuffle would be pure cost. Keyed (not round-robin) so the
     row-to-partition mapping is deterministic under task retry
-    (guide §2.5)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, key)
+    (guide §2.5). Delegates to ``skew.spread_small_input`` (driver-
+    only size-estimate guard)."""
+    from .skew import spread_small_input
+
+    return spread_small_input(df, key)
 
 MEDIA_SCHEMA = T.StructType(
     [

@@ -246,7 +246,9 @@ def pq_adc_topk(
     native aggregate over the broadcast flat table, no vector data
     touched. Returns (vec_id, adc_dist2) smallest-first with vec_id
     tie-break."""
-    cb = codebooks.collect()
+    from .clustering import model_rows
+
+    cb = model_rows(codebooks)
     m = max(r["sub"] for r in cb) + 1
     k = max(r["cid"] for r in cb) + 1
     dsub = len(cb[0]["c"])

@@ -42,6 +42,22 @@ from .clustering import (
 from .similarity import cosine_prenorm, cosine_sql, norm
 
 
+def _spread_for_pairs(df: DataFrame, key: str) -> DataFrame:
+    """Right-size the PROBE side of a within-cell pair join (guide
+    §2.5/§2.6): at oracle scale the embeddings arrive as one parquet
+    split and the planner broadcasts the build side, so the Σ|cell|²
+    cosine work — the operator's dominant cost, evaluated as an
+    interpreted higher-order fold — inherits ONE partition and runs on
+    one core. Delegates to ``skew.spread_small_input`` (driver-only
+    size-estimate guard — an rdd partition-count probe here was
+    measured re-executing the upstream pipeline once per call under
+    AQE); at scale the guard makes this a no-op. Result set unchanged
+    — partitioning only."""
+    from .skew import spread_small_input
+
+    return spread_small_input(df, key)
+
+
 def semdedup_pairs(
     emb: DataFrame,
     k: int = 8,
@@ -79,17 +95,23 @@ def semdedup_pairs(
             norm("embedding").alias("n"),
         )
     )
-    a = v.select(
-        "cluster",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("n").alias("n_a"),
+    a = _spread_for_pairs(
+        v.select(
+            "cluster",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("e_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "vec_a",
     )
-    b = v.select(
-        "cluster",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("n").alias("n_b"),
+    b = _spread_for_pairs(
+        v.select(
+            "cluster",
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("e_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "vec_b",
     )
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     return (
@@ -134,11 +156,14 @@ def semdedup_incremental_pairs(
         F.col("embedding").alias("e_a"),
         norm("embedding").alias("n_a"),
     )
-    b = _assigned(corpus).select(
-        "cluster",
-        F.col("vec_id").alias("corpus_vec_id"),
-        F.col("embedding").alias("e_b"),
-        norm("embedding").alias("n_b"),
+    b = _spread_for_pairs(
+        _assigned(corpus).select(
+            "cluster",
+            F.col("vec_id").alias("corpus_vec_id"),
+            F.col("embedding").alias("e_b"),
+            norm("embedding").alias("n_b"),
+        ),
+        "corpus_vec_id",
     )
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     return (

@@ -19,6 +19,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# one advisory-sized partition's worth of input per slot: the spread
+# threshold below. Inputs estimated larger than par×this are left
+# alone — they are wide (or will be reshuffled by their join) anyway.
+_SPREAD_BYTES_PER_SLOT = 64 << 20
+
+
+def spread_small_input(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a PARALLELISM-STARVED input on a deterministic
+    high-cardinality key (guide §2.5/§2.6): a one-split scan (or a
+    small derived table the planner will broadcast around) serializes
+    any expensive per-row stage — interpreted cosine folds, Python
+    codecs — onto one core while the rest of the cluster idles.
+
+    The guard is a DRIVER-ONLY logical-plan size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — no job, no AQE stage
+    materialization; an ``rdd.getNumPartitions()`` probe here was
+    measured re-executing the whole upstream pipeline once per call
+    under AQE, PERF_NOTES r16 wave 2). Inputs estimated larger than
+    defaultParallelism × 64 MB are returned untouched — at scale the
+    spread is a no-op by construction, and mis-estimates err toward
+    not spreading (never incorrect, only unspread)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimation must never fail a query
+        return df
+    if size > par * _SPREAD_BYTES_PER_SLOT:
+        return df
+    return df.repartition(par, key)
+
+
 def salted_join(
     large: DataFrame,
     medium: DataFrame,

@@ -256,7 +256,7 @@ def ivfpq_drift_stats(emb, centroids, batch_where: str = _BATCH_WHERE):
     join-back for the same numbers."""
     s = _ENERGY_SCALE
     vectors = _as_double_vec(emb, "embedding")
-    cent_rows = centroids.collect()
+    cent_rows = model_rows(centroids)
     energy = F.expr(
         f"aggregate(transform(rv, x -> "
         f"CAST(FLOOR(x * {s}.0) AS BIGINT)"
@@ -451,6 +451,14 @@ def _semdedup_survivors_incremental_oracle_sql() -> str:
     )
 
 
+def _spread_members(df, key: str):
+    # the semdedup operator's _spread_for_pairs, re-exported here for
+    # the standing member tables (see operators/semdedup.py)
+    from ..operators.semdedup import _spread_for_pairs
+
+    return _spread_for_pairs(df, key)
+
+
 def _cell_members(emb, cent_rows, id_col: str, e_col: str, n_col: str):
     # map-side assignment against the collected model (guide §2.4):
     # the pre-r16 shape joined a separate assignment table back onto
@@ -486,7 +494,13 @@ def semdedup_incremental_survivors(corpus, batch, k, iters, dim, threshold):
     # table stays persisted — the pair self-join, survivor anti-join
     # and batch decision all scan it
     cent_rows = model_rows(centroids)
-    cm = _cell_members(corpus, cent_rows, "vec_a", "e_a", "n_a").persist()
+    # spread before persist (guide §2.5/§2.6): a one-split embedding
+    # scan would cache the member table as ONE partition and the pair
+    # self-join's cosine work would run on one core; the cached layout
+    # is what every consumer inherits. No-op on wide scans.
+    cm = _spread_members(
+        _cell_members(corpus, cent_rows, "vec_a", "e_a", "n_a"), "vec_a"
+    ).persist()
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     cpairs = (
         cm.join(
@@ -522,7 +536,9 @@ def _decide_batch(batch, centroids, surv, threshold):
     may be a DataFrame (e.g. read back from the standing parquet) or
     pre-collected rows — the model is k×dim either way."""
     cent_rows = model_rows(centroids)
-    bm = _cell_members(batch, cent_rows, "vec_b", "e_b", "n_b").persist()
+    bm = _spread_members(
+        _cell_members(batch, cent_rows, "vec_b", "e_b", "n_b"), "vec_b"
+    ).persist()
     cos = cosine_prenorm("e_a", "e_b", "n_a", "n_b")
     hit = (
         surv.join(bm, "cluster")
