@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # round's results file at round CLOSE — without the exclusion the
 # stalest-cohort gate is guaranteed-red between those two moments,
 # the r8→r9 boundary failure ADVICE r8 flagged).
-_ROUND = 16
+_ROUND = 17
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,32 +39,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS files for rounds < _ROUND — never a hand-counted
 # comment) rotates in full.
 #
-# Round-16 tiers, in order (tier sizes are never hand-counted here —
+# Round-17 tiers, in order (tier sizes are never hand-counted here —
 # test_stalest_cohort_rotates derives the cohort from the committed
 # CORRECTNESS files and is the source of truth; ADVICE r9):
 #   1. flagship
-#   2. new round-16 queries: the three r15-staged registrations
-#      (VERDICT r15 next #1), oracles drafted + sf0.001 parity proven
-#      last round, decoration moved in plans/queries_round16.py.
-#   3. staleness rotation — the FIRST LIVE EXPLICIT SPLIT: the
-#      r11-stale cohort is 49 wide and flagship + 3 new leaves only
-#      46 slots, so the window takes the deterministic ALPHABETICAL
-#      PREFIX sorted(cohort)[:46] (rotation_violation enforces that
-#      no fresher-green query holds a slot and the included subset
-#      is a prefix). The 3 alphabetically-last members
-#      (text_kn_bigram_incremental, text_tfidf_top_terms,
-#      tpch_q15_top_supplier) keep latest-green r11 and therefore
-#      ARE next round's stalest cohort — the same gate forces them
-#      through at r17. 1 + 3 + 46 = exactly 50.
+#   2. new round-17 queries: NONE — optimization round, no new
+#      registrations beyond what the rotation gate requires
+#      (VERDICT r16 next #9).
+#   3. staleness rotation: the stalest cohort is the r16 split's
+#      3-member r11 remainder (text_kn_bigram_incremental,
+#      text_tfidf_top_terms, tpch_q15_top_supplier) — the gate forces
+#      it through in full — followed by the next-stalest (r12) cohort
+#      taken as the deterministic ALPHABETICAL PREFIX
+#      sorted(cohort)[:46], the same split discipline r16
+#      established. The 3 alphabetically-last r12 members
+#      (tpch_q7_volume_shipping, tpch_q8_market_share,
+#      tpch_q9_product_profit) keep latest-green r12 and ARE next
+#      round's stalest cohort. 1 + 3 + 46 = exactly 50.
+_NEW_R17: list[str] = []
+_ROTATION_R17 = [
+    # last green r11 — the full cohort, forced by the gate
+    "text_kn_bigram_incremental", "text_tfidf_top_terms",
+    "tpch_q15_top_supplier",
+] + [
+    # last green r12 — sorted(cohort)[:46]
+    "docs_ngram_repetition", "embeddings_gram_matrix",
+    "events_asof_last_purchase", "events_cohort_retention",
+    "events_funnel_conversion", "events_lag_lead_ntile",
+    "events_markov_transition", "events_pivot_by_type",
+    "events_range_join_click_error", "events_session_window_native",
+    "events_sessionize", "events_topk_per_group",
+    "events_trailing_hour_sum", "events_window_agg",
+    "ivfpq_index_drift", "ivfpq_rebuild_decision",
+    "multimodal_audio_windows", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_meta_stats",
+    "olap_cube_counts", "olap_rollup_counts", "orders_benford_screen",
+    "orders_zorder_key", "parts_copurchase_triangles",
+    "percentile_by_status", "set_except", "set_intersect",
+    "set_union_distinct", "text_bm25_linear_topk",
+    "text_bpe_pair_stats", "topk_orders_global",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_priority_classes", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_relation",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume",
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+]
+
+# green in CORRECTNESS_r16 (the r16 window), kept registered after the
+# window rotates
 _NEW_R16: list[str] = [
     "corpus_pipeline_report",
     "semdedup_survivors_incremental_budgeted",
     "ann_ivfpq_recall_curve_served_filtered",
 ]
 _ROTATION_R16 = [
-    # last green r11 — sorted(cohort)[:46] (test_stalest_cohort_rotates
-    # recomputes the cohort from the raw CORRECTNESS files and accepts
-    # exactly this prefix)
     "ann_ivfpq_recall_curve_served", "ann_topk_bruteforce",
     "calendar_dim", "cast_types", "corpus_mixture_sample",
     "corpus_sample_exact_counts", "country_dim", "dedup_by_key",
@@ -183,20 +213,18 @@ _GREEN_R13 = [
 # the never-green-yet registrations that MUST be checked this round,
 # and the re-earn tier (registered queries whose committed oracle
 # text changed — empty most rounds).
-_NEW_THIS_ROUND = _NEW_R16
+_NEW_THIS_ROUND = _NEW_R17
 _REEARN_THIS_ROUND: list[str] = []
 
 # ROTATION SATURATION (live since r16): the latest-green histogram is
-# a steady 49/49/49/49/50, so every stalest cohort is 49 wide and
-# flagship + new registrations + 49 > 50. The window therefore runs
-# the EXPLICIT SPLIT the gate validates: the alphabetically-first
-# cohort members that fit, remainder rolls (see the tier-3 note
-# above). Under a 3-new-per-round cadence the roll-over debt grows 3
-# per round but each remainder stays minimum-round, so the same gate
-# forces it through next round — no query's staleness can exceed the
-# cohort width in rounds.
+# a steady 3/49/49/49/49/50 after the r16 split, so each round's
+# window carries the forced remainder cohort plus the alphabetical
+# prefix of the next-stalest cohort (see the tier-3 note above).
+# Under a 3-new-per-round cadence the roll-over debt stays
+# minimum-round, so the same gate forces it through next round — no
+# query's staleness can exceed the cohort width in rounds.
 _WINDOW_TIERS = (
-    ["star_revenue_by_region_year"] + _NEW_R16 + _ROTATION_R16
+    ["star_revenue_by_region_year"] + _NEW_R17 + _ROTATION_R17
 )
 
 # green in CORRECTNESS_r12 (the r12 window), kept registered after the
@@ -431,7 +459,9 @@ _GREEN_BACKLOG = [
 _PRIORITY = _WINDOW_TIERS + [
     n
     for n in (
-        _NEW_R15
+        _NEW_R16
+        + _ROTATION_R16
+        + _NEW_R15
         + _ROTATION_R15
         + _GREEN_R14
         + _GREEN_R13

@@ -885,6 +885,15 @@ def main() -> None:
     if canary_verdict(canary_first, canary_last):
         # degraded under its own weight (high) / started loaded (low)
         out["canary_contaminated"] = True
+    # VERDICT r16 next #10 (salvage transparency): total seconds the
+    # burst salvage subtracted from the headline, always on the
+    # printed line — zero on a clean run, so a reviewer can subtract
+    # it without opening the sidecar.
+    out["salvaged_delta_sec"] = (
+        round(sum(v["hot_sec"] - v["sec"] for v in salvage.values()), 3)
+        if salvage
+        else 0.0
+    )
     if salvage:
         out["salvage"] = salvage
         out["salvage_n"] = len(salvage)
@@ -998,18 +1007,28 @@ def main() -> None:
 
 # the driver's stdout tail buffer; the printed line must stay under it
 _TAIL_BUDGET = 1900
+# The one-line JSON contract exists FOR the driver's per-query
+# comparison (VERDICT r16 wrong #1: 11 adjudication rulings consumed
+# the whole budget and PERF got an empty per_query map two rounds
+# running). Per-query timings therefore have a guaranteed minimum
+# quota on the line; regression self-adjudication is compressed to
+# top-N severity with name+sec+baseline+ruling, everything else
+# sidecar-only.
+_MIN_LINE_QUERIES = 15
+_MAX_LINE_REGRESSIONS = 3
 
 
 def _fit_line(out: dict) -> dict:
     """Shrink the printed line under the driver's 2000-char tail
-    capture: keep totals/ratios/regressions, then per-query timings
-    heaviest-first until the budget is reached."""
+    capture: keep totals/ratios, guarantee a minimum quota of
+    heaviest-first per-query timings, then compressed regressions."""
     compact = dict(out)
     # the sweep map is sidecar-only (sweep_n/sweep_total/bench_coverage
     # summarize it on the line)
     compact.pop("sweep_queries", None)
-    # per-query salvage evidence is sidecar-only (salvage_n + the
-    # per-regression "salvaged" annotation summarize it on the line)
+    # per-query salvage evidence is sidecar-only (salvage_n,
+    # salvaged_delta_sec + the per-regression "salvaged" annotation
+    # summarize it on the line)
     compact.pop("salvage", None)
     # interleaved canary readings are sidecar-only too (hot_readings
     # summarizes them on the line)
@@ -1025,18 +1044,57 @@ def _fit_line(out: dict) -> dict:
     if len(json.dumps(compact)) <= _TAIL_BUDGET:
         return compact
     compact["detail"] = os.path.basename(_detail_path())
-    # regressions stay (they're the actionable part); trim queries
+    # compress regressions: top-N by severity ratio, each reduced to
+    # sec/baseline_sec/ruling (full adjudication rows live in the
+    # sidecar); the omitted count stays visible
+    regs = out.get("regressions") or {}
+    if regs:
+        ranked_r = sorted(
+            regs.items(),
+            key=lambda kv: -(
+                kv[1].get("sec", 0.0)
+                / max(kv[1].get("baseline_sec") or 1e-9, 1e-9)
+            ),
+        )
+        compact["regressions"] = {
+            n: {
+                "sec": r.get("sec"),
+                "baseline_sec": r.get("baseline_sec"),
+                "ruling": r.get("ruling"),
+            }
+            for n, r in ranked_r[:_MAX_LINE_REGRESSIONS]
+        }
+        if len(regs) > _MAX_LINE_REGRESSIONS:
+            compact["regressions_omitted"] = len(regs) - _MAX_LINE_REGRESSIONS
+
     ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
     compact["queries"] = kept
-    compact["queries_omitted"] = len(ranked)
-    for name, sec in ranked:
-        kept[name] = sec
-        compact["queries_omitted"] = len(ranked) - len(kept)
-        if len(json.dumps(compact)) > _TAIL_BUDGET:
-            del kept[name]
+
+    def _fill_queries() -> None:
+        kept.clear()
+        compact["queries_omitted"] = len(ranked)
+        for name, sec in ranked:
+            kept[name] = sec
             compact["queries_omitted"] = len(ranked) - len(kept)
-            break
+            if len(json.dumps(compact)) > _TAIL_BUDGET:
+                del kept[name]
+                compact["queries_omitted"] = len(ranked) - len(kept)
+                break
+
+    _fill_queries()
+    # the quota is the contract: if compressed rulings still crowd the
+    # timings out, shrink them to name→ruling, then drop the block
+    # entirely (count stays) — the sidecar has every detail
+    if len(kept) < _MIN_LINE_QUERIES and compact.get("regressions"):
+        compact["regressions"] = {
+            n: r.get("ruling") for n, r in compact["regressions"].items()
+        }
+        _fill_queries()
+    if len(kept) < _MIN_LINE_QUERIES and compact.get("regressions"):
+        compact.pop("regressions")
+        compact["regressions_omitted"] = len(regs)
+        _fill_queries()
     return compact
 
 

@@ -106,8 +106,8 @@ def probe_scale(spark, sf_dir: str, tmp_root: str) -> dict:
     # incremental decision the PRODUCTION way: standing tables
     # persisted to parquet once, per-batch decision reads them back
     from udacitycapstonedataengineer_spark.operators.clustering import (
-        kmeans_assign,
         kmeans_fit,
+        model_rows,
     )
     from udacitycapstonedataengineer_spark.plans.queries_round10 import (
         _cell_members,
@@ -122,8 +122,11 @@ def probe_scale(spark, sf_dir: str, tmp_root: str) -> dict:
     vectors, centroids = kmeans_fit(corpus, k=k, iters=2, dim=64)
     centroids.write.mode("overwrite").parquet(cdir)
     cback = spark.read.parquet(cdir)
+    # ADVICE r16 #1: _cell_members takes collected centroid ROWS since
+    # the r16 map-only rewrite (the read-back DataFrame goes through
+    # model_rows, one collect)
     cm = _cell_members(
-        corpus, kmeans_assign(vectors, cback), "vec_a", "e_a", "n_a"
+        corpus, model_rows(cback), "vec_a", "e_a", "n_a"
     ).persist()
     from udacitycapstonedataengineer_spark.operators.similarity import (
         cosine_prenorm,

@@ -4,6 +4,8 @@ sequences, exact encode/decode roundtrip, monotone compression."""
 
 from __future__ import annotations
 
+import pytest
+
 from udacitycapstonedataengineer_spark.operators.bpe import (
     MARKER_BASE,
     bpe_encode,
@@ -48,6 +50,7 @@ def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
     return merges
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_trainer_matches_reference_implementation(spark, sf_dir):
     words = word_frequencies(load_table(spark, sf_dir, "documents"))
     wf = {r["w"]: r["f"] for r in words.collect()}
@@ -183,6 +186,7 @@ def test_batched_trainer_equals_sequential_on_corpus(spark, sf_dir):
         assert got == want, f"batch_k={k} diverged from sequential"
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_batched_trainer_equals_sequential_adversarial(spark):
     """Interacting-pair corpora where naive skip-and-continue batching
     WOULD diverge (a marker pair overtakes a disjoint pair; chained

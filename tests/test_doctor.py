@@ -9,6 +9,8 @@ unbounded nested-loop join fails here before it ships.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -136,6 +138,7 @@ def test_literal_dim_cross_join_is_clean(spark, sf_dir):
     assert not [f for f in diagnose(df) if f.rule == "nested-loop-join"]
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_registry_sweep_no_fatals_and_warns_pinned(spark, sf_dir):
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     fatals: dict[str, list[str]] = {}

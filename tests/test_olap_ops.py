@@ -3,6 +3,8 @@ hash oracle can't cover."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.operators.asof import asof_join_backward
@@ -413,6 +415,7 @@ def test_grouped_median_generic_key_types(spark):
     assert sout == {1: 6.0, 2: 6.0, 3: 7.0}
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_twophase_components_vs_hashmin_and_roundcount(spark):
     """VERDICT r6 #4 done-criteria: (a) two-phase large-star/small-star
     produces IDENTICAL assignments to the hash-min implementation on

@@ -6,6 +6,8 @@ tests pin the plan shapes the engine promises (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -54,6 +56,7 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_no_python_udf_in_relational_queries(spark, sf_dir):
     """Every §2 (reference-surface) query stays JVM-side: no
     BatchEvalPython / ArrowEvalPython stages. The multimodal group is

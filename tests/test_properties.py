@@ -4,6 +4,8 @@ vs Decimal, dedup determinism under input shuffling."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import random
 from decimal import Decimal
@@ -142,6 +144,7 @@ def test_chunk_windows_cover_and_align(spark, texts):
         max_size=60,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_connected_components_matches_union_find(spark, edges):
     """Hash-min label propagation must agree with a reference
     union-find on arbitrary small graphs — chains, cycles, stars,
@@ -225,6 +228,7 @@ def test_activity_bitmap_popcount_equals_distinct_days(spark, pairs):
         max_size=40,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_pagerank_mass_is_bounded_and_positive(spark, seq):
     """Fixed-point PageRank invariants on arbitrary event sequences:
     every rank >= the teleport base, and total mass never exceeds the
@@ -261,6 +265,7 @@ def test_pagerank_mass_is_bounded_and_positive(spark, seq):
     ),
     st.integers(min_value=2, max_value=12),
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_mg_two_pass_heavy_hitters_always_exact(spark, items, capacity):
     """For ANY input distribution and ANY capacity honoring the
     superset bound (capacity+1 > 1/θ), the two-pass output equals the
@@ -303,6 +308,7 @@ def test_mg_two_pass_heavy_hitters_always_exact(spark, items, capacity):
         max_size=120,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_attribution_daygrain_rewrite_equivalence(spark, rows):
     """The day-grain attribution rewrite must equal the naive
     formulation on ARBITRARY event layouts — including events exactly
@@ -357,6 +363,7 @@ def test_attribution_daygrain_rewrite_equivalence(spark, rows):
         max_size=100,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_incremental_ltv_equals_full_recompute(spark, rows):
     """The presence-table delta merge must equal the full cohort
     recompute on ARBITRARY order histories — customers active across
@@ -398,6 +405,7 @@ def test_incremental_ltv_equals_full_recompute(spark, rows):
         max_size=60,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_banded_invoice_join_equals_plain_join(spark, rows):
     """The month-banded duplicate-invoice join must equal the plain
     non-equi formulation on arbitrary order layouts — including pairs
@@ -535,6 +543,7 @@ def test_price_bands_match_sorted_reference(spark, rows):
         max_size=120,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_daily_autocorr_matches_numpy(spark, counts):
     """The exact-moment autocorrelation must match numpy's corrcoef on
     the same lagged pairs (different summation order, so compare to
@@ -663,6 +672,7 @@ def test_drawdown_matches_running_max_reference(spark, day_counts):
     ),
     st.sampled_from([1, 2, 4, 32]),
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_batched_bpe_equals_sequential_reference(spark, corpus, batch_k):
     """The batched trainer's stop-at-first-interaction rule must
     reproduce the SEQUENTIAL merge sequence exactly on arbitrary
@@ -692,6 +702,7 @@ def test_batched_bpe_equals_sequential_reference(spark, corpus, batch_k):
         max_size=16,
     )
 )
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_semdedup_incremental_survivors_matches_reference(spark, vecs):
     """The incremental SemDeDup decision layer against an independent
     pure-Python reimplementation: given Spark's own frozen model

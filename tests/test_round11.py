@@ -20,17 +20,17 @@ from udacitycapstonedataengineer_spark.sources.readers import load_table
 
 
 def test_ivfpq_recall_curve_served_partition_pruned(spark, sf_dir):
-    """VERDICT r10 #5 done-criterion: EVERY probe point of the served
-    recall curve must read the written index with a PartitionFilter on
-    ``cell`` — the curve re-runs after appends against the parquet
-    index, and each point must cost nprobe/nlist of the files, proven
-    on the exact plan the driver gate hashes."""
+    """VERDICT r10 #5 done-criterion, updated for the r17 fusion
+    (VERDICT r16 next #3): the served recall curve reads the written
+    index in exactly ONE scan — carrying a PartitionFilter on ``cell``
+    for the max-nprobe probe set — instead of one pruned scan per
+    point. More than one index scan means the per-point loop crept
+    back; zero means the pruning was lost."""
     df = QUERIES["ann_ivfpq_recall_curve_served"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     chunks = plan.split("PartitionFilters")[1:]
     pruned = [c for c in chunks if "cell" in c[:200]]
-    # one pruned scan per nprobe point (1, 2, 4, 8)
-    assert len(pruned) >= 4, f"pruned scans: {len(pruned)}\n{plan[:3000]}"
+    assert len(pruned) == 1, f"pruned scans: {len(pruned)}\n{plan[:3000]}"
     rows = df.collect()
     assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
@@ -210,6 +210,7 @@ def test_semdedup_survivors_scaled_matches_fixed_k_semantics(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_kn_bigram_merge_fuzz_vs_python_rebuild(spark):
     """Hypothesis fuzz of the merge ALGEBRA: random standing/batch
     bigram count tables over a tiny alphabet (forcing heavy type

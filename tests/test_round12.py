@@ -5,6 +5,8 @@ trigger's fill-skew threshold tracks ``_IVFPQ['nlist']`` (ADVICE r10
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -382,6 +384,7 @@ def test_kn_trigram_merge_on_empty_batch(spark):
     assert typesm.head()["n_types"] == 2
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_kn_trigram_merge_fuzz_vs_python_rebuild(spark):
     """Hypothesis fuzz of the merge ALGEBRA over a tiny alphabet —
     maximal type collision stresses BOTH anti-join grains: batch

@@ -432,6 +432,7 @@ def test_corpus_mixture_temperature_alpha_flattens_by_alpha(spark):
     )
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_recall_at_k_served_filtered_draft_oracle_parity(spark, sf_dir):
     """r15 staging row 3: filtered-serving recall@k — the predicate
     lives in the index rows, the probe applies it inside the pruned

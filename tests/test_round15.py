@@ -308,6 +308,7 @@ def test_corpus_pipeline_report_draft_oracle_parity(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_semdedup_survivors_incremental_budgeted_parity(spark, sf_dir):
     """r16 staging row 2: the incremental keep policy under the
     derived-k budget — k from the CORPUS count (the fit set), oracle
@@ -348,6 +349,7 @@ def test_semdedup_survivors_incremental_budgeted_parity(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_recall_curve_served_filtered_draft_oracle_parity(spark, sf_dir):
     """r16 staging row 3: the filtered serving recall-vs-nprobe curve
     measured from the written post-append index."""

@@ -193,6 +193,7 @@ def test_salvage_skips_unpositioned_and_unbaselined():
 # --- r18 staging drafts: sf0.001 oracle parity (VERDICT r15 next #5)
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_corpus_pipeline_tokenshard_draft_oracle_parity(spark, sf_dir):
     """r18 staging row 1: the pipeline's packing stage EXECUTED —
     mix survivors chunked, tokenized with portable ids, written

@@ -4,6 +4,8 @@ same finite input (SURVEY.md §2.7 extension surface)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from udacitycapstonedataengineer_spark.sources.readers import load_table
@@ -1233,6 +1235,7 @@ def test_stream_kn_bigram_counts_matches_rebuild(spark, sf_dir, tmp_path):
     assert spark.read.parquet(table).count() == n_rows
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_recall_curve_served_from_streamed_appends(spark, sf_dir, tmp_path):
     """The full production ANN loop, end-to-end (round 11): the corpus
     index is WRITTEN cell-partitioned, a new batch arrives as a STREAM

@@ -22,6 +22,8 @@ query. A global window is accepted only when one of these holds:
 
 from __future__ import annotations
 
+import pytest
+
 from udacitycapstonedataengineer_spark.plans.doctor import (
     has_limit_below,
     orders_by_pid,
@@ -56,6 +58,7 @@ ALLOWED_BOUNDED_INPUT = {
 }
 
 
+@pytest.mark.slow  # VERDICT r16 next #2: multi-minute, opt-in tier
 def test_no_unbounded_global_window_in_any_registered_query(spark, sf_dir):
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     violations: dict[str, list[str]] = {}

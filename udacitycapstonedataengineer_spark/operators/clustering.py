@@ -62,7 +62,17 @@ def model_rows(model) -> list:
     rows = getattr(model, "_graft_rows", None)
     if rows is not None:
         return rows
-    return model.collect()
+    rows = model.collect()
+    # memoize the fallback collect on THIS DataFrame object (ADVICE
+    # r16 #4): a model that went through a transformation or a parquet
+    # round-trip loses the trainer-attached rows, and its consumers
+    # (probes, encodes, drift) would otherwise re-run the collect —
+    # a full driver action each — once per call site.
+    try:
+        model._graft_rows = rows
+    except AttributeError:  # exotic DataFrame proxies — stay pure
+        pass
+    return rows
 
 _DIST2 = (
     "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
@@ -82,13 +92,31 @@ def _quantize_vec(col: str) -> str:
     return f"transform({col}, x -> CAST(FLOOR(x * {SCALE}) AS DOUBLE) / {SCALE})"
 
 
+# k·dim budget (in literal doubles) for the map-only assignment
+# expression. The registered models are tiny (nlist≤50, dim 64 →
+# ≤3200), but the primitive is THE assignment path engine-wide and a
+# 100 TB-realistic quantizer (k 10³–10⁵ cells) would inline millions
+# of doubles: codegen hits janino's 64 KB method limit and falls back
+# to interpreted evaluation, the plan string carries the whole model
+# on every action, and analysis cost grows O(k·dim) per invocation
+# (VERDICT r16 what's-wrong #5 / ADVICE r16 #2). Above the ceiling,
+# ``kmeans_assign`` switches to the broadcast-join + struct-min
+# partial-aggregation shape, which degrades gracefully (model ships
+# once as data, expression stays O(1)); ``centroid_assign_expr``
+# itself refuses, so no expression-level caller can silently compile
+# a megabyte of literals.
+LITERAL_MODEL_CEILING = 32768
+
+
 def centroid_assign_expr(centroid_rows: list, vec_col: str = "v"):
     """Stateless nearest-centroid expression from collected centroid
     rows [(cid, c)]: ``array_min`` over (dist2, cid) structs — the
     same squared-L2 fold and the same (dist2, cid) tie-break as the
     historical crossJoin + row_number window, as one whole-stage-
-    codegen projection. Centroid count is k (the MODEL, tiny by
-    definition), so the literal expression stays small.
+    codegen projection. Only for MODEL-sized centroid tables: k·dim
+    must stay under ``LITERAL_MODEL_CEILING`` literal doubles (raises
+    above it — large quantizers take ``kmeans_assign``'s
+    broadcast-join fallback instead).
 
     This is the assignment primitive everywhere now (guide §2.4):
     assignment against a k-row centroid table is embarrassingly
@@ -101,6 +129,13 @@ def centroid_assign_expr(centroid_rows: list, vec_col: str = "v"):
     switched over."""
     if not centroid_rows:
         raise ValueError("centroid_assign_expr: empty centroid table")
+    n_lit = sum(len(r["c"]) for r in centroid_rows)
+    if n_lit > LITERAL_MODEL_CEILING:
+        raise ValueError(
+            f"centroid_assign_expr: model would inline {n_lit} literal "
+            f"doubles (> LITERAL_MODEL_CEILING={LITERAL_MODEL_CEILING}); "
+            "use kmeans_assign (broadcast-join fallback) for large models"
+        )
     entries = []
     for r in sorted(centroid_rows, key=lambda r: r["cid"]):
         c = "array(" + ",".join(f"{float(x)!r}D" for x in r["c"]) + ")"
@@ -113,16 +148,41 @@ def kmeans_assign(vectors: DataFrame, centroids) -> DataFrame:
     """(vec_id, cluster): nearest centroid by squared-L2 with a
     deterministic (dist, cid) tie-break.
 
-    Map-only: the centroid table is the MODEL (k×dim — driver-sized at
-    any corpus scale), so it is collected once and assignment becomes
-    a codegen'd per-row projection with zero shuffle (guide §2.4; the
+    Map-only under ``LITERAL_MODEL_CEILING``: the centroid table is
+    the MODEL (k×dim), collected once, and assignment becomes a
+    codegen'd per-row projection with zero shuffle (guide §2.4; the
     previous shape was crossJoin(broadcast) + a row_number window
-    whose Exchange carried k·N rows). ``centroids`` may be a DataFrame
-    or pre-collected rows. Decision-identical: same sequential _DIST2
-    fold per centroid, array_min struct ordering IS the (dist2, cid)
-    tie-break."""
-    return vectors.select(
-        "vec_id", centroid_assign_expr(model_rows(centroids)).alias("cluster")
+    whose Exchange carried k·N rows). ABOVE the ceiling (100 TB-
+    realistic quantizers) the model ships as a broadcast relation and
+    the argmin is a struct-min partial aggregation — each map
+    partition reduces to ≤1 row per vec_id before the exchange, no
+    sort, no window, expression size O(1) in k. ``centroids`` may be
+    a DataFrame or pre-collected rows. Decision-identical either way:
+    same sequential _DIST2 fold per centroid; min over (dist2, cid)
+    structs IS the (dist2, cid) tie-break — pinned at both shapes by
+    ``test_kmeans_assign_matches_window_reference`` and
+    ``test_kmeans_assign_fallback_above_literal_ceiling``."""
+    rows = model_rows(centroids)
+    if sum(len(r["c"]) for r in rows) <= LITERAL_MODEL_CEILING:
+        return vectors.select(
+            "vec_id", centroid_assign_expr(rows).alias("cluster")
+        )
+    cents = vectors.sparkSession.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["c"]]) for r in rows],
+        "cid bigint, c array<double>",
+    )
+    d2 = F.expr(_DIST2.format(v="v", c="c"))
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("dist2"), F.col("cid").alias("cid")).alias(
+                "__s"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("__s").alias("__s"))
+        .select("vec_id", F.col("__s").getField("cid").alias("cluster"))
     )
 
 
@@ -144,7 +204,16 @@ def kmeans_fit(
     so the fitted model is REUSABLE: incremental pipelines (e.g.
     ``semdedup.semdedup_incremental_pairs``) assign NEW batches to the
     standing centroids without re-clustering the corpus — the model
-    is a k×dim table, the natural thing to persist between runs."""
+    is a k×dim table, the natural thing to persist between runs.
+
+    EAGER (ADVICE r16 #4): training Spark jobs (the seed fetch +
+    one aggregation per Lloyd round) run at construction time, not at
+    the first downstream action — the r16 map-only rewrite trades the
+    old lazy plan for per-round driver actions over model-sized rows.
+    The returned centroids are a local relation carrying
+    ``_graft_rows``; the attribute is lost on any DataFrame
+    transformation or parquet round-trip, after which ``model_rows``
+    falls back to (and memoizes) a fresh collect."""
     # persisted: consumed by the seed fetch, every iteration's
     # assign + re-aggregation join, and the final assign — without it
     # each consumer re-scans (and re-decodes) the embedding parquet

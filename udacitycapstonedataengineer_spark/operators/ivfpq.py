@@ -27,7 +27,7 @@ partition pruning, nprobe/nlist of the data).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .coarse import centroid_array, coarse_fit_from_vectors
@@ -130,7 +130,14 @@ def ivfpq_encode_batch(
     ``stream_ivfpq_encode`` shape, now shared with the batch path):
     literal-argmin cell, literal-lookup residual, literal-argmin
     codes — zero shuffle, zero join (guide §2.4). Model args may be
-    DataFrames or pre-collected rows."""
+    DataFrames or pre-collected rows.
+
+    Contract (ADVICE r16 #3): the coarse model's cids must be DENSE
+    0..nlist-1 — the residual lookup is ``element_at(carr, cell+1)``
+    and ``centroid_array`` raises ValueError otherwise. ``ivfpq_build``
+    /``ivfpq_coarse_fit`` models satisfy this by construction;
+    ``kmeans_fit``-style models that DROP emptied clusters do not —
+    re-index such a model before encoding against it."""
     cent_rows = model_rows(coarse_centroids)
     book_rows = model_rows(codebooks)
     return (
@@ -155,6 +162,54 @@ def ivfpq_encode_batch(
     )
 
 
+def _query_d2(q: np.ndarray, c: np.ndarray) -> float:
+    """Sequential squared-L2 fold — bit-identical to the SQL twin's
+    list_inner_product (see ivfpq_oracle_sql)."""
+    acc = 0.0
+    for a, b in zip(q, c):
+        acc += (float(a) - float(b)) * (float(a) - float(b))
+    return acc
+
+
+def _probe_order(q: np.ndarray, cents: dict) -> list[int]:
+    """All cell ids sorted by (d2(query, centroid), cid) — the probe
+    priority; ``order[:nprobe]`` is the probed set at any nprobe (so
+    probe sets at increasing nprobe are PREFIXES of one another, the
+    property the fused curve scan relies on)."""
+    return sorted(cents, key=lambda cid: (_query_d2(q, cents[cid]), cid))
+
+
+def _cell_lut(
+    q: np.ndarray, cent: np.ndarray, cb: list, m: int, k: int, dsub: int
+) -> list[float]:
+    """ADC lookup table for ONE cell: the query's residual in that
+    cell scored against every (sub, cid) codeword — same sequential
+    fold pq_adc_topk uses. +inf sentinel for (sub, cid) slots the
+    codebook never emits: a served index whose codes exceed the
+    codebook must rank those rows LAST, not score the subquantizer as
+    distance 0 (ADVICE r8 — pq_adc_topk's original sentinel
+    semantics)."""
+    resid = q - cent
+    lut = [float("inf")] * (m * k)
+    for r in cb:
+        qs = resid[r["sub"] * dsub : (r["sub"] + 1) * dsub]
+        d2 = 0.0
+        for a, b in zip(qs, r["c"]):
+            d2 += (float(a) - float(b)) * (float(a) - float(b))
+        lut[r["sub"] * k + r["cid"]] = d2
+    return lut
+
+
+def _adc_dist_expr(m: int, k: int) -> F.Column:
+    """Sequential ADC fold over the row's codes against the __lut
+    column (exact: IEEE 0.0+x == x, same order as the oracle's
+    list_reduce)."""
+    return F.expr(
+        f"aggregate(sequence(0, {m} - 1), 0D, (acc, s) -> "
+        f"acc + element_at(__lut, s * {k} + element_at(codes, s + 1) + 1))"
+    )
+
+
 def ivfpq_topk(
     index: DataFrame,
     coarse_centroids: DataFrame,
@@ -170,58 +225,169 @@ def ivfpq_topk(
     q = np.asarray(query, dtype=np.float64)
     cent_rows = model_rows(coarse_centroids)
     cents = {r["cid"]: np.asarray(r["c"]) for r in cent_rows}
+    probed = _probe_order(q, cents)[:nprobe]
 
-    def _d2(c):  # sequential fold — bit-identical to the SQL twin's
-        acc = 0.0  # list_inner_product (see ivfpq_oracle_sql)
-        for a, b in zip(q, c):
-            acc += (float(a) - float(b)) * (float(a) - float(b))
-        return acc
-
-    probed = sorted(cents, key=lambda cid: (_d2(cents[cid]), cid))[:nprobe]
-
-    # all probed cells score in ONE job: per-cell LUTs (query residual
-    # vs that cell's codebooks, same sequential fold pq_adc_topk uses)
-    # become a CASE-selected literal array, so the scan over the
-    # probed cells' code rows is a single filter + fold + TakeOrdered
-    # instead of nprobe separate filter/sort/limit jobs.
+    # all probed cells score in ONE job: per-cell LUTs become a
+    # CASE-selected literal array, so the scan over the probed cells'
+    # code rows is a single filter + fold + TakeOrdered instead of
+    # nprobe separate filter/sort/limit jobs.
     cb = model_rows(codebooks)
     m = max(r["sub"] for r in cb) + 1
     k = max(r["cid"] for r in cb) + 1
     dsub = len(cb[0]["c"])
-    luts: dict[int, list[float]] = {}
-    for cell in probed:
-        resid = q - cents[cell]
-        # +inf sentinel for (sub, cid) slots the codebook never emits:
-        # a served index whose codes exceed the codebook must rank
-        # those rows LAST, not score the subquantizer as distance 0
-        # (ADVICE r8 — pq_adc_topk's original sentinel semantics)
-        lut = [float("inf")] * (m * k)
-        for r in cb:
-            qs = resid[r["sub"] * dsub : (r["sub"] + 1) * dsub]
-            d2 = 0.0
-            for a, b in zip(qs, r["c"]):
-                d2 += (float(a) - float(b)) * (float(a) - float(b))
-            lut[r["sub"] * k + r["cid"]] = d2
-        luts[cell] = lut
     lut_expr = None
-    for cell, lut in luts.items():
-        arr = F.array(*[F.lit(x) for x in lut])
+    for cell in probed:
+        arr = F.array(
+            *[F.lit(x) for x in _cell_lut(q, cents[cell], cb, m, k, dsub)]
+        )
         lut_expr = (
             arr
             if lut_expr is None
             else F.when(F.col("cell") == cell, arr).otherwise(lut_expr)
         )
         # (reversed-order nesting is fine: cells are disjoint)
-    dist = F.expr(
-        f"aggregate(sequence(0, {m} - 1), 0D, (acc, s) -> "
-        f"acc + element_at(__lut, s * {k} + element_at(codes, s + 1) + 1))"
-    )
     return (
         index.filter(F.col("cell").isin(probed))
         .withColumn("__lut", lut_expr)
-        .select("vec_id", dist.alias("adc_dist2"))
+        .select("vec_id", _adc_dist_expr(m, k).alias("adc_dist2"))
         .orderBy("adc_dist2", "vec_id")
         .limit(topk)
+    )
+
+
+def ivfpq_recall_curve(
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    nprobes: tuple[int, ...],
+    topk: int,
+    exact_flags: DataFrame,
+) -> DataFrame:
+    """The whole recall-vs-nprobe curve in ONE index scan (guide §2.4
+    — VERDICT r16 next #3): (nprobe, hits, recall) per curve point,
+    row-identical to looping ``ivfpq_topk`` per point and joining
+    ``exact_flags`` per point.
+
+    Why one scan is the same answer: probe sets at increasing nprobe
+    are prefixes of one probe ORDER (cells sorted by (d2, cid) —
+    ``_probe_order``), and a cell's ADC LUT depends only on (query,
+    cell), never on nprobe. So the scan reads the max-nprobe probe
+    set once (`cell isin` stays a PartitionFilter on a served index),
+    joins each row's cell to a broadcast (cell, probe rank, LUT)
+    relation, scores the fold once per row, replicates the row to the
+    curve points whose nprobe covers its cell's rank (≤ |nprobes|×,
+    topk-bounded downstream), and takes per-point top-k with one
+    window. The exact ground-truth subtree — a FULL-CORPUS scan the
+    per-point loop replicated once per point — appears exactly once.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    cents = {
+        r["cid"]: np.asarray(r["c"]) for r in model_rows(coarse_centroids)
+    }
+    cb = model_rows(codebooks)
+    m = max(r["sub"] for r in cb) + 1
+    k = max(r["cid"] for r in cb) + 1
+    dsub = len(cb[0]["c"])
+    probed = _probe_order(q, cents)[: max(nprobes)]
+    spark = index.sparkSession
+    luts = spark.createDataFrame(
+        [
+            (int(cell), rank + 1, _cell_lut(q, cents[cell], cb, m, k, dsub))
+            for rank, cell in enumerate(probed)
+        ],
+        "cell bigint, __cell_rank int, __lut array<double>",
+    )
+    pts = F.array(*[F.lit(int(p)) for p in nprobes])
+    w = Window.partitionBy("nprobe").orderBy("adc_dist2", "vec_id")
+    counted = (
+        index.filter(F.col("cell").isin([int(c) for c in probed]))
+        .join(F.broadcast(luts), "cell")
+        .select(
+            "vec_id",
+            "__cell_rank",
+            _adc_dist_expr(m, k).alias("adc_dist2"),
+        )
+        # a row participates in every curve point probing its cell
+        .withColumn(
+            "nprobe",
+            F.explode(F.filter(pts, lambda p: p >= F.col("__cell_rank"))),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .join(F.broadcast(exact_flags), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(F.count(F.when(F.col("in_exact_topk"), 1)).alias("hits"))
+    )
+    # a curve point whose probed cells hold zero eligible rows (e.g.
+    # a filtered served index) must still report hits=0, exactly as
+    # the per-point loop's global agg did
+    points = spark.createDataFrame(
+        [(int(p),) for p in nprobes], "nprobe int"
+    )
+    return (
+        points.join(counted, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(topk))
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def ivfpq_topk_multi(
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int,
+    topk: int,
+) -> DataFrame:
+    """(query_vec_id, vec_id): per sampled query, the ADC top-k of its
+    probed cells — row-identical to looping ``ivfpq_topk`` per query,
+    in ONE scan of the union of all probed cells (guide §2.4). Each
+    query's (cell → LUT) pairs ride one broadcast relation keyed
+    (query_vec_id, cell), so a code row is scored once per query
+    probing its cell and the plan stays O(1) in Q (the ADVICE r11 #5
+    broadcast-not-literals discipline); `cell isin` keeps the
+    PartitionFilter on a served index."""
+    cents = {
+        r["cid"]: np.asarray(r["c"]) for r in model_rows(coarse_centroids)
+    }
+    cb = model_rows(codebooks)
+    m = max(r["sub"] for r in cb) + 1
+    k = max(r["cid"] for r in cb) + 1
+    dsub = len(cb[0]["c"])
+    lut_rows = []
+    all_cells: set[int] = set()
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        for cell in _probe_order(q, cents)[:nprobe]:
+            all_cells.add(int(cell))
+            lut_rows.append(
+                (
+                    int(qid),
+                    int(cell),
+                    _cell_lut(q, cents[cell], cb, m, k, dsub),
+                )
+            )
+    luts = index.sparkSession.createDataFrame(
+        lut_rows, "query_vec_id int, cell bigint, __lut array<double>"
+    )
+    w = Window.partitionBy("query_vec_id").orderBy("adc_dist2", "vec_id")
+    return (
+        index.filter(F.col("cell").isin(sorted(all_cells)))
+        .join(F.broadcast(luts), "cell")
+        .select(
+            "query_vec_id", "vec_id", _adc_dist_expr(m, k).alias("adc_dist2")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_vec_id", "vec_id")
     )
 
 

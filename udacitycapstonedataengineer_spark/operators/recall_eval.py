@@ -14,13 +14,12 @@ queries. This module is that offline eval job:
   (query-partitioned) rank window. Q·N candidate rows through one
   shuffle: the honest cost of exact ground truth, linear in the
   corpus for a fixed sample (never Q separate scans).
-- ``ivfpq_recall_at_k``: per sampled query, the ADC probe
-  (``ivfpq_topk`` — one filter+fold+TakeOrdered over the probed
-  cells, partition-pruned on a written index) joined against the
-  ground truth; returns (query_vec_id, hits, recall) plus a 1-row
-  pooled mean. The per-query probes are a driver loop over
-  sample-sized Q, exactly like the recall-curve points — model-sized
-  state only, no per-query corpus scan beyond the pruned cells.
+- ``ivfpq_recall_at_k``: the ADC probes of ALL sampled queries fused
+  into one scan of the union of probed cells (``ivfpq_topk_multi`` —
+  per-query LUTs on a broadcast relation, partition-pruned on a
+  written index, one window for the per-query top-k) joined ONCE
+  against the ground truth; returns (query_vec_id, hits, recall) —
+  model-sized state only, no per-query corpus scan.
 
 Gates: ``test_exact_topk_multi_matches_per_query`` (one-pass ground
 truth ≡ the per-query `_exact_topk_flags` used by every driver-gated
@@ -92,10 +91,8 @@ def ivfpq_recall_at_k(
     own filter). The caller applies the same predicate to ``index``
     so the probe side matches; default None = unfiltered (byte-level
     behavior unchanged for every registered query)."""
-    from .ivfpq import ivfpq_topk
-
     # an empty sample would pass both validations below and then
-    # crash opaquely at the per-query union (IndexError) after the
+    # crash opaquely at the fused probe (empty LUT relation) after the
     # corpus collect already ran — same ValueError contract as the
     # other invalid-sample cases
     if not query_ids:
@@ -123,30 +120,47 @@ def ivfpq_recall_at_k(
         [(q, id_rows[q]) for q in query_ids],
         k,
     ).persist()
-    # collect the model ONCE for the whole probe loop — ivfpq_topk
-    # accepts pre-collected rows, so the Q probes share one model
-    # fetch instead of re-collecting (and, for non-materialized model
-    # DataFrames, re-computing) it per query
-    from .clustering import model_rows
+    # all Q probes fused into ONE scan of the union of probed cells
+    # (guide §2.4 — r17): the model is collected once, each query's
+    # per-cell LUTs ride one broadcast relation, per-query top-k is
+    # one window over Q·topk-bounded narrow rows, and the ground
+    # truth joins once for the whole sample instead of once per
+    # query. Row-identical to the former per-query ivfpq_topk loop
+    # (same probe order, same LUT doubles, same (adc_dist2, vec_id)
+    # ranking) — pinned by test_recall_at_k_fused_matches_loop.
+    from .ivfpq import ivfpq_topk_multi
 
-    cent_rows = model_rows(cents)
-    book_rows = model_rows(books)
-    per_query = []
-    for q in query_ids:
-        top = ivfpq_topk(index, cent_rows, book_rows, id_rows[q], nprobe, k)
-        truth = exact.filter(F.col("query_vec_id") == q).select("vec_id")
-        per_query.append(
-            top.join(F.broadcast(truth), "vec_id", "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(
-                F.lit(q).alias("query_vec_id"),
-                "hits",
-                (F.col("hits").cast("double") / F.lit(float(k))).alias(
-                    "recall"
-                ),
-            )
+    top = ivfpq_topk_multi(
+        index,
+        cents,
+        books,
+        [(q, id_rows[q]) for q in query_ids],
+        nprobe,
+        k,
+    )
+    hits = (
+        top.join(
+            F.broadcast(exact.withColumn("__hit", F.lit(1))),
+            ["query_vec_id", "vec_id"],
+            "left",
         )
-    out = per_query[0]
-    for p in per_query[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("query_vec_id")
+        .groupBy("query_vec_id")
+        .agg(F.count("__hit").alias("hits"))
+    )
+    # a query whose probed cells hold zero eligible rows must still
+    # report hits=0, exactly as the per-query loop's global agg did
+    qdf = index.sparkSession.createDataFrame(
+        [(int(q),) for q in query_ids], "query_vec_id int"
+    )
+    return (
+        qdf.join(hits, "query_vec_id", "left")
+        .select(
+            "query_vec_id",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+        .orderBy("query_vec_id")
+    )

@@ -47,7 +47,7 @@ from ..operators.ivfpq import (
     _ivfpq_oracle_parts,
     ivfpq_build,
     ivfpq_oracle_sql,
-    ivfpq_topk,
+    ivfpq_recall_curve,
 )
 from ..operators.similarity import cosine_prenorm, cosine_sql, norm
 from .queries_round8 import _IVFPQ, _NPROBE, _QVEC_ID, _SEMDEDUP, _TOPK
@@ -282,25 +282,34 @@ def ivfpq_drift_stats(emb, centroids, batch_where: str = _BATCH_WHERE):
         ).alias("rv"),
     ).select("vec_id", "cell", energy.alias("energy"))
     is_batch = F.expr(batch_where)
-    cstat = (
-        ren.filter(~is_batch)
+    # ONE conditional cell-grain aggregation (guide §2.4 — r17,
+    # VERDICT r16 next #4): the former corpus/batch branch pair plus
+    # the separate totals scan re-ran the assignment map pass — with
+    # its nlist×dim literal argmin fold — THREE times inside the one
+    # action. The conditional counts/sums produce the identical exact
+    # BIGINTs in one pass; the totals are the per-cell sums re-
+    # aggregated (every row lands in exactly one cell, so Σ per-cell
+    # ≡ the direct corpus count — same integers, same ANSI
+    # divide-by-zero on an empty batch). Persisted: the totals branch
+    # and the spine join both read the nlist-row result.
+    cellstats = (
+        ren.withColumn("__b", is_batch)
         .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("corpus_n"),
-            F.sum("energy").alias("corpus_energy"),
+            F.count(F.when(~F.col("__b"), 1)).alias("corpus_n"),
+            F.count(F.when(F.col("__b"), 1)).alias("batch_n"),
+            F.sum(F.when(~F.col("__b"), F.col("energy"))).alias(
+                "corpus_energy"
+            ),
+            F.sum(F.when(F.col("__b"), F.col("energy"))).alias(
+                "batch_energy"
+            ),
         )
+        .persist()
     )
-    bstat = (
-        ren.filter(is_batch)
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("batch_n"),
-            F.sum("energy").alias("batch_energy"),
-        )
-    )
-    tot = emb.select(
-        F.count(F.when(~F.expr(batch_where), 1)).alias("total_corpus"),
-        F.count(F.when(F.expr(batch_where), 1)).alias("total_batch"),
+    tot = cellstats.agg(
+        F.sum("corpus_n").alias("total_corpus"),
+        F.sum("batch_n").alias("total_batch"),
     )
     spine = centroids.select(F.col("cid").alias("cell"))
     per_vec = lambda n, e: F.when(  # noqa: E731 — shared CASE shape
@@ -308,8 +317,7 @@ def ivfpq_drift_stats(emb, centroids, batch_where: str = _BATCH_WHERE):
         F.col(e).cast("double") / F.col(n).cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        spine.join(cstat, "cell", "left")
-        .join(bstat, "cell", "left")
+        spine.join(cellstats, "cell", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "cell",
@@ -663,6 +671,10 @@ def _ann_ivfpq_recall_curve(spark, t):
     # the curve is how nprobe (the recall/latency knob) gets chosen,
     # and re-running it after appends is the recall-decay check that
     # complements ivfpq_index_drift's distribution view.
+    # r17 (guide §2.4): the four per-point probes are FUSED into one
+    # index scan + one window — the exact ground-truth subtree (a
+    # full-corpus scan) appears once instead of once per point. Row-
+    # identical by the probe-prefix property (ivfpq_recall_curve).
     emb = t["embeddings"]
     cents, books, index = ivfpq_build(emb, **_IVFPQ)
     q = [
@@ -670,24 +682,9 @@ def _ann_ivfpq_recall_curve(spark, t):
         for x in emb.filter(F.col("vec_id") == _QVEC_ID).head()["embedding"]
     ]
     exact = _exact_topk_flags(emb, q, _TOPK)
-    points = []
-    for np_ in _RECALL_NPROBES:
-        top = ivfpq_topk(index, cents, books, q, nprobe=np_, topk=_TOPK)
-        points.append(
-            top.join(F.broadcast(exact), "vec_id", "left")
-            .agg(
-                F.count(F.when(F.col("in_exact_topk"), 1)).alias("hits")
-            )
-            .select(F.lit(np_).alias("nprobe"), "hits")
-        )
-    curve = points[0]
-    for p in points[1:]:
-        curve = curve.unionByName(p)
-    return curve.select(
-        "nprobe",
-        "hits",
-        (F.col("hits").cast("double") / F.lit(float(_TOPK))).alias("recall"),
-    ).orderBy("nprobe")
+    return ivfpq_recall_curve(
+        index, cents, books, q, _RECALL_NPROBES, _TOPK, exact
+    )
 
 
 def _ivfpq_rebuild_decision_oracle_sql() -> str:

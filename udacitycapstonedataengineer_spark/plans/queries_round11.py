@@ -34,7 +34,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..operators.ivfpq import ivfpq_build, ivfpq_topk
+from ..operators.ivfpq import ivfpq_build, ivfpq_recall_curve
 from .queries_round8 import _IVFPQ, _QVEC_ID, _TOPK, _doc_bigrams
 from .queries_round9 import _exact_topk_flags
 from .queries_round10 import _RECALL_NPROBES, _ivfpq_recall_curve_oracle_sql
@@ -70,22 +70,14 @@ def _ann_ivfpq_recall_curve_served(spark, t):
         for x in emb.filter(F.col("vec_id") == _QVEC_ID).head()["embedding"]
     ]
     exact = _exact_topk_flags(emb, q, _TOPK)
-    points = []
-    for np_ in _RECALL_NPROBES:
-        top = ivfpq_topk(back, cents, books, q, nprobe=np_, topk=_TOPK)
-        points.append(
-            top.join(F.broadcast(exact), "vec_id", "left")
-            .agg(F.count(F.when(F.col("in_exact_topk"), 1)).alias("hits"))
-            .select(F.lit(np_).alias("nprobe"), "hits")
-        )
-    curve = points[0]
-    for p in points[1:]:
-        curve = curve.unionByName(p)
-    return curve.select(
-        "nprobe",
-        "hits",
-        (F.col("hits").cast("double") / F.lit(float(_TOPK))).alias("recall"),
-    ).orderBy("nprobe")
+    # r17 (guide §2.4): the four per-point probes fused into ONE
+    # read-back scan (`cell isin` over the max-nprobe probe set stays
+    # a PartitionFilter) + one window; the exact ground-truth subtree
+    # appears once instead of once per point. Row-identical by the
+    # probe-prefix property (ivfpq_recall_curve).
+    return ivfpq_recall_curve(
+        back, cents, books, q, _RECALL_NPROBES, _TOPK, exact
+    )
 
 
 # the standing/batch split at document grain — bigrams never cross

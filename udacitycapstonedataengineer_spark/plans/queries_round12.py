@@ -168,8 +168,13 @@ def kn_trigram_merge(s123, b123):
             F.coalesce("c_s", F.lit(0)) + F.coalesce("c_b", F.lit(0))
         ).alias("c123"),
     )
-    # batch trigram types absent from standing
-    newp = b123.join(s123, ["w1", "w2", "w3"], "left_anti")
+    # batch trigram types absent from standing. Persisted (guide §5 —
+    # r17, VERDICT r16 next #5): the merge's two-grain statistics
+    # consume this and the (w2,w3)-grain tables below from several
+    # branches each; without the persist every branch re-derives its
+    # subtree from the base count tables (snc23 alone was re-derived
+    # 5× — a full standing-table pass + shuffle per branch).
+    newp = b123.join(s123, ["w1", "w2", "w3"], "left_anti").persist()
 
     # (w1,w2) grain: occurrence total is additive, type count moves
     # only on new trigram types
@@ -196,10 +201,16 @@ def kn_trigram_merge(s123, b123):
     )
 
     # (w2,w3) grain: nc23 counts distinct w1 contexts, so every new
-    # trigram type adds 1
-    snc23 = s123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc23_s"))
-    nnc23 = newp.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("nc23_new")
+    # trigram type adds 1 (both persisted — see the newp note)
+    snc23 = (
+        s123.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("nc23_s"))
+        .persist()
+    )
+    nnc23 = (
+        newp.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("nc23_new"))
+        .persist()
     )
     nc23m = snc23.join(nnc23, ["w2", "w3"], "full_outer").select(
         "w2",
@@ -209,8 +220,8 @@ def kn_trigram_merge(s123, b123):
         ).alias("nc23"),
     )
     # batch (w2,w3) pairs with NO standing trigram — the only rows
-    # that move the pair-grain statistics
-    new23 = nnc23.join(snc23, ["w2", "w3"], "left_anti")
+    # that move the pair-grain statistics (persisted: 3 consumers)
+    new23 = nnc23.join(snc23, ["w2", "w3"], "left_anti").persist()
 
     # w2 grain: nc2 sums nc23 (additive in new trigram types), n2p
     # counts distinct (w2,w3) pairs (additive in new pairs only)

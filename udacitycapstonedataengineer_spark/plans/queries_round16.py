@@ -66,7 +66,7 @@ from ..operators.ivfpq import (
     ivfpq_build,
     ivfpq_encode_batch,
     ivfpq_oracle_sql,
-    ivfpq_topk,
+    ivfpq_recall_curve,
 )
 from ..operators.semdedup import semdedup_oracle_sql
 from ..operators.similarity import cosine_sql
@@ -242,8 +242,14 @@ def _corpus_pipeline_report_draft(spark, t):
         & (n_toks >= 30)
         & (n_punct * 100 <= F.col("n_chars") * 20)
     )
-    exact = exact_dedup_keep_canonical(gated).select(
-        "doc_id", "source", "text"
+    # persisted (guide §5 — r17): three consumers (the semdedup input,
+    # the survivor anti-join, the stage count) re-derived the
+    # fingerprint window otherwise; at 100 TB this IS the stage's
+    # persisted survivor table (docstring below)
+    exact = (
+        exact_dedup_keep_canonical(gated)
+        .select("doc_id", "source", "text")
+        .persist()
     )
     sem_in = emb.join(
         exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
@@ -254,7 +260,9 @@ def _corpus_pipeline_report_draft(spark, t):
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
-    sem = exact.join(dropped, "doc_id", "left_anti")
+    # persisted: consumed by the mixture rate table, the sampled mix
+    # scan, and the stage count (same §5 rationale as `exact`)
+    sem = exact.join(dropped, "doc_id", "left_anti").persist()
     counts = sem.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     w = counts.select(
         "source",
@@ -533,24 +541,15 @@ def _ann_ivfpq_recall_curve_served_filtered_draft(spark, t):
     exact = _exact_topk_flags(
         emb.filter(F.expr(_SERVED_FILTER_WHERE)), q, _TOPK
     )
-    points = []
-    for np_ in _RECALL_NPROBES:
-        top = ivfpq_topk(back, cents, books, q, nprobe=np_, topk=_TOPK)
-        points.append(
-            top.join(F.broadcast(exact), "vec_id", "left")
-            .agg(F.count(F.when(F.col("in_exact_topk"), 1)).alias("hits"))
-            .select(F.lit(np_).alias("nprobe"), "hits")
-        )
-    curve = points[0]
-    for p in points[1:]:
-        curve = curve.unionByName(p)
-    return curve.select(
-        "nprobe",
-        "hits",
-        (F.col("hits").cast("double") / F.lit(float(_TOPK))).alias(
-            "recall"
-        ),
-    ).orderBy("nprobe")
+    # r17 (guide §2.4): the four per-point probes fused into ONE
+    # read-back scan + one window (the metadata predicate rides the
+    # same scan; a point whose probed cells hold zero eligible rows
+    # still reports hits=0); the filtered exact ground truth appears
+    # once instead of once per point. Row-identical by the
+    # probe-prefix property (ivfpq_recall_curve).
+    return ivfpq_recall_curve(
+        back, cents, books, q, _RECALL_NPROBES, _TOPK, exact
+    )
 
 
 # ---------------------------------------------------------------------------
